@@ -1,0 +1,318 @@
+"""The five verbs: save / recall / analyze / clean / reindex.
+
+Each command is stateless load -> mutate -> write over the two-file DB
+(<base>.yaml source of truth, <base>.memo derived index) and reproduces
+the reference CLI's stdout/stderr contract byte-for-byte
+(/root/reference/memo_cli.py:308-693; /root/reference/SKILL.md:144-157):
+results on stdout, `Error: ...` diagnostics and -v logs on stderr, exit
+codes 0/1.
+
+Compute deviations from the reference (all host-visible behavior equal):
+  - embedding and search run as batched XLA programs (ops/, models/)
+    instead of per-record FAISS calls — rebuilds embed the whole corpus
+    in one device program.
+  - the index is exact (Flat MXU matmul + top-k), so recall ranking is
+    the true ascending-distance order rather than HNSW's approximation.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any
+
+import numpy as np
+import yaml
+
+from .utils.runtime import configure_jax_cache
+
+configure_jax_cache()  # before any jit: persistent XLA cache across CLI calls
+
+from .constants import DIM, SCORE_SKIP_THRESHOLD
+from .ops.embed import embed_text, embed_texts
+from .models.flat import FlatIndex
+from .storage.index_io import load_index_or_fresh, write_index
+from .storage.paths import db_paths, ensure_parent
+from .storage.yaml_store import RecordStore, block_str
+from .utils.filters import matches, parse_filter
+from .utils.reporting import default_fields, format_cell, render_stats, render_table, resolve_field
+from .utils.text import is_blank_body
+
+
+def vlog(enabled: bool, msg: str) -> None:
+    if enabled:
+        print(msg, file=sys.stderr)
+
+
+def _fail(msg: str) -> int:
+    print(f"Error: {msg}", file=sys.stderr)
+    return 1
+
+
+def _load_store(yaml_path) -> RecordStore:
+    return RecordStore.load(yaml_path)
+
+
+def build_index_from_store(bodies: list[str], verbose: bool) -> FlatIndex:
+    """Embed every non-blank body in ONE batched device program and build
+    a fresh Flat index (contrast: reference re-embeds in a Python loop,
+    memo_cli.py:272-285)."""
+    keep_ids = [i for i, body in enumerate(bodies) if not is_blank_body(body or "")]
+    index = FlatIndex(dim=DIM)
+    if keep_ids:
+        vectors = embed_texts([bodies[i] for i in keep_ids])
+        index.add(vectors, np.asarray(keep_ids, dtype=np.int64))
+    vlog(
+        verbose,
+        f"Rebuilt index with {len(keep_ids)} vectors "
+        f"(skipped {len(bodies) - len(keep_ids)} blank records)",
+    )
+    return index
+
+
+# -- clean ---------------------------------------------------------------
+
+
+def cmd_clean(db_base: str, user_cwd: str) -> int:
+    index_path, yaml_path = db_paths(db_base, user_cwd)
+    removed_any = False
+    for p in (index_path, yaml_path):
+        try:
+            p.unlink()
+            removed_any = True
+        except FileNotFoundError:
+            pass
+        except OSError as e:
+            return _fail(f"failed to remove {p}: {e}")
+
+    verb = "Cleared memory database" if removed_any else "Database already empty"
+    print(f"{verb} ({index_path}, {yaml_path})")
+    return 0
+
+
+# -- reindex ---------------------------------------------------------------
+
+
+def cmd_reindex(db_base: str, user_cwd: str, verbose: bool) -> int:
+    index_path, yaml_path = db_paths(db_base, user_cwd)
+    try:
+        store = _load_store(yaml_path)
+    except Exception as e:
+        return _fail(f"failed to load database YAML '{yaml_path}': {e}")
+
+    compacted, dropped = store.compact()
+    compacted.save(yaml_path)  # canonicalize formatting + persist re-sequenced ids
+
+    index = build_index_from_store(compacted.bodies, verbose)
+    ensure_parent(index_path)
+    write_index(index, index_path)
+    print(f"Rebuilt index from {yaml_path.name}")
+    print(f"Wrote index: {index_path.name}")
+    if dropped > 0:
+        print(f"Compacted: dropped {dropped} blank/deleted entries")
+    return 0
+
+
+# -- save -------------------------------------------------------------------
+
+
+def parse_save_input(path) -> list[dict[str, Any]]:
+    """Validate the save input file: multi-doc YAML, each doc requiring a
+    non-empty string `body`, optional map `metadata`, optional int `id`."""
+    if not path.exists():
+        raise ValueError(f"failed to read input file '{path}'")
+    entries: list[dict[str, Any]] = []
+    for doc in yaml.safe_load_all(path.read_text(encoding="utf-8")):
+        if doc is None:
+            continue
+        if not isinstance(doc, dict):
+            raise ValueError("each YAML document must be a mapping")
+        if "body" not in doc:
+            raise ValueError("each YAML document requires 'body'")
+        body = doc.get("body")
+        if not isinstance(body, str) or body.strip() == "":
+            raise ValueError("body must be a non-empty string")
+        metadata = doc.get("metadata")
+        if metadata is not None and not isinstance(metadata, dict):
+            raise ValueError("metadata must be a mapping when provided")
+        entry: dict[str, Any] = {"body": body, "metadata": metadata}
+        if "id" in doc:
+            if not isinstance(doc["id"], int) or doc["id"] < 0:
+                raise ValueError("id must be a non-negative integer when provided")
+            entry["id"] = int(doc["id"])
+        entries.append(entry)
+    if not entries:
+        raise ValueError("input YAML contains no entries")
+    return entries
+
+
+def cmd_save(db_base: str, input_file: str, user_cwd: str, verbose: bool) -> int:
+    from pathlib import Path
+
+    index_path, yaml_path = db_paths(db_base, user_cwd)
+    try:
+        entries = parse_save_input(Path(input_file))
+    except ValueError as e:
+        # Reference raises this uncaught (traceback); we report it cleanly.
+        return _fail(str(e))
+
+    try:
+        store = _load_store(yaml_path)
+    except Exception as e:
+        return _fail(f"failed to load database YAML '{yaml_path}': {e}")
+
+    index = load_index_or_fresh(index_path, dim=DIM, verbose_log=lambda m: vlog(verbose, m))
+    existing_ids = set(int(i) for i in index.ids())
+    had_overwrite = False
+    appended: list[tuple[int, str]] = []
+
+    for entry in entries:
+        body = entry["body"]
+        metadata = entry.get("metadata")
+        override_id = entry.get("id")
+        if override_id is not None:
+            # Overwrite target must be a live indexed record (SURVEY.md §2.5 #5).
+            if override_id >= len(store) or override_id not in existing_ids:
+                return _fail(f"override id {override_id} does not exist")
+            store.overwrite(override_id, body, metadata)
+            had_overwrite = True
+            print(f"Memorized: '{body}' (ID: {override_id})")
+        else:
+            new_id = store.append(body, metadata)
+            appended.append((new_id, body))
+            print(f"Memorized: '{body}' (ID: {new_id})")
+
+    if had_overwrite:
+        # Any overwrite invalidates stored vectors -> full batched rebuild.
+        index = build_index_from_store(store.bodies, verbose)
+    elif appended:
+        vectors = embed_texts([body for _, body in appended])
+        index.add(vectors, np.asarray([rid for rid, _ in appended], dtype=np.int64))
+
+    ensure_parent(index_path)
+    write_index(index, index_path)
+    store.save(yaml_path)
+    return 0
+
+
+# -- recall -------------------------------------------------------------------
+
+
+def cmd_recall(
+    db_base: str,
+    query: str,
+    k: int,
+    filter_expr: str | None,
+    as_yaml: bool,
+    user_cwd: str,
+) -> int:
+    index_path, yaml_path = db_paths(db_base, user_cwd)
+    try:
+        store = _load_store(yaml_path)
+    except Exception as e:
+        return _fail(f"failed to load database YAML '{yaml_path}': {e}")
+
+    index = load_index_or_fresh(index_path, dim=DIM)
+
+    if not as_yaml:
+        print(f"Top {k} results:")
+    if index.ntotal == 0:
+        if as_yaml:
+            print(yaml.safe_dump({"results": []}, sort_keys=False).strip())
+        return 0
+
+    # One device program: embed query -> score all rows -> full ranking
+    # (the reference's k=ntotal exhaustive search, memo_cli.py:288-298).
+    dists, ids = index.ranked_all(embed_text(query))
+
+    active_filter: dict[str, Any] | None = None
+    if filter_expr is not None:
+        try:
+            active_filter = parse_filter(filter_expr)
+        except Exception as e:
+            return _fail(f"invalid --filter expression: {e}")
+
+    shown = 0
+    yaml_results: list[dict[str, Any]] = []
+    for dist, doc_id in zip(dists.tolist(), ids.tolist()):
+        if shown >= k:
+            break
+        if dist < SCORE_SKIP_THRESHOLD:  # vestigial parity branch, never true under L2
+            continue
+        if doc_id < 0 or doc_id >= len(store):
+            continue
+        if active_filter is not None:
+            metadata = store.meta_at(doc_id) or {}
+            # Post-filter: records without metadata never match (SURVEY.md §2.5 #6).
+            if not metadata or not matches(metadata, active_filter):
+                continue
+        body = store.bodies[doc_id] or ""
+        if is_blank_body(body):
+            continue
+        if as_yaml:
+            yaml_results.append({"id": doc_id, "score": float(dist), "body": block_str(body)})
+        else:
+            print(f"  [{doc_id}] Score: {dist:.4f} |")
+            for line in body.splitlines() or [""]:
+                print(f"      {line}")
+        shown += 1
+
+    if as_yaml:
+        print(yaml.safe_dump({"results": yaml_results}, sort_keys=False).strip())
+    return 0
+
+
+# -- analyze --------------------------------------------------------------------
+
+
+def cmd_analyze(
+    db_base: str,
+    filter_expr: str,
+    fields: list[str] | None,
+    stats_key: str | None,
+    limit: int,
+    offset: int,
+    user_cwd: str,
+) -> int:
+    if not filter_expr.strip():
+        return _fail("analyze requires --filter <expr>")
+    if limit < 1:
+        return _fail("--limit must be >= 1")
+    if offset < 0:
+        return _fail("--offset must be >= 0")
+
+    _, yaml_path = db_paths(db_base, user_cwd)
+    try:
+        store = _load_store(yaml_path)
+    except Exception as e:
+        return _fail(f"failed to load database YAML '{yaml_path}': {e}")
+
+    try:
+        active_filter = parse_filter(filter_expr)
+    except Exception as e:
+        return _fail(f"invalid --filter expression: {e}")
+
+    # Metadata-only full scan — never touches the index or embeddings.
+    found: list[tuple[int, dict[str, Any]]] = []
+    for doc_id, _, metadata in store:
+        metadata = metadata or {}
+        if metadata and matches(metadata, active_filter):
+            found.append((doc_id, metadata))
+
+    print(f"Matched: {len(found)}")
+    if stats_key is not None:
+        for line in render_stats(found, stats_key):
+            print(line)
+        return 0
+
+    selected = fields if fields else default_fields(found)
+    if not selected:
+        selected = ["id"]
+    page = found[offset : offset + limit]
+    rows = [
+        [format_cell(resolve_field(doc_id, metadata, f)) for f in selected]
+        for doc_id, metadata in page
+    ]
+    headers = ["ID" if f == "id" else f for f in selected]
+    for line in render_table(headers, rows):
+        print(line)
+    return 0

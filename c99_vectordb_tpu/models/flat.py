@@ -1,0 +1,125 @@
+"""Flat exact index — brute-force squared-L2 over the whole database.
+
+The TPU replacement for the reference's FAISS HNSW graph (memo_cli.py:
+244-248): graph ANN is pointer-chasing and MXU-hostile, while at memo-to-
+millions scale a tiled MXU matmul fused with on-chip top-k is both exact
+(recall 1.0 vs HNSW's approximation) and faster per chip. Rows live in a
+power-of-two padded device buffer with a validity mask so database growth
+reuses cached XLA executables (no recompile per add).
+
+Invariant: rows are kept sorted by external id (inserts are monotone in
+the CLI; bulk loads are sorted on ingest), which makes `lax.top_k`'s
+lowest-position tie-break equal the contract's lowest-id tie-break.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..constants import DIM
+from ..ops.distances import ranked_program
+from ..ops.topk import topk_program
+from .base import next_pow2
+from .registry import register
+
+
+@register
+class FlatIndex:
+    kind = "flat"
+
+    def __init__(self, dim: int = DIM):
+        self.dim = int(dim)
+        self._vectors = np.zeros((0, self.dim), dtype=np.float32)
+        self._ids = np.zeros((0,), dtype=np.int64)
+        self._device: tuple[jax.Array, jax.Array, jax.Array, jax.Array] | None = None
+
+    # -- introspection ----------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return int(self._vectors.shape[0])
+
+    def ids(self) -> np.ndarray:
+        return self._ids.copy()
+
+    # -- mutation ----------------------------------------------------------
+
+    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if vectors.shape[0] != ids.shape[0]:
+            raise ValueError("vectors and ids must have matching leading dimension")
+        self._vectors = np.concatenate([self._vectors, vectors], axis=0)
+        self._ids = np.concatenate([self._ids, ids])
+        if not np.all(self._ids[:-1] <= self._ids[1:]):
+            order = np.argsort(self._ids, kind="stable")
+            self._vectors = self._vectors[order]
+            self._ids = self._ids[order]
+        self._device = None  # invalidate cached device buffers
+
+    # -- device staging ----------------------------------------------------
+
+    def _staged(self) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+        """Padded device buffers: (vectors, ids_i32, valid, sq_norms)."""
+        if self._device is None:
+            cap = next_pow2(max(self.ntotal, 1))
+            vecs = np.zeros((cap, self.dim), dtype=np.float32)
+            vecs[: self.ntotal] = self._vectors
+            ids = np.full((cap,), -1, dtype=np.int32)
+            ids[: self.ntotal] = self._ids.astype(np.int32)
+            valid = np.zeros((cap,), dtype=bool)
+            valid[: self.ntotal] = True
+            sq_norms = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+            self._device = (
+                jax.device_put(vecs),
+                jax.device_put(ids),
+                jax.device_put(valid),
+                jax.device_put(sq_norms),
+            )
+        return self._device
+
+    # -- search -------------------------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        if self.ntotal == 0:
+            shape = (queries.shape[0], k)
+            return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
+        vecs, ids, valid, sq_norms = self._staged()
+        k_eff = min(k, vecs.shape[0])
+        dists, out_ids = topk_program(vecs.shape[0], self.dim, k_eff)(
+            vecs, ids, valid, sq_norms, queries
+        )
+        dists = np.asarray(dists)
+        out_ids = np.asarray(out_ids, dtype=np.int64)
+        if k_eff < k:
+            pad = ((0, 0), (0, k - k_eff))
+            dists = np.pad(dists, pad, constant_values=np.inf)
+            out_ids = np.pad(out_ids, pad, constant_values=-1)
+        return dists, out_ids
+
+    def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if self.ntotal == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+        query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
+        vecs, ids, valid, _ = self._staged()
+        dists, out_ids = ranked_program(vecs.shape[0], self.dim)(vecs, ids, valid, query)
+        n = self.ntotal
+        return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
+
+    # -- serialization -------------------------------------------------------
+
+    def state(self) -> tuple[dict[str, Any], dict[str, np.ndarray]]:
+        params = {"dim": self.dim}
+        arrays = {"vectors": self._vectors, "ids": self._ids}
+        return params, arrays
+
+    @classmethod
+    def from_state(cls, params: dict[str, Any], arrays: dict[str, np.ndarray]) -> "FlatIndex":
+        index = cls(dim=int(params["dim"]))
+        if arrays["vectors"].size:
+            index.add(arrays["vectors"], arrays["ids"])
+        return index

@@ -1,0 +1,184 @@
+"""Fused squared-L2 score + top-k selection Pallas TPU kernel.
+
+The hot search kernel (SURVEY.md §7 step 3): for each database tile, one
+MXU matmul produces a (B_tile, N_tile) score block in VMEM and the running
+per-query top-k is updated in place — the full (B, N) score matrix never
+exists in HBM. For a 1M x 768 database that avoids writing/re-reading
+~0.5 GB of scores per 128-query batch; HBM traffic is one streaming pass
+over the database plus a (B, k) result.
+
+Layout:
+  grid = (B/TB, N/TN); the N axis is sequential ("arbitrary") so VMEM
+  scratch (best distances + ids per query) carries across database tiles;
+  the B axis is parallel. Tile j of the database is DMA'd HBM->VMEM by the
+  pallas pipeline (auto double-buffered).
+
+Selection: per tile the scratch (TB, K) is concatenated with the tile's
+(TB, TN) scores and the k smallest are re-extracted by k rounds of
+argmin+mask — k*(K+TN) VPU work, negligible next to the TB*TN*D MXU work.
+Tie-breaking matches the contract (lowest id on equal distance): argmin
+takes the first minimum, scratch entries (earlier tiles = lower ids) sit
+before tile entries, and tile rows are stored in ascending-id order.
+
+Exactness: validated against the XLA reference path (ops/topk.py) and a
+NumPy oracle in tests/test_topk_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
+                  best_d, best_i, *, k_pad: int):
+    n_idx = pl.program_id(1)
+
+    @pl.when(n_idx == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d[:], jnp.inf)
+        best_i[:] = jnp.full_like(best_i[:], jnp.iinfo(jnp.int32).max)
+
+    q = q_ref[:]                       # (TB, D)
+    x = db_ref[:]                      # (TN, D)
+    ip = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                  # (TB, TN) on the MXU
+    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+    tile_ids = ids_ref[:]              # (1, TN)
+    dist = q_sq + norms_ref[:] - 2.0 * ip
+    dist = jnp.maximum(dist, 0.0)
+    dist = jnp.where(tile_ids >= 0, dist, jnp.inf)  # mask padding rows
+
+    cand_d = jnp.concatenate([best_d[:], dist], axis=1)          # (TB, K+TN)
+    cand_i = jnp.concatenate(
+        [best_i[:], jnp.broadcast_to(tile_ids, dist.shape)], axis=1
+    )
+
+    tb, width = cand_d.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, width), 1)
+
+    def extract_min(t, remaining):
+        m = jnp.min(remaining, axis=1, keepdims=True)            # (TB, 1)
+        am = jnp.argmin(remaining, axis=1)                       # first (lowest-id) min
+        hit = col == am[:, None]
+        picked_id = jnp.sum(jnp.where(hit, cand_i, 0), axis=1, keepdims=True)
+        best_d[:, pl.ds(t, 1)] = m
+        best_i[:, pl.ds(t, 1)] = picked_id
+        return jnp.where(hit, jnp.inf, remaining)
+
+    jax.lax.fori_loop(0, k_pad, extract_min, cand_d)
+
+    out_d_ref[:] = best_d[:]
+    out_i_ref[:] = best_i[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_call(n: int, dim: int, b: int, k_pad: int, tile_b: int, tile_n: int):
+    grid = (b // tile_b, n // tile_n)
+    kernel = functools.partial(_fused_kernel, k_pad=k_pad)
+    # Off-TPU (CPU CI) the Mosaic kernel runs in interpreter mode.
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, k_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_b, k_pad), jnp.float32),
+            pltpu.VMEM((tile_b, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * dim,
+            bytes_accessed=n * dim * 4 + b * dim * 4 + b * k_pad * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def fused_topk(
+    db: jax.Array,
+    ids: jax.Array,
+    sq_norms: jax.Array,
+    queries: jax.Array,
+    k: int,
+    *,
+    tile_b: int = 128,
+    tile_n: int = 1024,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact batched top-k via the fused kernel.
+
+    db: (N, D) float32 rows ascending by id; ids: (N,) int32 with -1 for
+    padding rows; sq_norms: (N,) float32 per-row ||x||^2; queries: (B, D).
+    Returns ascending (distances (B, k), ids (B, k)); empty slots (inf, -1).
+    N must be a multiple of tile_n (callers pad); B is padded here.
+    """
+    n, dim = db.shape
+    b = queries.shape[0]
+    if n % tile_n != 0:
+        raise ValueError(f"db rows ({n}) must be a multiple of tile_n ({tile_n})")
+    k_pad = _round_up(max(k, 1), LANE)
+    if k_pad > tile_n:
+        raise ValueError(f"k ({k}) too large for tile_n ({tile_n})")
+
+    tb = min(tile_b, _round_up(b, 8))
+    b_pad = _round_up(b, tb)
+    if b_pad != b:
+        queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
+
+    out_d, out_i = _fused_call(n, dim, b_pad, k_pad, tb, tile_n)(
+        queries,
+        db,
+        sq_norms.reshape(1, n),
+        ids.reshape(1, n).astype(jnp.int32),
+    )
+    out_d = out_d[:b, :k]
+    out_i = out_i[:b, :k]
+    return out_d, jnp.where(jnp.isinf(out_d), -1, out_i)
+
+
+def fused_topk_numpy(
+    db: np.ndarray, ids: np.ndarray, queries: np.ndarray, k: int, **kw
+) -> tuple[np.ndarray, np.ndarray]:
+    """Convenience wrapper: pad + stage numpy inputs and run the kernel."""
+    n, dim = db.shape
+    tile_n = kw.pop("tile_n", 1024)
+    n_pad = _round_up(max(n, tile_n), tile_n)
+    db_p = np.zeros((n_pad, dim), np.float32)
+    db_p[:n] = db
+    ids_p = np.full((n_pad,), -1, np.int32)
+    ids_p[:n] = ids
+    sq = np.einsum("nd,nd->n", db_p, db_p).astype(np.float32)
+    d, i = fused_topk(
+        jnp.asarray(db_p), jnp.asarray(ids_p), jnp.asarray(sq),
+        jnp.asarray(queries, dtype=jnp.float32), k, tile_n=tile_n, **kw
+    )
+    return np.asarray(d), np.asarray(i, dtype=np.int64)

@@ -1,0 +1,113 @@
+"""Versioned binary index serialization — the `.memo` file successor.
+
+Replaces FAISS's opaque `read_index`/`write_index` binary format
+(/root/reference/memo_cli.py:255, :361, :448) with a simple, versioned,
+sharding-aware container:
+
+    magic "TPUVDB01" | u32 header_len | JSON header | raw array payloads
+
+The JSON header records the index kind, its scalar params, and a manifest
+of named arrays (dtype, shape, byte offsets), so any index family can
+round-trip through the same container and future formats stay readable.
+Arrays are raw little-endian buffers, loadable with zero copies via
+np.frombuffer / memory mapping.
+
+Recovery contract preserved: a missing or unreadable index file yields a
+fresh empty index silently (reference memo_cli.py:251-257; SURVEY.md §2.5
+#10) — the YAML record store is the source of truth and `reindex` is the
+recovery path.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ..constants import DIM, INDEX_MAGIC
+from ..models import registry
+
+FORMAT_VERSION = 1
+
+
+def write_index(index: Any, path: Path) -> None:
+    params, arrays = index.state()
+    manifest = []
+    offset = 0
+    payloads = []
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        data = arr.tobytes()
+        manifest.append(
+            {
+                "name": name,
+                "dtype": str(arr.dtype),
+                "shape": list(arr.shape),
+                "offset": offset,
+                "nbytes": len(data),
+            }
+        )
+        payloads.append(data)
+        offset += len(data)
+
+    header = json.dumps(
+        {
+            "version": FORMAT_VERSION,
+            "kind": index.kind,
+            "params": params,
+            "arrays": manifest,
+        }
+    ).encode("utf-8")
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp")
+    with tmp.open("wb") as fh:
+        fh.write(INDEX_MAGIC)
+        fh.write(struct.pack("<I", len(header)))
+        fh.write(header)
+        for data in payloads:
+            fh.write(data)
+    tmp.replace(path)  # atomic publish — fixes SURVEY.md §2.5 #14 for the index file
+
+
+def read_index(path: Path) -> Any:
+    """Deserialize an index; raises on malformed input (callers decide recovery)."""
+    registry.builtin_loader()
+    raw = path.read_bytes()
+    if raw[: len(INDEX_MAGIC)] != INDEX_MAGIC:
+        raise ValueError("not a TPUVDB index file")
+    (header_len,) = struct.unpack_from("<I", raw, len(INDEX_MAGIC))
+    header_start = len(INDEX_MAGIC) + 4
+    header = json.loads(raw[header_start : header_start + header_len].decode("utf-8"))
+    if header["version"] > FORMAT_VERSION:
+        raise ValueError(f"unsupported index format version {header['version']}")
+
+    body_start = header_start + header_len
+    arrays: dict[str, np.ndarray] = {}
+    for entry in header["arrays"]:
+        start = body_start + entry["offset"]
+        buf = raw[start : start + entry["nbytes"]]
+        arrays[entry["name"]] = np.frombuffer(buf, dtype=np.dtype(entry["dtype"])).reshape(
+            entry["shape"]
+        )
+
+    cls = registry.resolve(header["kind"])
+    return cls.from_state(header["params"], arrays)
+
+
+def load_index_or_fresh(path: Path, dim: int = DIM, verbose_log=None) -> Any:
+    """Load an index, silently substituting a fresh empty Flat index when the
+    file is missing or unreadable (reference recovery semantics)."""
+    from ..models.flat import FlatIndex
+
+    if not path.exists():
+        return FlatIndex(dim=dim)
+    try:
+        return read_index(path)
+    except Exception:
+        if verbose_log is not None:
+            verbose_log(f"Index file '{path}' unreadable; starting fresh (reindex to rebuild)")
+        return FlatIndex(dim=dim)

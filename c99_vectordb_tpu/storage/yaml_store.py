@@ -1,0 +1,152 @@
+"""YAML record store — the human-readable source of truth.
+
+The record database is a multi-document YAML stream; each document is a
+mapping with a unique non-negative integer `id`, a string `body`, and an
+optional `metadata` mapping. The store densifies records into parallel
+arrays of length max_id+1 (gaps become ""-body / None-metadata fillers)
+and writes back in a fixed canonical shape.
+
+Behavior contract (reference /root/reference/memo_cli.py:66-128):
+  - load validates types, rejects duplicate ids, densifies by max id
+  - canonical dump: explicit `---` document starts, key order
+    (id, metadata, body), `metadata: {}` when absent, body emitted as a
+    literal block scalar, unicode passed through
+The index is always derivable from this file (`reindex`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Iterator
+
+import yaml
+
+from ..utils.text import is_blank_body, is_deleted_record
+
+
+class _BlockStr(str):
+    """Marker type dumped as a YAML literal block scalar (`|`)."""
+
+
+def _represent_block_str(dumper: yaml.Dumper, value: "_BlockStr") -> yaml.ScalarNode:
+    return dumper.represent_scalar("tag:yaml.org,2002:str", str(value), style="|")
+
+
+yaml.SafeDumper.add_representer(_BlockStr, _represent_block_str)
+
+
+def block_str(value: str) -> str:
+    """Wrap a string so SafeDumper emits it as a literal block scalar."""
+    return _BlockStr(value)
+
+
+@dataclass
+class RecordStore:
+    """Densified in-memory view of the record DB.
+
+    bodies[i] / metas[i] are record id i's body and metadata; gap fillers
+    are "" / None and are invisible to recall and purged by compact().
+    """
+
+    bodies: list[str] = field(default_factory=list)
+    metas: list[dict[str, Any] | None] = field(default_factory=list)
+
+    def __len__(self) -> int:
+        return len(self.bodies)
+
+    def __iter__(self) -> Iterator[tuple[int, str, dict[str, Any] | None]]:
+        for i, body in enumerate(self.bodies):
+            yield i, body, self.metas[i] if i < len(self.metas) else None
+
+    # -- loading ---------------------------------------------------------
+
+    @classmethod
+    def load(cls, path: Path) -> "RecordStore":
+        """Parse and densify the record DB; raises ValueError on bad shape."""
+        if not path.exists():
+            return cls()
+        docs = [d for d in yaml.safe_load_all(path.read_text(encoding="utf-8")) if d is not None]
+        if not docs:
+            return cls()
+
+        seen: set[int] = set()
+        records: list[tuple[int, str, dict[str, Any] | None]] = []
+        for doc in docs:
+            if not isinstance(doc, dict):
+                raise ValueError("database YAML entries must be mappings")
+            if "id" not in doc or "body" not in doc:
+                raise ValueError("database YAML entries require 'id' and 'body'")
+            rid, body, meta = doc["id"], doc["body"], doc.get("metadata")
+            if not isinstance(rid, int) or isinstance(rid, bool) or rid < 0:
+                raise ValueError("database YAML entry 'id' must be a non-negative integer")
+            if rid in seen:
+                raise ValueError(f"database YAML has duplicate id {rid}")
+            if not isinstance(body, str):
+                raise ValueError(f"database YAML entry body for id {rid} must be a string")
+            if meta is not None and not isinstance(meta, dict):
+                raise ValueError(f"database YAML entry metadata for id {rid} must be a mapping")
+            seen.add(rid)
+            records.append((rid, body, meta))
+
+        size = max(rid for rid, _, _ in records) + 1
+        store = cls(bodies=[""] * size, metas=[None] * size)
+        for rid, body, meta in records:
+            store.bodies[rid] = body
+            store.metas[rid] = meta
+        return store
+
+    # -- saving ----------------------------------------------------------
+
+    def dump(self) -> str:
+        """Serialize to the canonical multi-document YAML shape."""
+        docs: list[dict[str, Any]] = []
+        for rid, body, meta in self:
+            docs.append(
+                {
+                    "id": rid,
+                    "metadata": meta if meta is not None else {},
+                    "body": block_str(body),
+                }
+            )
+        return yaml.safe_dump_all(
+            docs,
+            explicit_start=True,
+            sort_keys=False,
+            allow_unicode=True,
+        )
+
+    def save(self, path: Path) -> None:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(self.dump(), encoding="utf-8")
+
+    # -- mutation --------------------------------------------------------
+
+    def meta_at(self, rid: int) -> dict[str, Any] | None:
+        return self.metas[rid] if 0 <= rid < len(self.metas) else None
+
+    def append(self, body: str, meta: dict[str, Any] | None) -> int:
+        rid = len(self.bodies)
+        self.bodies.append(body)
+        self.metas.append(meta)
+        return rid
+
+    def overwrite(self, rid: int, body: str, meta: dict[str, Any] | None) -> None:
+        self.bodies[rid] = body
+        self.metas[rid] = meta
+
+    def compact(self) -> tuple["RecordStore", int]:
+        """Drop blank/deleted records and RE-SEQUENCE ids (reindex semantics).
+
+        Returns (compacted_store, dropped_count). Matches the reference's
+        reindex-time compaction (memo_cli.py:343-353; SURVEY.md §2.5 #3/#4):
+        ids are only stable until the next reindex.
+        """
+        out = RecordStore()
+        dropped = 0
+        for _, body, meta in self:
+            if is_blank_body(body) or is_deleted_record(meta, body):
+                dropped += 1
+                continue
+            out.append(body, meta)
+        return out, dropped

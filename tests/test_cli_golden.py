@@ -1,0 +1,310 @@
+"""Golden CLI transcripts: drive the memo-compatible CLI end-to-end through
+the §2.4 contract (SURVEY.md) and assert exact stdout/stderr separation."""
+
+import numpy as np
+import pytest
+import yaml
+
+from c99_vectordb_tpu.cli import main
+
+
+@pytest.fixture
+def run(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+
+    def invoke(*args):
+        rc = main(["memo", *args])
+        captured = capsys.readouterr()
+        return rc, captured.out, captured.err
+
+    return invoke
+
+
+def write_input(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+SAVE_INPUT = """\
+---
+metadata:
+  source: user
+  priority: 2
+body: I prefer tea over coffee
+---
+metadata:
+  source: agent
+  priority: 5
+  tags: [health]
+body: |
+  User mentioned a preference for
+  morning workouts
+---
+metadata: {source: user, priority: 1}
+body: Remember to file taxes in April
+"""
+
+
+class TestHelp:
+    def test_no_args_shows_help(self, run):
+        rc, out, err = run()
+        assert rc == 0
+        assert out.startswith("Usage:\n  memo --help\n")
+        assert "  reindex             Rebuild <base>.memo from <base>.yaml (full regenerate)" in out
+        assert err == ""
+
+    def test_help_flag(self, run):
+        rc, out, _ = run("--help")
+        assert rc == 0 and "Usage:" in out
+
+    def test_missing_f(self, run):
+        rc, out, err = run("recall", "hello")
+        assert rc == 1
+        assert err == "Error: -f <base> is required\n"
+        assert "Usage:" in out  # help printed to stdout after the error
+
+    def test_unknown_command(self, run):
+        rc, out, err = run("-f", "db", "frobnicate")
+        assert rc == 1
+        assert err == "Error: unknown command 'frobnicate'\n"
+        assert "Usage:" in out
+
+
+class TestSaveRecall:
+    def test_save_prints_memorized_lines(self, run, tmp_path):
+        path = write_input(tmp_path, "in.yaml", SAVE_INPUT)
+        rc, out, err = run("-f", "db", "save", path)
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0] == "Memorized: 'I prefer tea over coffee' (ID: 0)"
+        # multiline body: the Memorized line spans the body's lines verbatim
+        assert lines[1] == "Memorized: 'User mentioned a preference for"
+        assert lines[2] == "morning workouts"
+        assert lines[3] == "' (ID: 1)"
+        assert lines[4] == "Memorized: 'Remember to file taxes in April' (ID: 2)"
+        assert (tmp_path / "db.yaml").exists()
+        assert (tmp_path / "db.memo").exists()
+        assert err == ""
+
+    def test_recall_text_format(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, err = run("-f", "db", "recall", "-k", "1", "tea or coffee preference")
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0] == "Top 1 results:"
+        assert lines[1].startswith("  [0] Score: ")
+        assert lines[1].endswith(" |")
+        assert lines[2] == "      I prefer tea over coffee"
+        assert len(lines) == 3
+
+    def test_recall_multiline_body_indent(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run("-f", "db", "recall", "-k", "1", "morning workouts preference")
+        lines = out.splitlines()
+        assert lines[1].startswith("  [1] Score: ")
+        assert lines[2] == "      User mentioned a preference for"
+        assert lines[3] == "      morning workouts"
+
+    def test_recall_empty_db(self, run):
+        rc, out, err = run("-f", "db", "recall", "anything")
+        assert rc == 0
+        assert out == "Top 2 results:\n"
+        assert err == ""
+
+    def test_recall_yaml_mode(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run("-f", "db", "recall", "--yaml", "-k", "2", "tea coffee")
+        assert rc == 0
+        parsed = yaml.safe_load(out)
+        assert len(parsed["results"]) == 2
+        first = parsed["results"][0]
+        assert set(first) == {"id", "score", "body"}
+        assert first["id"] == 0
+        assert isinstance(first["score"], float)
+
+    def test_recall_yaml_empty_db(self, run):
+        rc, out, _ = run("-f", "db", "recall", "--yaml", "q")
+        assert rc == 0
+        assert out == "results: []\n"
+
+    def test_recall_filter_post_filters(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run(
+            "-f", "db", "recall", "-k", "5", "--filter", "{source: agent}", "preference"
+        )
+        lines = out.splitlines()
+        assert lines[0] == "Top 5 results:"
+        # Only the one agent-sourced record survives the post-filter
+        assert sum(1 for ln in lines if ln.startswith("  [")) == 1
+        assert lines[1].startswith("  [1] ")
+
+    def test_recall_unknown_flags_join_query(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run("-f", "db", "recall", "--bogus", "tea")
+        assert rc == 0  # "--bogus tea" is the query
+        assert out.splitlines()[0] == "Top 2 results:"
+
+    def test_recall_empty_query_error(self, run):
+        rc, _, err = run("-f", "db", "recall")
+        assert rc == 1
+        assert err == "Error: recall requires <query>\n"
+
+    def test_recall_k_clamped(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run("-f", "db", "recall", "-k", "1000", "tea")
+        assert out.splitlines()[0] == "Top 100 results:"
+        rc, out, _ = run("-f", "db", "recall", "-k", "-3", "tea")
+        assert out.splitlines()[0] == "Top 1 results:"
+
+    def test_recall_scores_are_squared_l2(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run("-f", "db", "recall", "-k", "1", "I prefer tea over coffee")
+        # identical text => identical embedding => distance 0.0000
+        assert "[0] Score: 0.0000 |" in out
+
+    def test_cross_process_determinism(self, run, tmp_path):
+        """The reference breaks here (salted hash, SURVEY §2.5 #1): vectors
+        saved now must match queries embedded by a different process. We
+        emulate by comparing against a freshly recomputed embedding."""
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        from c99_vectordb_tpu.ops.embed import embed_text
+        from c99_vectordb_tpu.storage.index_io import read_index
+
+        index = read_index(tmp_path / "db.memo")
+        q = embed_text("I prefer tea over coffee")
+        dists, ids = index.search(q[None], k=1)
+        assert ids[0, 0] == 0
+        assert dists[0, 0] < 1e-6
+
+
+class TestOverwrite:
+    def test_overwrite_by_id(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        update = "---\nid: 0\nmetadata: {source: user}\nbody: I now prefer coffee\n"
+        rc, out, _ = run("-f", "db", "save", write_input(tmp_path, "up.yaml", update))
+        assert rc == 0
+        assert out == "Memorized: 'I now prefer coffee' (ID: 0)\n"
+        rc, out, _ = run("-f", "db", "recall", "-k", "1", "I now prefer coffee")
+        assert "[0] Score: 0.0000 |" in out
+
+    def test_overwrite_missing_id_errors(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        bad = "---\nid: 99\nbody: nope\n"
+        rc, _, err = run("-f", "db", "save", write_input(tmp_path, "bad.yaml", bad))
+        assert rc == 1
+        assert err == "Error: override id 99 does not exist\n"
+
+
+class TestAnalyze:
+    def setup_db(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+
+    def test_matched_count_and_table(self, run, tmp_path):
+        self.setup_db(run, tmp_path)
+        rc, out, _ = run("-f", "db", "analyze", "--filter", "{source: user}")
+        lines = out.splitlines()
+        assert lines[0] == "Matched: 2"
+        assert lines[1].split() == ["ID", "priority", "source"]
+        assert lines[2].split() == ["0", "2", "user"]
+        assert lines[3].split() == ["2", "1", "user"]
+
+    def test_fields_projection(self, run, tmp_path):
+        self.setup_db(run, tmp_path)
+        rc, out, _ = run(
+            "-f", "db", "analyze", "--filter", "{}", "--fields", "id,metadata.priority"
+        )
+        lines = out.splitlines()
+        assert lines[0] == "Matched: 3"
+        assert lines[1].split() == ["ID", "metadata.priority"]
+
+    def test_stats_mode(self, run, tmp_path):
+        self.setup_db(run, tmp_path)
+        rc, out, _ = run("-f", "db", "analyze", "--filter", "{}", "--stats", "priority")
+        lines = out.splitlines()
+        assert lines[0] == "Matched: 3"
+        assert lines[1] == "Key: priority"
+        assert "Range (numeric):" in lines
+        assert "  avg: 2.67" in lines
+
+    def test_limit_offset_paging(self, run, tmp_path):
+        self.setup_db(run, tmp_path)
+        rc, out, _ = run(
+            "-f", "db", "analyze", "--filter", "{}", "--limit", "1", "--offset", "1"
+        )
+        lines = out.splitlines()
+        assert lines[0] == "Matched: 3"
+        assert len(lines) == 3  # header + 1 row
+
+    def test_filter_required(self, run):
+        rc, _, err = run("-f", "db", "analyze")
+        assert rc == 1
+        assert err == "Error: analyze requires --filter <expr>\n"
+
+    def test_unknown_option_rejected(self, run):
+        rc, _, err = run("-f", "db", "analyze", "--filter", "{}", "--what", "x")
+        assert rc == 1
+        assert err == "Error: unknown analyze option '--what'\n"
+
+    def test_validation_messages(self, run, tmp_path):
+        self.setup_db(run, tmp_path)
+        rc, _, err = run("-f", "db", "analyze", "--filter", "{}", "--limit", "0")
+        assert err == "Error: --limit must be >= 1\n"
+        rc, _, err = run("-f", "db", "analyze", "--filter", "{}", "--offset", "-1")
+        assert err == "Error: --offset must be >= 0\n"
+
+    def test_no_metadata_records_never_match(self, run, tmp_path):
+        nometa = "---\nbody: bare note without metadata\n"
+        run("-f", "db2", "save", write_input(tmp_path, "nm.yaml", nometa))
+        rc, out, _ = run("-f", "db2", "analyze", "--filter", "{}")
+        assert out.splitlines()[0] == "Matched: 0"
+
+
+class TestCleanReindex:
+    def test_clean_messages(self, run, tmp_path):
+        idx, yml = tmp_path / "db.memo", tmp_path / "db.yaml"
+        rc, out, _ = run("-f", "db", "clean")
+        assert rc == 0
+        assert out == f"Database already empty ({idx}, {yml})\n"
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run("-f", "db", "clean")
+        assert out == f"Cleared memory database ({idx}, {yml})\n"
+        assert not idx.exists() and not yml.exists()
+
+    def test_reindex_output_and_compaction(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        # Soft-delete record 1 via metadata
+        update = "---\nid: 1\nmetadata: {deleted: true}\nbody: tombstone\n"
+        run("-f", "db", "save", write_input(tmp_path, "del.yaml", update))
+        rc, out, _ = run("-f", "db", "reindex")
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0] == "Rebuilt index from db.yaml"
+        assert lines[1] == "Wrote index: db.memo"
+        assert lines[2] == "Compacted: dropped 1 blank/deleted entries"
+        # ids re-sequenced: remaining records are 0..1
+        rc, out, _ = run("-f", "db", "analyze", "--filter", "{}", "--fields", "id")
+        assert out.splitlines()[0] == "Matched: 2"
+
+    def test_reindex_recovers_corrupt_index(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        (tmp_path / "db.memo").write_bytes(b"corrupted!")
+        rc, out, _ = run("-f", "db", "reindex")
+        assert rc == 0
+        rc, out, _ = run("-f", "db", "recall", "-k", "1", "tea coffee")
+        assert "  [0] Score: " in out
+
+    def test_clean_extra_args_rejected(self, run):
+        rc, _, err = run("-f", "db", "clean", "extra")
+        assert err == "Error: clean does not accept extra arguments\n"
+        rc, _, err = run("-f", "db", "reindex", "extra")
+        assert err == "Error: reindex does not accept extra arguments\n"
+
+
+class TestVerbose:
+    def test_verbose_goes_to_stderr_only(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, err = run("-f", "db", "-v", "reindex")
+        assert rc == 0
+        assert "Rebuilt index with 3 vectors (skipped 0 blank records)" in err
+        assert "Rebuilt index with" not in out

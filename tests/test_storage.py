@@ -1,0 +1,124 @@
+"""Storage layer: path resolution, YAML canonicalization, lifecycle."""
+
+import textwrap
+
+import pytest
+
+from c99_vectordb_tpu.storage.paths import db_paths
+from c99_vectordb_tpu.storage.yaml_store import RecordStore
+from c99_vectordb_tpu.utils.text import is_blank_body, is_deleted_record
+
+
+class TestPaths:
+    def test_plain_basename(self, tmp_path):
+        idx, yml = db_paths("notes", str(tmp_path))
+        assert idx == tmp_path / "notes.memo"
+        assert yml == tmp_path / "notes.yaml"
+
+    def test_absolute(self, tmp_path):
+        idx, yml = db_paths(str(tmp_path / "db"), "/elsewhere")
+        assert idx == tmp_path / "db.memo"
+        assert yml == tmp_path / "db.yaml"
+
+    def test_relative_subdir(self, tmp_path):
+        idx, yml = db_paths("sub/dir/notes", str(tmp_path))
+        assert idx == tmp_path / "sub" / "dir" / "notes.memo"
+
+    def test_dotted_basename_not_mangled(self, tmp_path):
+        # Deliberate fix over reference quirk SURVEY.md §2.5 #13
+        idx, yml = db_paths("my.db.v2", str(tmp_path))
+        assert idx.name == "my.db.v2.memo"
+        assert yml.name == "my.db.v2.yaml"
+
+
+class TestRecordStore:
+    def test_missing_file_is_empty(self, tmp_path):
+        store = RecordStore.load(tmp_path / "nope.yaml")
+        assert len(store) == 0
+
+    def test_round_trip_canonical_shape(self, tmp_path):
+        path = tmp_path / "db.yaml"
+        store = RecordStore()
+        store.append("hello world", {"source": "user"})
+        store.append("second note", None)
+        store.save(path)
+        text = path.read_text()
+        # canonical: --- starts, key order id/metadata/body, literal block body
+        assert text.startswith("---\n")
+        assert "id: 0\n" in text and "id: 1\n" in text
+        assert "metadata:\n  source: user" in text or "metadata: {source: user}" in text
+        assert "metadata: {}" in text  # None metadata dumps as {}
+        assert "body: |" in text
+        reloaded = RecordStore.load(path)
+        assert reloaded.bodies == ["hello world", "second note"]
+        assert reloaded.metas == [{"source": "user"}, {}]  # {} round-trips as {}
+
+    def test_sparse_ids_densify(self, tmp_path):
+        path = tmp_path / "db.yaml"
+        path.write_text(
+            textwrap.dedent(
+                """\
+                ---
+                id: 3
+                body: gap record
+                """
+            )
+        )
+        store = RecordStore.load(path)
+        assert len(store) == 4
+        assert store.bodies[:3] == ["", "", ""]
+        assert store.bodies[3] == "gap record"
+        assert store.metas[:3] == [None, None, None]
+
+    def test_duplicate_id_rejected(self, tmp_path):
+        path = tmp_path / "db.yaml"
+        path.write_text("---\nid: 0\nbody: a\n---\nid: 0\nbody: b\n")
+        with pytest.raises(ValueError, match="duplicate id 0"):
+            RecordStore.load(path)
+
+    def test_bad_shapes_rejected(self, tmp_path):
+        path = tmp_path / "db.yaml"
+        path.write_text("---\n- not\n- a\n- map\n")
+        with pytest.raises(ValueError, match="mappings"):
+            RecordStore.load(path)
+        path.write_text("---\nid: -1\nbody: x\n")
+        with pytest.raises(ValueError, match="non-negative"):
+            RecordStore.load(path)
+        path.write_text("---\nid: 0\nbody: 42\n")
+        with pytest.raises(ValueError, match="must be a string"):
+            RecordStore.load(path)
+
+    def test_compact_drops_and_resequences(self):
+        store = RecordStore(
+            bodies=["keep one", "", "deleted: true", "keep two"],
+            metas=[None, None, None, {"deleted": 1}],
+        )
+        compacted, dropped = store.compact()
+        assert dropped == 3  # blank, deleted-body, deleted-metadata
+        assert compacted.bodies == ["keep one"]
+
+    def test_multiline_body_round_trip(self, tmp_path):
+        path = tmp_path / "db.yaml"
+        store = RecordStore()
+        store.append("line one\nline two\n  indented", {"k": [1, 2]})
+        store.save(path)
+        assert RecordStore.load(path).bodies[0] == "line one\nline two\n  indented"
+
+
+class TestLifecycle:
+    def test_blank_body(self):
+        assert is_blank_body(None)
+        assert is_blank_body("")
+        assert is_blank_body("  \n\t ")
+        assert not is_blank_body("x")
+
+    def test_deleted_via_metadata(self):
+        assert is_deleted_record({"deleted": True}, "body")
+        assert is_deleted_record({"deleted": 1}, "body")
+        assert not is_deleted_record({"deleted": 0}, "body")
+        assert not is_deleted_record(None, "body")
+
+    def test_deleted_via_yaml_body(self):
+        assert is_deleted_record(None, "deleted: true")
+        assert not is_deleted_record(None, "deleted: false")
+        assert not is_deleted_record(None, "just text mentioning deleted")

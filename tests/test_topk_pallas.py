@@ -1,0 +1,73 @@
+"""Fused Pallas score+top-k kernel vs the XLA reference path and a NumPy
+oracle. Runs in interpreter mode on CPU; compiled on real TPU."""
+
+import numpy as np
+import pytest
+
+from c99_vectordb_tpu.ops.topk_pallas import fused_topk_numpy
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def oracle(db, ids, queries, k):
+    d = ((queries[:, None, :].astype(np.float64) - db[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    out_d = np.empty((queries.shape[0], k), np.float64)
+    out_i = np.empty((queries.shape[0], k), np.int64)
+    for q in range(queries.shape[0]):
+        order = np.lexsort((ids, d[q]))[:k]
+        out_d[q] = d[q][order]
+        out_i[q] = ids[order]
+    return out_d, out_i
+
+
+class TestFusedTopK:
+    def test_single_tile(self, rng):
+        db = rng.standard_normal((700, 128)).astype(np.float32)
+        ids = np.arange(700)
+        q = rng.standard_normal((3, 128)).astype(np.float32)
+        d, i = fused_topk_numpy(db, ids, q, k=5, tile_n=1024)
+        want_d, want_i = oracle(db, ids, q, 5)
+        true_d = ((q[:, None, :] - db[i]) ** 2).sum(-1)
+        np.testing.assert_allclose(true_d, want_d, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(d, want_d, rtol=1e-3, atol=1e-3)
+
+    def test_multi_tile_carry(self, rng):
+        # 4 database tiles; best neighbors scattered across tiles
+        db = rng.standard_normal((4096, 64)).astype(np.float32)
+        ids = np.arange(4096)
+        q = rng.standard_normal((2, 64)).astype(np.float32)
+        d, i = fused_topk_numpy(db, ids, q, k=10, tile_n=1024)
+        want_d, want_i = oracle(db, ids, q, 10)
+        true_d = ((q[:, None, :] - db[i]) ** 2).sum(-1)
+        np.testing.assert_allclose(true_d, want_d, rtol=1e-3, atol=1e-3)
+
+    def test_duplicate_ties_lowest_id(self, rng):
+        base = rng.standard_normal((32,)).astype(np.float32)
+        db = np.tile(base, (2048, 1))  # every row identical
+        ids = np.arange(2048)
+        d, i = fused_topk_numpy(db, ids, base[None, :], k=4, tile_n=1024)
+        assert i[0].tolist() == [0, 1, 2, 3]
+        np.testing.assert_allclose(d[0], 0.0, atol=1e-5)
+
+    def test_padding_rows_excluded(self, rng):
+        # n=5 rows padded up to one tile of 1024: padding must never win
+        db = rng.standard_normal((5, 32)).astype(np.float32) + 10.0  # far from origin
+        ids = np.arange(5)
+        q = np.zeros((1, 32), np.float32)
+        d, i = fused_topk_numpy(db, ids, q, k=8, tile_n=1024)
+        assert set(i[0, :5].tolist()) == set(range(5))
+        assert (i[0, 5:] == -1).all()
+        assert np.isinf(d[0, 5:]).all()
+
+    def test_batch_padding(self, rng):
+        # B=3 padded to the 8-row sublane multiple
+        db = rng.standard_normal((1024, 64)).astype(np.float32)
+        ids = np.arange(1024)
+        q = rng.standard_normal((3, 64)).astype(np.float32)
+        d, i = fused_topk_numpy(db, ids, q, k=3, tile_n=1024)
+        assert d.shape == (3, 3) and i.shape == (3, 3)
+        want_d, _ = oracle(db, ids, q, 3)
+        np.testing.assert_allclose(d, want_d, rtol=1e-3, atol=1e-3)
