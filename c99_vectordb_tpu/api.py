@@ -1,0 +1,157 @@
+"""Embedded Python API — the library-level equivalent of the CLI verbs.
+
+The reference exposes only a CLI; this framework additionally offers a
+programmatic surface with the same two-file persistence model and the
+same semantics (ids, filters, score ordering), so applications can embed
+the store without shelling out:
+
+    from c99_vectordb_tpu.api import MemoDB
+
+    db = MemoDB("notes")                       # notes.yaml + notes.memo
+    db.save("I prefer tea over coffee", metadata={"source": "user"})
+    for hit in db.recall("tea preference", k=2):
+        print(hit.doc_id, hit.score, hit.body)
+    db.reindex()
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import numpy as np
+
+from .constants import DIM
+from .ops.embed import embed_text, embed_texts
+from .storage.index_io import load_index_or_fresh, write_index
+from .storage.paths import db_paths
+from .storage.yaml_store import RecordStore
+from .utils.filters import matches, parse_filter
+from .utils.text import is_blank_body
+
+
+@dataclass
+class Hit:
+    doc_id: int
+    score: float
+    body: str
+    metadata: dict[str, Any] | None
+
+
+class MemoDB:
+    """A YAML-backed semantic memory database with a TPU vector index."""
+
+    def __init__(self, base: str, cwd: str | None = None):
+        self.index_path, self.records_path = db_paths(base, cwd or os.getcwd())
+
+    # -- internals ---------------------------------------------------------
+
+    def _store(self) -> RecordStore:
+        return RecordStore.load(self.records_path)
+
+    def _index(self):
+        from .commands import make_index
+
+        return load_index_or_fresh(self.index_path, dim=DIM, fresh_factory=make_index)
+
+    def _rebuild(self, store: RecordStore):
+        from .commands import build_index_from_store
+
+        index = build_index_from_store(store.bodies, verbose=False)
+        write_index(index, self.index_path)
+        store.save(self.records_path)
+        return index
+
+    # -- verbs ---------------------------------------------------------------
+
+    def save(
+        self,
+        body: str,
+        metadata: dict[str, Any] | None = None,
+        doc_id: int | None = None,
+    ) -> int:
+        """Insert a record (or overwrite by explicit doc_id); returns its id."""
+        store = self._store()
+        index = self._index()
+        if doc_id is not None:
+            existing = set(int(i) for i in index.ids())
+            if doc_id >= len(store) or doc_id not in existing:
+                raise KeyError(f"override id {doc_id} does not exist")
+            store.overwrite(doc_id, body, metadata)
+            self._rebuild(store)
+            return doc_id
+        new_id = store.append(body, metadata)
+        index.add(embed_texts([body]), np.asarray([new_id], dtype=np.int64))
+        write_index(index, self.index_path)
+        store.save(self.records_path)
+        return new_id
+
+    def save_many(self, records: list[dict[str, Any]]) -> list[int]:
+        """Bulk insert: [{body, metadata?}, ...] embedded in one device batch."""
+        store = self._store()
+        index = self._index()
+        ids = [store.append(r["body"], r.get("metadata")) for r in records]
+        vectors = embed_texts([r["body"] for r in records])
+        index.add(vectors, np.asarray(ids, dtype=np.int64))
+        write_index(index, self.index_path)
+        store.save(self.records_path)
+        return ids
+
+    def recall(
+        self, query: str, k: int = 2, filter: str | dict[str, Any] | None = None
+    ) -> list[Hit]:
+        """Ranked semantic recall with optional metadata post-filtering."""
+        store = self._store()
+        index = self._index()
+        if index.ntotal == 0:
+            return []
+        active = (
+            parse_filter(filter) if isinstance(filter, str) else filter
+        )
+        dists, ids = index.ranked_all(embed_text(query))
+        hits: list[Hit] = []
+        for dist, doc_id in zip(dists.tolist(), ids.tolist()):
+            if len(hits) >= k:
+                break
+            if doc_id < 0 or doc_id >= len(store):
+                continue
+            metadata = store.meta_at(doc_id)
+            if active is not None:
+                if not metadata or not matches(metadata, active):
+                    continue
+            body = store.bodies[doc_id] or ""
+            if is_blank_body(body):
+                continue
+            hits.append(Hit(doc_id, float(dist), body, metadata))
+        return hits
+
+    def analyze(self, filter: str | dict[str, Any]) -> Iterator[tuple[int, dict[str, Any]]]:
+        """Metadata-only scan yielding (doc_id, metadata) matches."""
+        active = parse_filter(filter) if isinstance(filter, str) else filter
+        for doc_id, _, metadata in self._store():
+            if metadata and matches(metadata, active):
+                yield doc_id, metadata
+
+    def reindex(self) -> int:
+        """Compact (drop blank/deleted, re-sequence ids) + full rebuild.
+        Returns the number of dropped records."""
+        compacted, dropped = self._store().compact()
+        self._rebuild(compacted)
+        return dropped
+
+    def clean(self) -> bool:
+        """Remove both DB files; True if anything was removed."""
+        removed = False
+        for p in (self.index_path, self.records_path):
+            try:
+                p.unlink()
+                removed = True
+            except FileNotFoundError:
+                pass
+        return removed
+
+    def __len__(self) -> int:
+        return sum(
+            0 if is_blank_body(body) else 1 for _, body, _ in self._store()
+        )

@@ -52,14 +52,43 @@ def _load_store(yaml_path) -> RecordStore:
     return RecordStore.load(yaml_path)
 
 
-def build_index_from_store(bodies: list[str], verbose: bool) -> FlatIndex:
+def make_index():
+    """Build an empty index of the configured family.
+
+    The CLI surface stays contract-identical regardless of family; the
+    family is an engine choice via environment variables:
+      C99VDB_INDEX  = flat (default) | ivf_flat | ivf_pq
+      C99VDB_NLIST / C99VDB_NPROBE / C99VDB_PQ_M tune the IVF variants.
+    """
+    import os
+
+    kind = os.environ.get("C99VDB_INDEX", "flat").strip().lower()
+    nlist = int(os.environ.get("C99VDB_NLIST", "64"))
+    nprobe = int(os.environ.get("C99VDB_NPROBE", "8"))
+    if kind == "flat":
+        return FlatIndex(dim=DIM)
+    if kind == "ivf_flat":
+        from .models.ivf_flat import IVFFlatIndex
+
+        return IVFFlatIndex(dim=DIM, nlist=nlist, nprobe=nprobe)
+    if kind == "ivf_pq":
+        from .models.ivf_pq import IVFPQIndex
+
+        m = int(os.environ.get("C99VDB_PQ_M", "8"))
+        return IVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m)
+    raise ValueError(f"unknown C99VDB_INDEX '{kind}'")
+
+
+def build_index_from_store(bodies: list[str], verbose: bool):
     """Embed every non-blank body in ONE batched device program and build
-    a fresh Flat index (contrast: reference re-embeds in a Python loop,
+    a fresh index (contrast: reference re-embeds in a Python loop,
     memo_cli.py:272-285)."""
     keep_ids = [i for i, body in enumerate(bodies) if not is_blank_body(body or "")]
-    index = FlatIndex(dim=DIM)
+    index = make_index()
     if keep_ids:
         vectors = embed_texts([bodies[i] for i in keep_ids])
+        if hasattr(index, "train") and not getattr(index, "is_trained", True):
+            index.train(vectors)
         index.add(vectors, np.asarray(keep_ids, dtype=np.int64))
     vlog(
         verbose,
@@ -160,7 +189,12 @@ def cmd_save(db_base: str, input_file: str, user_cwd: str, verbose: bool) -> int
     except Exception as e:
         return _fail(f"failed to load database YAML '{yaml_path}': {e}")
 
-    index = load_index_or_fresh(index_path, dim=DIM, verbose_log=lambda m: vlog(verbose, m))
+    index = load_index_or_fresh(
+        index_path,
+        dim=DIM,
+        verbose_log=lambda m: vlog(verbose, m),
+        fresh_factory=make_index,
+    )
     existing_ids = set(int(i) for i in index.ids())
     had_overwrite = False
     appended: list[tuple[int, str]] = []

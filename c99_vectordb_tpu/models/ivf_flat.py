@@ -1,0 +1,217 @@
+"""IVF-Flat index — k-means coarse quantizer + inverted-list scan.
+
+TPU design (SURVEY.md §7 step 6): the coarse quantizer trains on device
+(ops/kmeans.py); inverted lists are stored as dense padded blocks
+(nlist, pad, D) so probing is a pure gather + batched VPU distance, with
+no data-dependent shapes. Search is one jitted program:
+
+  1. score query x centroids on the MXU, take top-nprobe lists
+  2. lax.scan over probe ranks: gather each query's p-th list block,
+     compute squared-L2 against the query, merge into the running top-k
+     (exact (distance, id) lexicographic merge -> lowest-id tie-breaks)
+
+Work is ~B * nprobe * pad * D MACs versus B * N * D for Flat — the
+classic IVF trade: nprobe/nlist of the compute at recall < 1.0.
+
+Raw vectors are retained (the YAML DB is small relative to them and the
+CLI contract's `ranked_all` needs exact full rankings), so recall output
+stays exact while batched `search` takes the IVF fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DIM
+from ..ops.distances import ranked_program, scores_via_matmul
+from ..ops.kmeans import assign_clusters, train_kmeans
+from ..ops.topk import merge_topk
+from .base import next_pow2
+from .registry import register
+
+
+@functools.lru_cache(maxsize=None)
+def _ivf_search_program(nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int):
+    @jax.jit
+    def run(
+        centroids: jax.Array,   # (nlist, D)
+        c_sq: jax.Array,        # (nlist,)
+        list_vecs: jax.Array,   # (nlist, pad, D)
+        list_ids: jax.Array,    # (nlist, pad) int32, -1 padding
+        queries: jax.Array,     # (B, D)
+    ):
+        coarse = scores_via_matmul(queries, centroids, c_sq)      # (B, nlist)
+        _, probes = jax.lax.top_k(-coarse, nprobe)                # (B, nprobe)
+
+        init = (
+            jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+        )
+
+        def probe_step(carry, p):
+            best_d, best_i = carry
+            lists = probes[:, p]                                   # (B,)
+            vecs = list_vecs[lists]                                # (B, pad, D) gather
+            ids = list_ids[lists]                                  # (B, pad)
+            diff = vecs - queries[:, None, :]
+            d = jnp.sum(diff * diff, axis=-1)                      # (B, pad)
+            d = jnp.where(ids >= 0, d, jnp.inf)
+            merged = merge_topk(
+                jnp.concatenate([best_d, d], axis=1),
+                jnp.concatenate([best_i, ids], axis=1),
+                k,
+            )
+            return merged, None
+
+        (best_d, best_i), _ = jax.lax.scan(probe_step, init, jnp.arange(nprobe))
+        return best_d, best_i
+
+    return run
+
+
+@register
+class IVFFlatIndex:
+    kind = "ivf_flat"
+
+    def __init__(self, dim: int = DIM, nlist: int = 64, nprobe: int = 8):
+        self.dim = int(dim)
+        self.nlist = int(nlist)
+        self.nprobe = int(nprobe)
+        self._vectors = np.zeros((0, self.dim), dtype=np.float32)
+        self._ids = np.zeros((0,), dtype=np.int64)
+        self._centroids: np.ndarray | None = None   # (nlist_eff, D)
+        self._assign: np.ndarray | None = None      # (ntotal,) int32
+        self._staged = None
+
+    # -- introspection ------------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return int(self._vectors.shape[0])
+
+    @property
+    def is_trained(self) -> bool:
+        return self._centroids is not None
+
+    def ids(self) -> np.ndarray:
+        return self._ids.copy()
+
+    # -- training / mutation --------------------------------------------------
+
+    def train(self, data: np.ndarray, *, iters: int = 10, seed: int = 0) -> None:
+        data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
+        nlist_eff = min(self.nlist, max(1, data.shape[0]))
+        self._centroids = train_kmeans(data, nlist_eff, iters=iters, seed=seed)
+        if self.ntotal:
+            self._assign = assign_clusters(self._vectors, self._centroids)
+        self._staged = None
+
+    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if not self.is_trained:
+            self.train(vectors)
+        new_assign = assign_clusters(vectors, self._centroids)
+        self._vectors = np.concatenate([self._vectors, vectors], axis=0)
+        self._ids = np.concatenate([self._ids, ids])
+        old_assign = (
+            self._assign
+            if self._assign is not None
+            else np.zeros((0,), np.int32)
+        )
+        self._assign = np.concatenate([old_assign, new_assign])
+        if not np.all(self._ids[:-1] <= self._ids[1:]):
+            order = np.argsort(self._ids, kind="stable")
+            self._vectors = self._vectors[order]
+            self._ids = self._ids[order]
+            self._assign = self._assign[order]
+        self._staged = None
+
+    # -- device staging ---------------------------------------------------------
+
+    def _stage(self):
+        """Bucket rows into dense padded inverted lists on device."""
+        if self._staged is None:
+            nlist_eff = self._centroids.shape[0]
+            counts = np.bincount(self._assign, minlength=nlist_eff)
+            pad = next_pow2(max(int(counts.max(initial=1)), 1))
+            list_vecs = np.zeros((nlist_eff, pad, self.dim), np.float32)
+            list_ids = np.full((nlist_eff, pad), -1, np.int32)
+            cursor = np.zeros((nlist_eff,), np.int64)
+            # rows are in ascending-id order, so each list fills in id order
+            for row, cluster in enumerate(self._assign):
+                slot = cursor[cluster]
+                list_vecs[cluster, slot] = self._vectors[row]
+                list_ids[cluster, slot] = self._ids[row]
+                cursor[cluster] += 1
+            c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
+            self._staged = (
+                jax.device_put(self._centroids.astype(np.float32)),
+                jax.device_put(c_sq.astype(np.float32)),
+                jax.device_put(list_vecs),
+                jax.device_put(list_ids),
+                pad,
+            )
+        return self._staged
+
+    # -- search -------------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, k: int, *, nprobe: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        if self.ntotal == 0 or not self.is_trained:
+            shape = (queries.shape[0], k)
+            return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
+        centroids, c_sq, list_vecs, list_ids, pad = self._stage()
+        nlist_eff = centroids.shape[0]
+        nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
+        program = _ivf_search_program(
+            nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k
+        )
+        dists, out_ids = program(centroids, c_sq, list_vecs, list_ids, queries)
+        return np.asarray(dists), np.asarray(out_ids, dtype=np.int64)
+
+    def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Exact full ranking over retained raw vectors (CLI recall path)."""
+        if self.ntotal == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+        query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
+        cap = next_pow2(max(self.ntotal, 1))
+        vecs = np.zeros((cap, self.dim), np.float32)
+        vecs[: self.ntotal] = self._vectors
+        ids = np.full((cap,), -1, np.int32)
+        ids[: self.ntotal] = self._ids.astype(np.int32)
+        valid = np.zeros((cap,), bool)
+        valid[: self.ntotal] = True
+        dists, out_ids = ranked_program(cap, self.dim)(vecs, ids, valid, query)
+        n = self.ntotal
+        return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
+
+    # -- serialization ----------------------------------------------------------------
+
+    def state(self) -> tuple[dict[str, Any], dict[str, np.ndarray]]:
+        params = {"dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe}
+        arrays = {
+            "vectors": self._vectors,
+            "ids": self._ids,
+            "centroids": self._centroids if self._centroids is not None else np.zeros((0, self.dim), np.float32),
+            "assign": self._assign if self._assign is not None else np.zeros((0,), np.int32),
+        }
+        return params, arrays
+
+    @classmethod
+    def from_state(cls, params: dict[str, Any], arrays: dict[str, np.ndarray]) -> "IVFFlatIndex":
+        index = cls(dim=int(params["dim"]), nlist=int(params["nlist"]), nprobe=int(params["nprobe"]))
+        if arrays["centroids"].size:
+            index._centroids = np.ascontiguousarray(arrays["centroids"], dtype=np.float32)
+        if arrays["vectors"].size:
+            index._vectors = np.ascontiguousarray(arrays["vectors"], dtype=np.float32)
+            index._ids = np.ascontiguousarray(arrays["ids"], dtype=np.int64)
+            index._assign = np.ascontiguousarray(arrays["assign"], dtype=np.int32)
+        return index

@@ -1,0 +1,269 @@
+"""IVF-PQ index — product-quantized codes with ADC lookup-table search.
+
+TPU design (SURVEY.md §7 step 7): vectors are encoded as m uint8 codes of
+per-subspace residual codebooks (256 centroids each), so the database
+lives HBM-resident at m bytes/vector. Search is asymmetric distance
+computation (ADC), one jitted program:
+
+  1. coarse MXU matmul -> top-nprobe lists per query
+  2. per probe rank: the query's residual against that list's centroid is
+     scored against every codebook entry, giving a (m, 256) lookup table
+     per query; distances to all codes in the list are then a gather +
+     sum over subspaces (take_along_axis on the LUT)
+  3. exact lexicographic merge into the running top-k
+
+Distance estimate: d(q, x) ~= sum_j || r_j - codebook_j[code_j] ||^2
+with r = q - coarse_centroid — the standard residual-ADC estimator.
+
+Train/encode reuse the on-device k-means of ops/kmeans.py per subspace.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DIM
+from ..ops.distances import scores_via_matmul
+from ..ops.kmeans import assign_clusters, train_kmeans
+from ..ops.topk import merge_topk
+from .base import next_pow2
+from .registry import register
+
+
+@functools.lru_cache(maxsize=None)
+def _adc_search_program(
+    nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int, k: int
+):
+    dsub = dim // m
+
+    @jax.jit
+    def run(
+        centroids: jax.Array,    # (nlist, D)
+        c_sq: jax.Array,         # (nlist,)
+        codebooks: jax.Array,    # (m, ksub, dsub)
+        list_codes: jax.Array,   # (nlist, pad, m) int32
+        list_ids: jax.Array,     # (nlist, pad) int32
+        queries: jax.Array,      # (B, D)
+    ):
+        coarse = scores_via_matmul(queries, centroids, c_sq)       # (B, nlist)
+        _, probes = jax.lax.top_k(-coarse, nprobe)                 # (B, nprobe)
+
+        init = (
+            jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+        )
+
+        def probe_step(carry, p):
+            best_d, best_i = carry
+            lists = probes[:, p]                                   # (B,)
+            residual = queries - centroids[lists]                  # (B, D)
+            r_sub = residual.reshape(b, m, 1, dsub)
+            # Per-query ADC table: (B, m, ksub)
+            diff = r_sub - codebooks[None]                         # (B, m, ksub, dsub)
+            lut = jnp.sum(diff * diff, axis=-1)
+            codes = list_codes[lists]                              # (B, pad, m)
+            ids = list_ids[lists]                                  # (B, pad)
+            # Gather LUT entries: (B, m, pad) then reduce subspaces.
+            gathered = jnp.take_along_axis(lut, codes.transpose(0, 2, 1), axis=2)
+            d = jnp.sum(gathered, axis=1)                          # (B, pad)
+            d = jnp.where(ids >= 0, d, jnp.inf)
+            merged = merge_topk(
+                jnp.concatenate([best_d, d], axis=1),
+                jnp.concatenate([best_i, ids], axis=1),
+                k,
+            )
+            return merged, None
+
+        (best_d, best_i), _ = jax.lax.scan(probe_step, init, jnp.arange(nprobe))
+        return best_d, best_i
+
+    return run
+
+
+@register
+class IVFPQIndex:
+    kind = "ivf_pq"
+
+    def __init__(
+        self,
+        dim: int = DIM,
+        nlist: int = 64,
+        nprobe: int = 8,
+        m: int = 8,
+        ksub: int = 256,
+    ):
+        if dim % m != 0:
+            raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+        self.dim = int(dim)
+        self.nlist = int(nlist)
+        self.nprobe = int(nprobe)
+        self.m = int(m)
+        self.ksub = int(ksub)
+        self._ids = np.zeros((0,), dtype=np.int64)
+        self._codes = np.zeros((0, self.m), dtype=np.uint8)
+        self._assign: np.ndarray | None = None
+        self._centroids: np.ndarray | None = None
+        self._codebooks: np.ndarray | None = None   # (m, ksub_eff, dsub)
+        self._staged = None
+
+    # -- introspection -------------------------------------------------------
+
+    @property
+    def ntotal(self) -> int:
+        return int(self._ids.shape[0])
+
+    @property
+    def is_trained(self) -> bool:
+        return self._centroids is not None and self._codebooks is not None
+
+    def ids(self) -> np.ndarray:
+        return self._ids.copy()
+
+    @property
+    def code_bytes_per_vector(self) -> int:
+        return self.m
+
+    # -- training --------------------------------------------------------------
+
+    def train(self, data: np.ndarray, *, iters: int = 10, seed: int = 0) -> None:
+        data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
+        n = data.shape[0]
+        nlist_eff = min(self.nlist, max(1, n))
+        self._centroids = train_kmeans(data, nlist_eff, iters=iters, seed=seed)
+        assign = assign_clusters(data, self._centroids)
+        residuals = data - self._centroids[assign]
+        dsub = self.dim // self.m
+        ksub_eff = min(self.ksub, max(1, n))
+        books = np.empty((self.m, ksub_eff, dsub), np.float32)
+        for j in range(self.m):
+            sub = np.ascontiguousarray(residuals[:, j * dsub : (j + 1) * dsub])
+            books[j] = train_kmeans(sub, ksub_eff, iters=iters, seed=seed + 1 + j)
+        self._codebooks = books
+        self._staged = None
+
+    def _encode(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(N, D) -> (assignments (N,), codes (N, m) uint8)."""
+        assign = assign_clusters(data, self._centroids)
+        residuals = data - self._centroids[assign]
+        dsub = self.dim // self.m
+        codes = np.empty((data.shape[0], self.m), np.uint8)
+        for j in range(self.m):
+            sub = np.ascontiguousarray(residuals[:, j * dsub : (j + 1) * dsub])
+            codes[:, j] = assign_clusters(sub, self._codebooks[j]).astype(np.uint8)
+        return assign, codes
+
+    # -- mutation ------------------------------------------------------------------
+
+    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if not self.is_trained:
+            self.train(vectors)
+        assign, codes = self._encode(vectors)
+        old_assign = self._assign if self._assign is not None else np.zeros((0,), np.int32)
+        self._ids = np.concatenate([self._ids, ids])
+        self._codes = np.concatenate([self._codes, codes], axis=0)
+        self._assign = np.concatenate([old_assign, assign])
+        if not np.all(self._ids[:-1] <= self._ids[1:]):
+            order = np.argsort(self._ids, kind="stable")
+            self._ids = self._ids[order]
+            self._codes = self._codes[order]
+            self._assign = self._assign[order]
+        self._staged = None
+
+    # -- device staging ----------------------------------------------------------------
+
+    def _stage(self):
+        if self._staged is None:
+            nlist_eff = self._centroids.shape[0]
+            counts = np.bincount(self._assign, minlength=nlist_eff)
+            pad = next_pow2(max(int(counts.max(initial=1)), 1))
+            list_codes = np.zeros((nlist_eff, pad, self.m), np.int32)
+            list_ids = np.full((nlist_eff, pad), -1, np.int32)
+            cursor = np.zeros((nlist_eff,), np.int64)
+            for row, cluster in enumerate(self._assign):
+                slot = cursor[cluster]
+                list_codes[cluster, slot] = self._codes[row]
+                list_ids[cluster, slot] = self._ids[row]
+                cursor[cluster] += 1
+            c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
+            self._staged = (
+                jax.device_put(self._centroids.astype(np.float32)),
+                jax.device_put(c_sq.astype(np.float32)),
+                jax.device_put(self._codebooks),
+                jax.device_put(list_codes),
+                jax.device_put(list_ids),
+                pad,
+            )
+        return self._staged
+
+    # -- search -----------------------------------------------------------------------
+
+    def search(
+        self, queries: np.ndarray, k: int, *, nprobe: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        if self.ntotal == 0 or not self.is_trained:
+            shape = (queries.shape[0], k)
+            return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
+        centroids, c_sq, codebooks, list_codes, list_ids, pad = self._stage()
+        nlist_eff = centroids.shape[0]
+        nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
+        program = _adc_search_program(
+            nlist_eff, pad, self.dim, self.m, codebooks.shape[1],
+            queries.shape[0], nprobe_eff, k,
+        )
+        dists, out_ids = program(
+            centroids, c_sq, codebooks, list_codes, list_ids, queries
+        )
+        return np.asarray(dists), np.asarray(out_ids, dtype=np.int64)
+
+    def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """ADC ranking of every stored code (probes all lists)."""
+        if self.ntotal == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+        nlist_eff = self._centroids.shape[0]
+        dists, ids = self.search(
+            np.asarray(query, np.float32).reshape(1, self.dim),
+            k=self.ntotal,
+            nprobe=nlist_eff,
+        )
+        return dists[0], ids[0]
+
+    # -- serialization --------------------------------------------------------------------
+
+    def state(self) -> tuple[dict[str, Any], dict[str, np.ndarray]]:
+        params = {
+            "dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe,
+            "m": self.m, "ksub": self.ksub,
+        }
+        empty_books = np.zeros((self.m, 0, self.dim // self.m), np.float32)
+        arrays = {
+            "ids": self._ids,
+            "codes": self._codes,
+            "assign": self._assign if self._assign is not None else np.zeros((0,), np.int32),
+            "centroids": self._centroids if self._centroids is not None else np.zeros((0, self.dim), np.float32),
+            "codebooks": self._codebooks if self._codebooks is not None else empty_books,
+        }
+        return params, arrays
+
+    @classmethod
+    def from_state(cls, params: dict[str, Any], arrays: dict[str, np.ndarray]) -> "IVFPQIndex":
+        index = cls(
+            dim=int(params["dim"]), nlist=int(params["nlist"]),
+            nprobe=int(params["nprobe"]), m=int(params["m"]), ksub=int(params["ksub"]),
+        )
+        if arrays["centroids"].size:
+            index._centroids = np.ascontiguousarray(arrays["centroids"], dtype=np.float32)
+        if arrays["codebooks"].size:
+            index._codebooks = np.ascontiguousarray(arrays["codebooks"], dtype=np.float32)
+        if arrays["ids"].size:
+            index._ids = np.ascontiguousarray(arrays["ids"], dtype=np.int64)
+            index._codes = np.ascontiguousarray(arrays["codes"], dtype=np.uint8)
+            index._assign = np.ascontiguousarray(arrays["assign"], dtype=np.int32)
+        return index

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DIM, NORM_EPSILON
-from ..utils.hashing import token_features
+from ..utils.hashing import batch_token_features
 
 
 def _pow2_at_least(n: int, floor: int = 8) -> int:
@@ -51,13 +51,7 @@ def embed_texts(texts: list[str], dim: int = DIM) -> np.ndarray:
     if not texts:
         return np.zeros((0, dim), dtype=np.float32)
 
-    per_doc = [token_features(t, dim) for t in texts]
-    rows = np.concatenate(
-        [np.full((len(b),), i, dtype=np.int32) for i, (b, _) in enumerate(per_doc)]
-        or [np.zeros((0,), np.int32)]
-    )
-    buckets = np.concatenate([b for b, _ in per_doc])
-    signs = np.concatenate([s for _, s in per_doc])
+    rows, buckets, signs = batch_token_features(texts, dim)
 
     row_cap = _pow2_at_least(len(texts))
     feat_cap = _pow2_at_least(max(len(rows), 1))

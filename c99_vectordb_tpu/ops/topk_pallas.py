@@ -68,20 +68,38 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
 
     tb, width = cand_d.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (tb, width), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (tb, k_pad), 1)
 
-    def extract_min(t, remaining):
+    # k_pad rounds of min-extraction, written via one-hot selects only —
+    # Mosaic supports no dynamic-lane stores and no argmin, so the "first
+    # minimum's position" is itself a min-reduction over masked column ids.
+    def extract_min(t, carry):
+        remaining, acc_d, acc_i = carry
         m = jnp.min(remaining, axis=1, keepdims=True)            # (TB, 1)
-        am = jnp.argmin(remaining, axis=1)                       # first (lowest-id) min
-        hit = col == am[:, None]
+        first = jnp.min(
+            jnp.where(remaining == m, col, width), axis=1, keepdims=True
+        )                                                        # lowest position => lowest id
+        hit = col == first
         picked_id = jnp.sum(jnp.where(hit, cand_i, 0), axis=1, keepdims=True)
-        best_d[:, pl.ds(t, 1)] = m
-        best_i[:, pl.ds(t, 1)] = picked_id
-        return jnp.where(hit, jnp.inf, remaining)
+        sel = out_col == t
+        acc_d = jnp.where(sel, m, acc_d)
+        acc_i = jnp.where(sel, picked_id, acc_i)
+        return jnp.where(hit, jnp.inf, remaining), acc_d, acc_i
 
-    jax.lax.fori_loop(0, k_pad, extract_min, cand_d)
-
-    out_d_ref[:] = best_d[:]
-    out_i_ref[:] = best_i[:]
+    _, new_d, new_i = jax.lax.fori_loop(
+        0,
+        k_pad,
+        extract_min,
+        (
+            cand_d,
+            jnp.full((tb, k_pad), jnp.inf, jnp.float32),
+            jnp.full((tb, k_pad), jnp.iinfo(jnp.int32).max, jnp.int32),
+        ),
+    )
+    best_d[:] = new_d
+    best_i[:] = new_i
+    out_d_ref[:] = new_d
+    out_i_ref[:] = new_i
 
 
 @functools.lru_cache(maxsize=None)

@@ -98,16 +98,23 @@ def read_index(path: Path) -> Any:
     return cls.from_state(header["params"], arrays)
 
 
-def load_index_or_fresh(path: Path, dim: int = DIM, verbose_log=None) -> Any:
-    """Load an index, silently substituting a fresh empty Flat index when the
-    file is missing or unreadable (reference recovery semantics)."""
-    from ..models.flat import FlatIndex
+def load_index_or_fresh(path: Path, dim: int = DIM, verbose_log=None, fresh_factory=None) -> Any:
+    """Load an index, silently substituting a fresh empty index when the
+    file is missing or unreadable (reference recovery semantics).
+    fresh_factory overrides the default FlatIndex for the empty case."""
+
+    def fresh() -> Any:
+        if fresh_factory is not None:
+            return fresh_factory()
+        from ..models.flat import FlatIndex
+
+        return FlatIndex(dim=dim)
 
     if not path.exists():
-        return FlatIndex(dim=dim)
+        return fresh()
     try:
         return read_index(path)
     except Exception:
         if verbose_log is not None:
             verbose_log(f"Index file '{path}' unreadable; starting fresh (reindex to rebuild)")
-        return FlatIndex(dim=dim)
+        return fresh()

@@ -50,3 +50,59 @@ def token_features(text: str, dim: int) -> tuple[np.ndarray, np.ndarray]:
         buckets[i] = h % dim
         signs[i] = 1.0 if (h & 1) else -1.0
     return buckets, signs
+
+
+def batch_token_features(
+    texts: list[str], dim: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Hash a whole corpus into flat (rows, buckets, signs) feature streams.
+
+    rows[i] is the document index of feature i; features appear in document
+    order. Uses the native C++ fast path (native/tokenize_hash.cc) for
+    all-ASCII corpora — byte-identical semantics there — and falls back to
+    the per-document Python path otherwise.
+    """
+    from .. import native
+
+    clib = native.lib()
+    if clib is not None and all(t.isascii() for t in texts):
+        import ctypes
+
+        blobs = [t.encode("ascii") for t in texts]
+        offsets = np.zeros((len(texts) + 1,), dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        buf = b"".join(blobs)
+        n_docs = len(texts)
+        counts = np.zeros((n_docs,), dtype=np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        clib.th_count_tokens(
+            buf, offsets.ctypes.data_as(i64p), n_docs,
+            counts.ctypes.data_as(i64p),
+        )
+        total = int(counts.sum())
+        buckets = np.empty((total,), dtype=np.int32)
+        signs = np.empty((total,), dtype=np.float32)
+        rows = np.empty((total,), dtype=np.int32)
+        clib.th_hash_tokens(
+            buf, offsets.ctypes.data_as(i64p), n_docs, dim,
+            buckets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            signs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return rows, buckets, signs
+
+    per_doc = [token_features(t, dim) for t in texts]
+    rows = (
+        np.concatenate(
+            [np.full((len(b),), i, dtype=np.int32) for i, (b, _) in enumerate(per_doc)]
+        )
+        if per_doc
+        else np.zeros((0,), np.int32)
+    )
+    buckets = (
+        np.concatenate([b for b, _ in per_doc]) if per_doc else np.zeros((0,), np.int32)
+    )
+    signs = (
+        np.concatenate([s for _, s in per_doc]) if per_doc else np.zeros((0,), np.float32)
+    )
+    return rows, buckets, signs

@@ -1,0 +1,74 @@
+"""Embedded Python API (MemoDB) semantics."""
+
+import pytest
+
+from c99_vectordb_tpu.api import MemoDB
+
+
+@pytest.fixture
+def db(tmp_path):
+    return MemoDB("notes", cwd=str(tmp_path))
+
+
+class TestMemoDB:
+    def test_save_and_recall(self, db):
+        rid = db.save("I prefer tea over coffee", metadata={"source": "user"})
+        assert rid == 0
+        db.save("quarterly tax filings", metadata={"source": "agent"})
+        hits = db.recall("tea preference", k=1)
+        assert len(hits) == 1
+        assert hits[0].doc_id == 0
+        assert hits[0].body == "I prefer tea over coffee"
+        assert hits[0].metadata == {"source": "user"}
+        assert hits[0].score >= 0.0
+
+    def test_save_many_batches(self, db):
+        ids = db.save_many(
+            [
+                {"body": "alpha note", "metadata": {"n": 1}},
+                {"body": "beta note", "metadata": {"n": 2}},
+            ]
+        )
+        assert ids == [0, 1]
+        assert len(db) == 2
+
+    def test_filter_recall(self, db):
+        db.save("red apples", metadata={"color": "red"})
+        db.save("green apples", metadata={"color": "green"})
+        hits = db.recall("apples", k=5, filter="{color: green}")
+        assert [h.doc_id for h in hits] == [1]
+
+    def test_overwrite(self, db):
+        db.save("original", metadata=None)
+        db.save("other", metadata=None)
+        db.save("replacement text", doc_id=0)
+        hits = db.recall("replacement text", k=1)
+        assert hits[0].doc_id == 0
+
+    def test_overwrite_missing_raises(self, db):
+        db.save("only record")
+        with pytest.raises(KeyError, match="override id 5"):
+            db.save("nope", doc_id=5)
+
+    def test_analyze(self, db):
+        db.save("a", metadata={"p": 1})
+        db.save("b", metadata={"p": 2})
+        db.save("c")  # no metadata: never matches
+        assert [i for i, _ in db.analyze("{p: {$gte: 2}}")] == [1]
+
+    def test_reindex_compacts(self, db):
+        db.save("keep me")
+        db.save("delete me", metadata={"deleted": True})
+        dropped = db.reindex()
+        assert dropped == 1
+        assert len(db) == 1
+        assert db.recall("keep me", k=1)[0].doc_id == 0
+
+    def test_clean(self, db):
+        assert db.clean() is False
+        db.save("x")
+        assert db.clean() is True
+        assert len(db) == 0
+
+    def test_empty_recall(self, db):
+        assert db.recall("anything") == []

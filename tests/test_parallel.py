@@ -1,0 +1,146 @@
+"""Multi-chip sharded search + distributed k-means on the 8-virtual-device
+CPU mesh (same code path as a real ICI mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from c99_vectordb_tpu.models.flat import FlatIndex
+from c99_vectordb_tpu.ops.kmeans import train_kmeans
+from c99_vectordb_tpu.parallel import (
+    ShardedFlatIndex,
+    make_mesh,
+    sharded_kmeans_step,
+    sharded_search_2d,
+)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(11)
+    vectors = rng.standard_normal((1000, 64)).astype(np.float32)
+    ids = np.arange(1000, dtype=np.int64)
+    queries = rng.standard_normal((6, 64)).astype(np.float32)
+    return vectors, ids, queries
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+class TestShardedSearch:
+    def test_matches_single_chip(self, corpus):
+        vectors, ids, queries = corpus
+        flat = FlatIndex(dim=64)
+        flat.add(vectors, ids)
+        want_d, want_i = flat.search(queries, 10)
+
+        mesh = make_mesh(n_data=8)
+        sharded = ShardedFlatIndex(mesh, dim=64)
+        sharded.load(vectors, ids)
+        got_d, got_i = sharded.search(queries, 10)
+
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-3, atol=1e-3)
+        # selection identical up to f32 near-ties: check true distances
+        true_got = ((queries[:, None, :] - vectors[got_i]) ** 2).sum(-1)
+        np.testing.assert_allclose(true_got, want_d, rtol=1e-3, atol=1e-3)
+
+    def test_k_spanning_shards(self, corpus):
+        # k bigger than any single shard's row count: merge must pull
+        # everything and pad the tail with (-1, inf)
+        vectors, ids, _ = corpus
+        mesh = make_mesh(n_data=8)
+        sharded = ShardedFlatIndex(mesh, dim=64)
+        sharded.load(vectors[:20], ids[:20])
+        d, i = sharded.search(vectors[:1], k=30)
+        assert set(i[0, :20].tolist()) == set(range(20))
+        assert (i[0, 20:] == -1).all()
+        assert np.isinf(d[0, 20:]).all()
+
+    def test_cross_shard_tie_break(self):
+        base = np.ones((1, 16), np.float32)
+        vectors = np.tile(base, (64, 1))  # identical rows land on all shards
+        ids = np.arange(64, dtype=np.int64)
+        mesh = make_mesh(n_data=8)
+        sharded = ShardedFlatIndex(mesh, dim=16)
+        sharded.load(vectors, ids)
+        _, i = sharded.search(base, k=8)
+        assert i[0].tolist() == [0, 1, 2, 3, 4, 5, 6, 7]
+
+    def test_empty(self):
+        mesh = make_mesh(n_data=8)
+        sharded = ShardedFlatIndex(mesh, dim=16)
+        d, i = sharded.search(np.zeros((2, 16), np.float32), k=3)
+        assert (i == -1).all()
+
+
+class TestSharded2D:
+    def test_data_model_mesh_matches_oracle(self, corpus):
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=4, n_model=2)
+        n, dim = 1024, 64
+        db = np.zeros((n, dim), np.float32)
+        db[:1000] = vectors
+        idp = np.full((n,), -1, np.int32)
+        idp[:1000] = ids.astype(np.int32)
+
+        program = sharded_search_2d(mesh, n, dim, queries.shape[0], 5)
+        d, i = program(
+            jax.device_put(db, NamedSharding(mesh, P("data", "model"))),
+            jax.device_put(idp, NamedSharding(mesh, P("data"))),
+            jax.device_put(queries, NamedSharding(mesh, P(None, "model"))),
+        )
+        flat = FlatIndex(dim=64)
+        flat.add(vectors, ids)
+        want_d, _ = flat.search(queries, 5)
+        np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-3, atol=1e-3)
+
+
+class TestDistributedKMeans:
+    def test_step_matches_single_device_lloyd(self):
+        rng = np.random.default_rng(2)
+        data = rng.standard_normal((512, 32)).astype(np.float32)
+        mesh = make_mesh(n_data=8)
+        k = 8
+        init = data[:k].copy()
+
+        step = sharded_kmeans_step(mesh, 512, 32, k)
+        centroids = jax.device_put(init, NamedSharding(mesh, P(None, None)))
+        data_dev = jax.device_put(data, NamedSharding(mesh, P("data", None)))
+        valid = jax.device_put(
+            np.ones((512,), np.float32), NamedSharding(mesh, P("data"))
+        )
+        for _ in range(5):
+            centroids = step(data_dev, valid, centroids)
+        got = np.asarray(centroids)
+
+        # single-device oracle: same Lloyd updates
+        cents = init.copy()
+        for _ in range(5):
+            d = ((data[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(k):
+                pts = data[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        np.testing.assert_allclose(got, cents, rtol=1e-3, atol=1e-3)
+
+    def test_quality_parity_with_ops_kmeans(self):
+        rng = np.random.default_rng(4)
+        centers = rng.standard_normal((8, 16)).astype(np.float32) * 8
+        data = np.concatenate(
+            [c + rng.standard_normal((64, 16)).astype(np.float32) for c in centers]
+        )
+        single = train_kmeans(data, 8, iters=8, seed=0)
+        mesh = make_mesh(n_data=8)
+        step = sharded_kmeans_step(mesh, 512, 16, 8)
+        cents = jax.device_put(single[:8] * 0 + data[:8], NamedSharding(mesh, P(None, None)))
+        data_dev = jax.device_put(data, NamedSharding(mesh, P("data", None)))
+        valid = jax.device_put(np.ones((512,), np.float32), NamedSharding(mesh, P("data")))
+        for _ in range(8):
+            cents = step(data_dev, valid, cents)
+        # distributed training also recovers the blob structure
+        d = ((centers[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1)
+        assert (d.min(axis=1) < 16.0).sum() >= 6
