@@ -259,7 +259,13 @@ def main(argv: list[str] | None = None) -> int:
             return rc
         assert args is not None
         return commands.cmd_recall(
-            db_base, args["query"], args["k"], args["filter_expr"], args["as_yaml"], user_cwd
+            db_base,
+            args["query"],
+            args["k"],
+            args["filter_expr"],
+            args["as_yaml"],
+            user_cwd,
+            verbose=verbose,
         )
 
     if command == "analyze":

@@ -238,6 +238,7 @@ def cmd_recall(
     filter_expr: str | None,
     as_yaml: bool,
     user_cwd: str,
+    verbose: bool = False,
 ) -> int:
     index_path, yaml_path = db_paths(db_base, user_cwd)
     try:
@@ -256,7 +257,10 @@ def cmd_recall(
 
     # One device program: embed query -> score all rows -> full ranking
     # (the reference's k=ntotal exhaustive search, memo_cli.py:288-298).
-    dists, ids = index.ranked_all(embed_text(query))
+    from .utils.timing import stage
+
+    with stage(verbose, "embed+search"):
+        dists, ids = index.ranked_all(embed_text(query))
 
     active_filter: dict[str, Any] | None = None
     if filter_expr is not None:

@@ -51,11 +51,13 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
         best_i[:] = jnp.full_like(best_i[:], jnp.iinfo(jnp.int32).max)
 
     q = q_ref[:]                       # (TB, D)
-    x = db_ref[:]                      # (TN, D)
+    x = db_ref[:]                      # (TN, D); bf16 storage halves HBM traffic
     ip = jax.lax.dot_general(
-        q, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                  # (TB, TN) on the MXU
-    q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+        q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                  # (TB, TN) on the MXU, f32 accumulate
+    qf = q.astype(jnp.float32)
+    q_sq = jnp.sum(qf * qf, axis=1, keepdims=True)
     tile_ids = ids_ref[:]              # (1, TN)
     dist = q_sq + norms_ref[:] - 2.0 * ip
     dist = jnp.maximum(dist, 0.0)
@@ -103,7 +105,8 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_call(n: int, dim: int, b: int, k_pad: int, tile_b: int, tile_n: int):
+def _fused_call(n: int, dim: int, b: int, k_pad: int, tile_b: int, tile_n: int,
+                db_dtype=jnp.float32):
     grid = (b // tile_b, n // tile_n)
     kernel = functools.partial(_fused_kernel, k_pad=k_pad)
     # Off-TPU (CPU CI) the Mosaic kernel runs in interpreter mode.
@@ -134,7 +137,9 @@ def _fused_call(n: int, dim: int, b: int, k_pad: int, tile_b: int, tile_n: int):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * dim,
-            bytes_accessed=n * dim * 4 + b * dim * 4 + b * k_pad * 8,
+            bytes_accessed=n * dim * jnp.dtype(db_dtype).itemsize
+            + b * dim * 4
+            + b * k_pad * 8,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -172,7 +177,7 @@ def fused_topk(
     if b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
 
-    out_d, out_i = _fused_call(n, dim, b_pad, k_pad, tb, tile_n)(
+    out_d, out_i = _fused_call(n, dim, b_pad, k_pad, tb, tile_n, db.dtype)(
         queries,
         db,
         sq_norms.reshape(1, n),

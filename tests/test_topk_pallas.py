@@ -62,6 +62,25 @@ class TestFusedTopK:
         assert (i[0, 5:] == -1).all()
         assert np.isinf(d[0, 5:]).all()
 
+    def test_bf16_database_high_recall(self, rng):
+        import jax.numpy as jnp
+        from c99_vectordb_tpu.ops.topk_pallas import fused_topk
+
+        db = rng.standard_normal((2048, 128)).astype(np.float32)
+        ids = np.arange(2048, dtype=np.int32)
+        q = rng.standard_normal((4, 128)).astype(np.float32)
+        sq = np.einsum("nd,nd->n", db, db).astype(np.float32)
+        d16, i16 = fused_topk(
+            jnp.asarray(db, dtype=jnp.bfloat16), jnp.asarray(ids),
+            jnp.asarray(sq), jnp.asarray(q), 10, tile_n=1024,
+        )
+        want_d, want_i = oracle(db, ids, q, 10)
+        i16 = np.asarray(i16)
+        overlap = sum(
+            len(set(i16[b].tolist()) & set(want_i[b].tolist())) for b in range(4)
+        )
+        assert overlap / 40 >= 0.9  # bf16 storage keeps near-exact recall
+
     def test_batch_padding(self, rng):
         # B=3 padded to the 8-row sublane multiple
         db = rng.standard_normal((1024, 64)).astype(np.float32)
