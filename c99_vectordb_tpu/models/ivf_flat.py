@@ -142,13 +142,15 @@ class IVFFlatIndex:
             pad = next_pow2(max(int(counts.max(initial=1)), 1))
             list_vecs = np.zeros((nlist_eff, pad, self.dim), np.float32)
             list_ids = np.full((nlist_eff, pad), -1, np.int32)
-            cursor = np.zeros((nlist_eff,), np.int64)
-            # rows are in ascending-id order, so each list fills in id order
-            for row, cluster in enumerate(self._assign):
-                slot = cursor[cluster]
-                list_vecs[cluster, slot] = self._vectors[row]
-                list_ids[cluster, slot] = self._ids[row]
-                cursor[cluster] += 1
+            # Vectorized bucketing: stable sort by list keeps ascending-id
+            # order inside each list; slot = rank within the list.
+            order = np.argsort(self._assign, kind="stable")
+            sorted_lists = self._assign[order]
+            starts = np.zeros((nlist_eff,), np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            slots = np.arange(len(order)) - starts[sorted_lists]
+            list_vecs[sorted_lists, slots] = self._vectors[order]
+            list_ids[sorted_lists, slots] = self._ids[order]
             c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
             self._staged = (
                 jax.device_put(self._centroids.astype(np.float32)),

@@ -46,7 +46,7 @@ def _adc_search_program(
         centroids: jax.Array,    # (nlist, D)
         c_sq: jax.Array,         # (nlist,)
         codebooks: jax.Array,    # (m, ksub, dsub)
-        list_codes: jax.Array,   # (nlist, pad, m) int32
+        list_codes: jax.Array,   # (nlist, pad, m) uint8
         list_ids: jax.Array,     # (nlist, pad) int32
         queries: jax.Array,      # (B, D)
     ):
@@ -66,7 +66,7 @@ def _adc_search_program(
             # Per-query ADC table: (B, m, ksub)
             diff = r_sub - codebooks[None]                         # (B, m, ksub, dsub)
             lut = jnp.sum(diff * diff, axis=-1)
-            codes = list_codes[lists]                              # (B, pad, m)
+            codes = list_codes[lists].astype(jnp.int32)            # (B, pad, m)
             ids = list_ids[lists]                                  # (B, pad)
             # Gather LUT entries: (B, m, pad) then reduce subspaces.
             gathered = jnp.take_along_axis(lut, codes.transpose(0, 2, 1), axis=2)
@@ -183,14 +183,16 @@ class IVFPQIndex:
             nlist_eff = self._centroids.shape[0]
             counts = np.bincount(self._assign, minlength=nlist_eff)
             pad = next_pow2(max(int(counts.max(initial=1)), 1))
-            list_codes = np.zeros((nlist_eff, pad, self.m), np.int32)
+            # uint8 on device: the whole padded code table is pad*nlist*m bytes
+            list_codes = np.zeros((nlist_eff, pad, self.m), np.uint8)
             list_ids = np.full((nlist_eff, pad), -1, np.int32)
-            cursor = np.zeros((nlist_eff,), np.int64)
-            for row, cluster in enumerate(self._assign):
-                slot = cursor[cluster]
-                list_codes[cluster, slot] = self._codes[row]
-                list_ids[cluster, slot] = self._ids[row]
-                cursor[cluster] += 1
+            order = np.argsort(self._assign, kind="stable")
+            sorted_lists = self._assign[order]
+            starts = np.zeros((nlist_eff,), np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            slots = np.arange(len(order)) - starts[sorted_lists]
+            list_codes[sorted_lists, slots] = self._codes[order]
+            list_ids[sorted_lists, slots] = self._ids[order]
             c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
             self._staged = (
                 jax.device_put(self._centroids.astype(np.float32)),

@@ -42,7 +42,7 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
-                  best_d, best_i, *, k_pad: int):
+                  best_d, best_i, *, k: int, k_pad: int):
     n_idx = pl.program_id(1)
 
     @pl.when(n_idx == 0)
@@ -63,52 +63,53 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
     dist = jnp.maximum(dist, 0.0)
     dist = jnp.where(tile_ids >= 0, dist, jnp.inf)  # mask padding rows
 
-    cand_d = jnp.concatenate([best_d[:], dist], axis=1)          # (TB, K+TN)
-    cand_i = jnp.concatenate(
-        [best_i[:], jnp.broadcast_to(tile_ids, dist.shape)], axis=1
-    )
-
-    tb, width = cand_d.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (tb, width), 1)
+    # Adaptive selection: the scratch top-k is kept SORTED ascending, so
+    # each improving candidate is one roll-shift insertion. The number of
+    # extraction rounds equals the tile's improving-candidate count (maxed
+    # over the query rows, capped at k) — in steady state almost every
+    # tile needs 0 rounds (one min-reduce to prove it) and the per-tile
+    # cost collapses to the MXU matmul + a couple of VPU passes.
+    tb, tn = dist.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, tn), 1)
     out_col = jax.lax.broadcasted_iota(jnp.int32, (tb, k_pad), 1)
+    tile_ids_b = jnp.broadcast_to(tile_ids, dist.shape)
 
-    # k_pad rounds of min-extraction, written via one-hot selects only —
-    # Mosaic supports no dynamic-lane stores and no argmin, so the "first
-    # minimum's position" is itself a min-reduction over masked column ids.
-    def extract_min(t, carry):
-        remaining, acc_d, acc_i = carry
+    worst = best_d[:, k - 1][:, None]                            # (TB, 1) kth best
+    counts = jnp.sum((dist < worst).astype(jnp.int32), axis=1)   # (TB,)
+    rounds = jnp.minimum(jnp.max(counts), k)                     # scalar, traced
+
+    def extract_and_insert(_, remaining):
+        # -- extract the tile's current minimum (first position = lowest id)
         m = jnp.min(remaining, axis=1, keepdims=True)            # (TB, 1)
         first = jnp.min(
-            jnp.where(remaining == m, col, width), axis=1, keepdims=True
-        )                                                        # lowest position => lowest id
+            jnp.where(remaining == m, col, tn), axis=1, keepdims=True
+        )
         hit = col == first
-        picked_id = jnp.sum(jnp.where(hit, cand_i, 0), axis=1, keepdims=True)
-        sel = out_col == t
-        acc_d = jnp.where(sel, m, acc_d)
-        acc_i = jnp.where(sel, picked_id, acc_i)
-        return jnp.where(hit, jnp.inf, remaining), acc_d, acc_i
+        vid = jnp.sum(jnp.where(hit, tile_ids_b, 0), axis=1, keepdims=True)
 
-    _, new_d, new_i = jax.lax.fori_loop(
-        0,
-        k_pad,
-        extract_min,
-        (
-            cand_d,
-            jnp.full((tb, k_pad), jnp.inf, jnp.float32),
-            jnp.full((tb, k_pad), jnp.iinfo(jnp.int32).max, jnp.int32),
-        ),
-    )
-    best_d[:] = new_d
-    best_i[:] = new_i
-    out_d_ref[:] = new_d
-    out_i_ref[:] = new_i
+        # -- insert (m, vid) into the sorted scratch via a shift
+        bd = best_d[:]
+        bi = best_i[:]
+        pos = jnp.sum((bd <= m).astype(jnp.int32), axis=1, keepdims=True)
+        before = out_col < pos          # unchanged prefix
+        at = out_col == pos             # insertion lane (>=k lanes are waste, sliced off)
+        shifted_d = pltpu.roll(bd, 1, axis=1)
+        shifted_i = pltpu.roll(bi, 1, axis=1)
+        best_d[:] = jnp.where(before, bd, jnp.where(at, m, shifted_d))
+        best_i[:] = jnp.where(before, bi, jnp.where(at, vid, shifted_i))
+        return jnp.where(hit, jnp.inf, remaining)
+
+    jax.lax.fori_loop(0, rounds, extract_and_insert, dist)
+
+    out_d_ref[:] = best_d[:]
+    out_i_ref[:] = best_i[:]
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_call(n: int, dim: int, b: int, k_pad: int, tile_b: int, tile_n: int,
-                db_dtype=jnp.float32):
+def _fused_call(n: int, dim: int, b: int, k: int, k_pad: int, tile_b: int,
+                tile_n: int, db_dtype=jnp.float32):
     grid = (b // tile_b, n // tile_n)
-    kernel = functools.partial(_fused_kernel, k_pad=k_pad)
+    kernel = functools.partial(_fused_kernel, k=k, k_pad=k_pad)
     # Off-TPU (CPU CI) the Mosaic kernel runs in interpreter mode.
     interpret = jax.default_backend() != "tpu"
     call = pl.pallas_call(
@@ -177,7 +178,7 @@ def fused_topk(
     if b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
 
-    out_d, out_i = _fused_call(n, dim, b_pad, k_pad, tb, tile_n, db.dtype)(
+    out_d, out_i = _fused_call(n, dim, b_pad, k, k_pad, tb, tile_n, db.dtype)(
         queries,
         db,
         sq_norms.reshape(1, n),
