@@ -7,13 +7,16 @@ Covers the BASELINE.json configs:
   - IVF-PQ: train+encode time, code memory, QPS/recall across nprobe
   - CPU brute-force baseline (torch) for the vs-CPU column
 
-Timing uses the same on-device lax.scan chain methodology as bench.py
-(remote-dispatch backends make host-side timing unreliable); build times
-are honest wall-clock including host<->device traffic.
+Design constraints of the measurement environment (see bench.py and the
+repo memory): host<->device transfers run at ~MB/s through the tunnel, so
+EVERYTHING at corpus scale stays device-resident (corpus generated on
+device, k-means trained on device arrays, inverted lists scattered on
+device); only KB..MB-scale index metadata crosses the boundary. Timing
+uses on-device lax.scan chains (host-side timing over-reports).
 
 Usage:
-    python benchmarks/run.py --n 1000000 --d 768 --b 128 --k 10
-    python benchmarks/run.py --quick          # small CPU-friendly config
+    python benchmarks/run.py                   # 1M x 768 on TPU
+    python benchmarks/run.py --quick           # small CPU-friendly config
 """
 
 from __future__ import annotations
@@ -50,8 +53,7 @@ def timed_scan_qps(search_step, qstack_maker, b: int, iters: int) -> float:
         float(chain(qstack))
         return time.perf_counter() - t0
 
-    # Grow the long chain until per-step cost dominates dispatch noise —
-    # fast configs (e.g. nprobe=1 on a small corpus) need more steps.
+    # Grow the long chain until per-step cost dominates dispatch noise.
     lo = 2
     hi = 2 + iters
     t_lo = timed(lo)
@@ -71,18 +73,27 @@ def recall_at_k(approx_ids: np.ndarray, exact_ids: np.ndarray) -> float:
     return hits / exact_ids.size
 
 
+def next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n", type=int, default=1_000_000)
+    parser.add_argument("--n", type=int, default=1_048_576)
     parser.add_argument("--d", type=int, default=768)
     parser.add_argument("--b", type=int, default=128)
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--iters", type=int, default=8)
+    parser.add_argument("--kmeans-iters", type=int, default=8)
     parser.add_argument("--nlist", type=int, default=4096)
     parser.add_argument("--pq-m", type=int, default=96)
     parser.add_argument("--nprobe-sweep", type=int, nargs="+", default=[1, 4, 16, 64])
-    parser.add_argument("--quick", action="store_true", help="small CPU-friendly config")
+    parser.add_argument("--quick", action="store_true", help="small config")
     parser.add_argument("--skip-cpu", action="store_true")
+    parser.add_argument("--skip-pq", action="store_true")
     parser.add_argument("--json-out", type=str, default=None)
     args = parser.parse_args()
 
@@ -93,15 +104,25 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from c99_vectordb_tpu.ops.kmeans import (
+        assign_clusters,
+        assign_clusters_multi,
+        train_kmeans,
+        train_kmeans_multi,
+    )
+
     if args.quick:
         args.n, args.d, args.b, args.nlist, args.pq_m = 16_384, 128, 16, 64, 16
         args.iters = 2
         args.nprobe_sweep = [1, 4, 16]
 
     on_tpu = jax.default_backend() == "tpu"
-    n = ((args.n + 1023) // 1024) * 1024
+    # multiple of the kernel tile AND the k-means chunk => zero pad copies
+    n = ((args.n + 2047) // 2048) * 2048
     d, b, k = args.d, args.b, args.k
-    results: dict = {"config": {"n": n, "d": d, "b": b, "k": k, "backend": jax.default_backend()}}
+    results: dict = {
+        "config": {"n": n, "d": d, "b": b, "k": k, "backend": jax.default_backend()}
+    }
 
     print(f"# corpus {n} x {d}, batch {b}, k {k} on {jax.default_backend()}", flush=True)
     db = jax.random.normal(jax.random.key(0), (n, d), dtype=jnp.float32)
@@ -112,9 +133,7 @@ def main() -> int:
     def make_qstack(steps: int):
         return jax.random.normal(jax.random.key(7), (steps, b, d), dtype=jnp.float32)
 
-    eval_queries = np.asarray(
-        jax.random.normal(jax.random.key(9), (b, d), dtype=jnp.float32)
-    )
+    eval_q_dev = jax.random.normal(jax.random.key(9), (b, d), dtype=jnp.float32)
 
     # ---- exact search step (f32) = ground truth -------------------------
     if on_tpu:
@@ -130,8 +149,8 @@ def main() -> int:
             neg, rows = jax.lax.top_k(-dists, k)
             return -neg, ids_dev[rows]
 
-    gt_d, gt_i = jax.jit(flat_step)(jnp.asarray(eval_queries))
-    gt_i = np.asarray(gt_i)
+    _, gt_i_dev = jax.jit(flat_step)(eval_q_dev)
+    gt_i = np.asarray(gt_i_dev)
     flat_qps = timed_scan_qps(flat_step, make_qstack, b, args.iters)
     results["flat_f32"] = {"qps": round(flat_qps, 1), "recall": 1.0}
     print(f"flat f32        qps={flat_qps:,.0f}  recall@{k}=1.000", flush=True)
@@ -143,75 +162,146 @@ def main() -> int:
         def flat16_step(q):
             return flat_step(q, _db=db16)
 
-        d16, i16 = jax.jit(flat16_step)(jnp.asarray(eval_queries))
+        _, i16 = jax.jit(flat16_step)(eval_q_dev)
         r16 = recall_at_k(np.asarray(i16), gt_i)
         qps16 = timed_scan_qps(flat16_step, make_qstack, b, args.iters)
         results["flat_bf16"] = {"qps": round(qps16, 1), "recall": round(r16, 4)}
         print(f"flat bf16       qps={qps16:,.0f}  recall@{k}={r16:.3f}", flush=True)
+        del db16, flat16_step
 
-    # ---- IVF-Flat -----------------------------------------------------------
-    from c99_vectordb_tpu.models.ivf_flat import IVFFlatIndex, _ivf_search_program
-
-    db_host = np.asarray(db)
-    ivf = IVFFlatIndex(dim=d, nlist=args.nlist)
+    # ---- coarse quantizer (shared by IVF-Flat and IVF-PQ) -----------------
+    nlist = min(args.nlist, n)
     t0 = time.perf_counter()
-    ivf.train(db_host)
-    ivf.add(db_host, np.arange(n, dtype=np.int64))
-    centroids, c_sq, list_vecs, list_ids, pad = ivf._stage()
-    jax.block_until_ready(list_vecs)
-    build_s = time.perf_counter() - t0
-    results["ivf_flat"] = {"build_s": round(build_s, 1), "nlist": args.nlist, "sweep": {}}
-    print(f"ivf_flat build  {build_s:.1f}s (nlist={args.nlist}, pad={pad})", flush=True)
+    centroids_d = train_kmeans(
+        db, nlist, iters=args.kmeans_iters, out_device=True
+    )
+    assign_d = assign_clusters(db, centroids_d, out_device=True)
+    assign = np.asarray(assign_d)  # (n,) int32 — small D2H
+    coarse_s = time.perf_counter() - t0
+    c_sq_d = jnp.sum(centroids_d * centroids_d, axis=1)
+    print(f"coarse kmeans   {coarse_s:.1f}s (nlist={nlist})", flush=True)
 
-    nlist_eff = centroids.shape[0]
-    for nprobe in args.nprobe_sweep:
-        nprobe = min(nprobe, nlist_eff)
-        program = _ivf_search_program(nlist_eff, pad, d, b, nprobe, k)
+    # Host-side bucketing metadata (small), device-side scatters (big).
+    counts = np.bincount(assign, minlength=nlist)
+    pad = next_pow2(max(int(counts.max(initial=1)), 8))
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    sorted_lists = assign[order]
+    starts = np.zeros((nlist,), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    slots = (np.arange(n) - starts[sorted_lists]).astype(np.int32)
+    order_d = jnp.asarray(order)
+    lists_d = jnp.asarray(sorted_lists)
+    slots_d = jnp.asarray(slots)
 
-        def ivf_step(q, _p=program):
-            return _p(centroids, c_sq, list_vecs, list_ids, q)
-
-        _, ai = jax.jit(ivf_step)(jnp.asarray(eval_queries))
-        rec = recall_at_k(np.asarray(ai), gt_i)
-        qps = timed_scan_qps(ivf_step, make_qstack, b, args.iters)
-        results["ivf_flat"]["sweep"][nprobe] = {"qps": round(qps, 1), "recall": round(rec, 4)}
-        print(f"ivf_flat p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}", flush=True)
-
-    # ---- IVF-PQ ---------------------------------------------------------------
-    from c99_vectordb_tpu.models.ivf_pq import IVFPQIndex, _adc_search_program
-
-    if d % args.pq_m == 0:
-        pq = IVFPQIndex(dim=d, nlist=args.nlist, m=args.pq_m)
-        t0 = time.perf_counter()
-        pq.train(db_host)
-        pq.add(db_host, np.arange(n, dtype=np.int64))
-        pcent, pc_sq, books, list_codes, plist_ids, ppad = pq._stage()
-        jax.block_until_ready(list_codes)
-        pq_build_s = time.perf_counter() - t0
-        code_mb = n * args.pq_m / 1e6
-        results["ivf_pq"] = {
-            "build_s": round(pq_build_s, 1), "m": args.pq_m,
-            "code_mb": round(code_mb, 1), "sweep": {},
-        }
-        print(
-            f"ivf_pq build    {pq_build_s:.1f}s (m={args.pq_m}, codes {code_mb:.0f} MB "
-            f"vs raw {n * d * 4 / 1e6:.0f} MB)",
-            flush=True,
+    @jax.jit
+    def scatter_ids():
+        return (
+            jnp.full((nlist, pad), -1, jnp.int32).at[lists_d, slots_d]
+            .set(ids_dev[order_d])
         )
-        pn_eff = pcent.shape[0]
-        for nprobe in args.nprobe_sweep:
-            nprobe = min(nprobe, pn_eff)
-            program = _adc_search_program(
-                pn_eff, ppad, d, args.pq_m, books.shape[1], b, nprobe, k
+
+    list_ids_d = scatter_ids()
+
+    # ---- IVF-PQ build first (needs db; lists scatter comes after) ---------
+    if not args.skip_pq and d % args.pq_m == 0:
+        m, dsub = args.pq_m, d // args.pq_m
+        t0 = time.perf_counter()
+
+        @jax.jit
+        def make_subs():
+            residuals = db - centroids_d[assign_d]
+            return residuals.reshape(n, m, dsub).transpose(1, 0, 2)
+
+        subs = make_subs()
+        books_d = train_kmeans_multi(
+            subs, 256, iters=args.kmeans_iters, out_device=True
+        )
+        codes_d = assign_clusters_multi(subs, books_d, out_device=True)
+        del subs
+
+        @jax.jit
+        def scatter_codes(codes):
+            by_row = codes.astype(jnp.uint8).T  # (n, m)
+            return (
+                jnp.zeros((nlist, pad, m), jnp.uint8).at[lists_d, slots_d]
+                .set(by_row[order_d])
             )
 
-            def pq_step(q, _p=program):
-                return _p(pcent, pc_sq, books, list_codes, plist_ids, q)
+        list_codes_d = scatter_codes(codes_d)
+        float(jnp.sum(list_codes_d.astype(jnp.int32)[0, 0]))
+        pq_build_s = time.perf_counter() - t0
+        del codes_d
+        results["ivf_pq"] = {
+            "build_s": round(pq_build_s + coarse_s, 1),
+            "m": m,
+            "code_mb": round(n * m / 1e6, 1),
+            "sweep": {},
+        }
+        print(
+            f"ivf_pq build    {pq_build_s + coarse_s:.1f}s (m={m}, codes "
+            f"{n * m / 1e6:.0f} MB vs raw {n * d * 4 / 1e6:.0f} MB)",
+            flush=True,
+        )
+    else:
+        list_codes_d = None
 
-            _, ai = jax.jit(pq_step)(jnp.asarray(eval_queries))
+    # ---- IVF-Flat staging (then the raw corpus can be dropped) ------------
+    t0 = time.perf_counter()
+
+    @jax.jit
+    def scatter_vecs():
+        return (
+            jnp.zeros((nlist, pad, d), jnp.float32).at[lists_d, slots_d]
+            .set(db[order_d])
+        )
+
+    list_vecs_d = scatter_vecs()
+    float(jnp.sum(list_vecs_d[0, 0]))
+    stage_s = time.perf_counter() - t0
+    results["ivf_flat"] = {
+        "build_s": round(coarse_s + stage_s, 1),
+        "nlist": nlist,
+        "pad": pad,
+        "sweep": {},
+    }
+    print(f"ivf_flat build  {coarse_s + stage_s:.1f}s (pad={pad})", flush=True)
+    del db, sq_norms, flat_step  # free HBM for the sweeps
+
+    # ---- IVF-Flat sweep ------------------------------------------------------
+    from c99_vectordb_tpu.models.ivf_flat import _ivf_search_program
+
+    for nprobe in args.nprobe_sweep:
+        nprobe = min(nprobe, nlist)
+        program = _ivf_search_program(nlist, pad, d, b, nprobe, k)
+
+        def ivf_step(q, _p=program):
+            return _p(centroids_d, c_sq_d, list_vecs_d, list_ids_d, q)
+
+        _, ai = jax.jit(ivf_step)(eval_q_dev)
+        rec = recall_at_k(np.asarray(ai), gt_i)
+        qps = timed_scan_qps(ivf_step, make_qstack, b, args.iters)
+        results["ivf_flat"]["sweep"][nprobe] = {
+            "qps": round(qps, 1), "recall": round(rec, 4)
+        }
+        print(f"ivf_flat p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}", flush=True)
+
+    # ---- IVF-PQ sweep -----------------------------------------------------------
+    if list_codes_d is not None:
+        from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
+
+        for nprobe in args.nprobe_sweep:
+            nprobe = min(nprobe, nlist)
+            program = _adc_search_program(nlist, pad, d, args.pq_m, 256, b, nprobe, k)
+
+            def pq_step(q, _p=program):
+                return _p(centroids_d, c_sq_d, books_d, list_codes_d, list_ids_d, q)
+
+            _, ai = jax.jit(pq_step)(eval_q_dev)
             rec = recall_at_k(np.asarray(ai), gt_i)
             qps = timed_scan_qps(pq_step, make_qstack, b, args.iters)
-            results["ivf_pq"]["sweep"][nprobe] = {"qps": round(qps, 1), "recall": round(rec, 4)}
+            results["ivf_pq"]["sweep"][nprobe] = {
+                "qps": round(qps, 1), "recall": round(rec, 4)
+            }
             print(f"ivf_pq  p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}", flush=True)
 
     # ---- CPU baseline ------------------------------------------------------------

@@ -29,7 +29,12 @@ import numpy as np
 
 from ..constants import DIM
 from ..ops.distances import scores_via_matmul
-from ..ops.kmeans import assign_clusters, train_kmeans
+from ..ops.kmeans import (
+    assign_clusters,
+    assign_clusters_multi,
+    train_kmeans,
+    train_kmeans_multi,
+)
 from ..ops.topk import merge_topk
 from .base import next_pow2
 from .registry import register
@@ -139,11 +144,11 @@ class IVFPQIndex:
         residuals = data - self._centroids[assign]
         dsub = self.dim // self.m
         ksub_eff = min(self.ksub, max(1, n))
-        books = np.empty((self.m, ksub_eff, dsub), np.float32)
-        for j in range(self.m):
-            sub = np.ascontiguousarray(residuals[:, j * dsub : (j + 1) * dsub])
-            books[j] = train_kmeans(sub, ksub_eff, iters=iters, seed=seed + 1 + j)
-        self._codebooks = books
+        # All m subspace codebooks train in ONE vmapped device program.
+        subs = np.ascontiguousarray(
+            residuals.reshape(n, self.m, dsub).transpose(1, 0, 2)
+        )
+        self._codebooks = train_kmeans_multi(subs, ksub_eff, iters=iters, seed=seed + 1)
         self._staged = None
 
     def _encode(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -151,11 +156,11 @@ class IVFPQIndex:
         assign = assign_clusters(data, self._centroids)
         residuals = data - self._centroids[assign]
         dsub = self.dim // self.m
-        codes = np.empty((data.shape[0], self.m), np.uint8)
-        for j in range(self.m):
-            sub = np.ascontiguousarray(residuals[:, j * dsub : (j + 1) * dsub])
-            codes[:, j] = assign_clusters(sub, self._codebooks[j]).astype(np.uint8)
-        return assign, codes
+        subs = np.ascontiguousarray(
+            residuals.reshape(data.shape[0], self.m, dsub).transpose(1, 0, 2)
+        )
+        codes = assign_clusters_multi(subs, self._codebooks).T.astype(np.uint8)
+        return assign, np.ascontiguousarray(codes)
 
     # -- mutation ------------------------------------------------------------------
 

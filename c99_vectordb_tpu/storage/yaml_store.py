@@ -118,7 +118,12 @@ class RecordStore:
 
     def save(self, path: Path) -> None:
         path.parent.mkdir(parents=True, exist_ok=True)
-        path.write_text(self.dump(), encoding="utf-8")
+        # Atomic publish (write-then-rename) so a crash mid-save can't
+        # leave a truncated record DB — fixes the reference's torn-write
+        # window (SURVEY.md §2.5 #14).
+        tmp = path.with_name(path.name + ".tmp")
+        tmp.write_text(self.dump(), encoding="utf-8")
+        tmp.replace(path)
 
     # -- mutation --------------------------------------------------------
 

@@ -58,6 +58,30 @@ class TestKMeans:
         with pytest.raises(ValueError, match="at least"):
             train_kmeans(np.zeros((3, 8), np.float32), 8)
 
+    def test_device_array_input_matches_numpy(self, clustered_data):
+        import jax.numpy as jnp
+
+        points, _, _ = clustered_data
+        host = train_kmeans(points[:512], 8, iters=3, seed=7)
+        dev = train_kmeans(jnp.asarray(points[:512]), 8, iters=3, seed=7)
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+    def test_multi_matches_per_subspace(self, clustered_data):
+        from c99_vectordb_tpu.ops.kmeans import (
+            assign_clusters_multi,
+            train_kmeans_multi,
+        )
+
+        points, _, _ = clustered_data
+        subs = np.stack([points[:512, :16], points[:512, 16:]])  # (2, 512, 16)
+        books = train_kmeans_multi(subs, 8, iters=4, seed=3)
+        assert books.shape == (2, 8, 16)
+        single0 = train_kmeans(subs[0], 8, iters=4, seed=3)
+        np.testing.assert_allclose(books[0], single0, rtol=1e-4, atol=1e-4)
+        assigns = assign_clusters_multi(subs, books)
+        assert assigns.shape == (2, 512)
+        np.testing.assert_array_equal(assigns[0], assign_clusters(subs[0], books[0]))
+
 
 class TestIVFFlat:
     def test_full_probe_matches_exact(self, clustered_data):
