@@ -32,15 +32,20 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def timed_scan_qps(search_step, qstack_maker, b: int, iters: int) -> float:
-    """QPS via two on-device scan chains of different lengths."""
+def timed_scan_qps(search_step, operands, qstack_maker, b: int, iters: int) -> float:
+    """QPS via two on-device scan chains of different lengths.
+
+    `operands` (the index arrays) are passed as RUNTIME ARGUMENTS, never
+    closed over: closures bake device arrays into the compiled program as
+    constants, which a remote-compile backend must serialize through the
+    compile RPC (a 3GB corpus kills it)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def chain(qstack):
+    def chain(qstack, *ops):
         def body(s, q):
-            out_d, _ = search_step(q + s * 0.0)
+            out_d, _ = search_step(q + s * 0.0, *ops)
             return s + out_d[0, 0] * 0.0 + 1.0, None
 
         s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), qstack)
@@ -48,9 +53,9 @@ def timed_scan_qps(search_step, qstack_maker, b: int, iters: int) -> float:
 
     def timed(steps: int) -> float:
         qstack = qstack_maker(steps)
-        float(chain(qstack))  # compile + warm
+        float(chain(qstack, *operands))  # compile + warm
         t0 = time.perf_counter()
-        float(chain(qstack))
+        float(chain(qstack, *operands))
         return time.perf_counter() - t0
 
     # Grow the long chain until per-step cost dominates dispatch noise.
@@ -136,38 +141,37 @@ def main() -> int:
     eval_q_dev = jax.random.normal(jax.random.key(9), (b, d), dtype=jnp.float32)
 
     # ---- exact search step (f32) = ground truth -------------------------
+    # All index arrays are runtime arguments (never closure constants).
     if on_tpu:
         from c99_vectordb_tpu.ops.topk_pallas import fused_topk
 
-        def flat_step(q, _db=db):
-            return fused_topk(_db, ids_dev, sq_norms, q, k)
+        def flat_step(q, _db, _ids, _sq):
+            return fused_topk(_db, _ids, _sq, q, k)
     else:
         from c99_vectordb_tpu.ops.distances import scores_via_matmul
 
-        def flat_step(q, _db=db):
-            dists = scores_via_matmul(q, _db.astype(jnp.float32), sq_norms)
+        def flat_step(q, _db, _ids, _sq):
+            dists = scores_via_matmul(q, _db.astype(jnp.float32), _sq)
             neg, rows = jax.lax.top_k(-dists, k)
-            return -neg, ids_dev[rows]
+            return -neg, _ids[rows]
 
-    _, gt_i_dev = jax.jit(flat_step)(eval_q_dev)
+    flat_ops = (db, ids_dev, sq_norms)
+    _, gt_i_dev = jax.jit(flat_step)(eval_q_dev, *flat_ops)
     gt_i = np.asarray(gt_i_dev)
-    flat_qps = timed_scan_qps(flat_step, make_qstack, b, args.iters)
+    flat_qps = timed_scan_qps(flat_step, flat_ops, make_qstack, b, args.iters)
     results["flat_f32"] = {"qps": round(flat_qps, 1), "recall": 1.0}
     print(f"flat f32        qps={flat_qps:,.0f}  recall@{k}=1.000", flush=True)
 
     # ---- bf16-storage flat ------------------------------------------------
     if on_tpu:
         db16 = db.astype(jnp.bfloat16)
-
-        def flat16_step(q):
-            return flat_step(q, _db=db16)
-
-        _, i16 = jax.jit(flat16_step)(eval_q_dev)
+        bf16_ops = (db16, ids_dev, sq_norms)
+        _, i16 = jax.jit(flat_step)(eval_q_dev, *bf16_ops)
         r16 = recall_at_k(np.asarray(i16), gt_i)
-        qps16 = timed_scan_qps(flat16_step, make_qstack, b, args.iters)
+        qps16 = timed_scan_qps(flat_step, bf16_ops, make_qstack, b, args.iters)
         results["flat_bf16"] = {"qps": round(qps16, 1), "recall": round(r16, 4)}
         print(f"flat bf16       qps={qps16:,.0f}  recall@{k}={r16:.3f}", flush=True)
-        del db16, flat16_step
+        del db16, bf16_ops
 
     # ---- coarse quantizer (shared by IVF-Flat and IVF-PQ) -----------------
     nlist = min(args.nlist, n)
@@ -194,13 +198,12 @@ def main() -> int:
     slots_d = jnp.asarray(slots)
 
     @jax.jit
-    def scatter_ids():
+    def scatter_ids(ids, order, lists, slots):
         return (
-            jnp.full((nlist, pad), -1, jnp.int32).at[lists_d, slots_d]
-            .set(ids_dev[order_d])
+            jnp.full((nlist, pad), -1, jnp.int32).at[lists, slots].set(ids[order])
         )
 
-    list_ids_d = scatter_ids()
+    list_ids_d = scatter_ids(ids_dev, order_d, lists_d, slots_d)
 
     # ---- IVF-PQ build first (needs db; lists scatter comes after) ---------
     if not args.skip_pq and d % args.pq_m == 0:
@@ -208,11 +211,11 @@ def main() -> int:
         t0 = time.perf_counter()
 
         @jax.jit
-        def make_subs():
-            residuals = db - centroids_d[assign_d]
+        def make_subs(_db, _cents, _assign):
+            residuals = _db - _cents[_assign]
             return residuals.reshape(n, m, dsub).transpose(1, 0, 2)
 
-        subs = make_subs()
+        subs = make_subs(db, centroids_d, assign_d)
         books_d = train_kmeans_multi(
             subs, 256, iters=args.kmeans_iters, out_device=True
         )
@@ -220,14 +223,14 @@ def main() -> int:
         del subs
 
         @jax.jit
-        def scatter_codes(codes):
+        def scatter_codes(codes, order, lists, slots):
             by_row = codes.astype(jnp.uint8).T  # (n, m)
             return (
-                jnp.zeros((nlist, pad, m), jnp.uint8).at[lists_d, slots_d]
-                .set(by_row[order_d])
+                jnp.zeros((nlist, pad, m), jnp.uint8).at[lists, slots]
+                .set(by_row[order])
             )
 
-        list_codes_d = scatter_codes(codes_d)
+        list_codes_d = scatter_codes(codes_d, order_d, lists_d, slots_d)
         float(jnp.sum(list_codes_d.astype(jnp.int32)[0, 0]))
         pq_build_s = time.perf_counter() - t0
         del codes_d
@@ -249,13 +252,13 @@ def main() -> int:
     t0 = time.perf_counter()
 
     @jax.jit
-    def scatter_vecs():
+    def scatter_vecs(_db, order, lists, slots):
         return (
-            jnp.zeros((nlist, pad, d), jnp.float32).at[lists_d, slots_d]
-            .set(db[order_d])
+            jnp.zeros((nlist, pad, d), jnp.float32).at[lists, slots]
+            .set(_db[order])
         )
 
-    list_vecs_d = scatter_vecs()
+    list_vecs_d = scatter_vecs(db, order_d, lists_d, slots_d)
     float(jnp.sum(list_vecs_d[0, 0]))
     stage_s = time.perf_counter() - t0
     results["ivf_flat"] = {
@@ -270,16 +273,17 @@ def main() -> int:
     # ---- IVF-Flat sweep ------------------------------------------------------
     from c99_vectordb_tpu.models.ivf_flat import _ivf_search_program
 
+    ivf_ops = (centroids_d, c_sq_d, list_vecs_d, list_ids_d)
     for nprobe in args.nprobe_sweep:
         nprobe = min(nprobe, nlist)
         program = _ivf_search_program(nlist, pad, d, b, nprobe, k)
 
-        def ivf_step(q, _p=program):
-            return _p(centroids_d, c_sq_d, list_vecs_d, list_ids_d, q)
+        def ivf_step(q, *ops, _p=program):
+            return _p(*ops, q)
 
-        _, ai = jax.jit(ivf_step)(eval_q_dev)
+        _, ai = program(*ivf_ops, eval_q_dev)
         rec = recall_at_k(np.asarray(ai), gt_i)
-        qps = timed_scan_qps(ivf_step, make_qstack, b, args.iters)
+        qps = timed_scan_qps(ivf_step, ivf_ops, make_qstack, b, args.iters)
         results["ivf_flat"]["sweep"][nprobe] = {
             "qps": round(qps, 1), "recall": round(rec, 4)
         }
@@ -289,16 +293,17 @@ def main() -> int:
     if list_codes_d is not None:
         from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
 
+        pq_ops = (centroids_d, c_sq_d, books_d, list_codes_d, list_ids_d)
         for nprobe in args.nprobe_sweep:
             nprobe = min(nprobe, nlist)
             program = _adc_search_program(nlist, pad, d, args.pq_m, 256, b, nprobe, k)
 
-            def pq_step(q, _p=program):
-                return _p(centroids_d, c_sq_d, books_d, list_codes_d, list_ids_d, q)
+            def pq_step(q, *ops, _p=program):
+                return _p(*ops, q)
 
-            _, ai = jax.jit(pq_step)(eval_q_dev)
+            _, ai = program(*pq_ops, eval_q_dev)
             rec = recall_at_k(np.asarray(ai), gt_i)
-            qps = timed_scan_qps(pq_step, make_qstack, b, args.iters)
+            qps = timed_scan_qps(pq_step, pq_ops, make_qstack, b, args.iters)
             results["ivf_pq"]["sweep"][nprobe] = {
                 "qps": round(qps, 1), "recall": round(rec, 4)
             }

@@ -144,6 +144,163 @@ def sharded_kmeans_step(mesh: Mesh, n: int, dim: int, k: int):
     return jax.jit(shard_fn)
 
 
+@functools.lru_cache(maxsize=None)
+def sharded_ivf_search_program(
+    mesh: Mesh, nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int
+):
+    """Jitted data-parallel IVF search over list-sharded inverted files.
+
+    Layout: centroids are replicated; the inverted lists are partitioned
+    round-robin over the `data` axis. Every chip computes the same global
+    coarse ranking (tiny matmul), then scans only the probed lists IT
+    OWNS — `local_of` maps global list id -> local row (or 0 with a mask).
+    Per-chip partial top-k candidates merge via all_gather, exactly as in
+    the flat sharded path. Balanced assignment means each chip scans
+    ~nprobe/shards lists per query.
+    """
+
+    def local(centroids, c_sq, local_vecs, local_ids, owner, local_of, queries):
+        # centroids (nlist, dim) replicated; local_vecs (nlist/S, pad, dim)
+        my_shard = jax.lax.axis_index("data")
+        coarse = (
+            c_sq[None, :]
+            - 2.0 * jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+        )
+        _, probes = jax.lax.top_k(-coarse, nprobe)               # (B, nprobe)
+
+        init = (
+            jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+        )
+
+        def probe_step(carry, p):
+            best_d, best_i = carry
+            lists = probes[:, p]                                  # (B,) global ids
+            mine = owner[lists] == my_shard                       # (B,) bool
+            rows = local_of[lists]                                # (B,) local row
+            vecs = local_vecs[rows]                               # (B, pad, dim)
+            ids = jnp.where(mine[:, None], local_ids[rows], -1)   # foreign => invalid
+            diff = vecs - queries[:, None, :]
+            dist = jnp.sum(diff * diff, axis=-1)
+            dist = jnp.where(ids >= 0, dist, jnp.inf)
+            merged = merge_topk(
+                jnp.concatenate([best_d, dist], axis=1),
+                jnp.concatenate([best_i, ids], axis=1),
+                k,
+            )
+            return merged, None
+
+        (local_d, local_i), _ = jax.lax.scan(probe_step, init, jnp.arange(nprobe))
+        return _merge_gathered(local_d, local_i, k, "data")
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),          # centroids replicated
+            P(None),                # centroid norms replicated
+            P("data", None, None),  # inverted-list vectors, list-sharded
+            P("data", None),        # inverted-list ids, list-sharded
+            P(None),                # list -> owning shard, replicated
+            P(None),                # list -> local row on its owner, replicated
+            P(None, None),          # queries replicated
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
+    )
+    return jax.jit(shard_fn)
+
+
+class ShardedIVFIndex:
+    """IVF-Flat index with inverted lists sharded across a device mesh.
+
+    Build path mirrors IVFFlatIndex (device k-means + dense padded lists),
+    but lists are placed round-robin on the `data` axis so each chip holds
+    ~nlist/shards of the corpus and scans only its share of each query's
+    probed lists.
+    """
+
+    kind = "sharded_ivf"
+
+    def __init__(self, mesh: Mesh, dim: int, nlist: int = 64, nprobe: int = 8):
+        self.mesh = mesh
+        self.dim = int(dim)
+        self.nlist = int(nlist)
+        self.nprobe = int(nprobe)
+        self._staged = None
+        self._n = 0
+
+    @property
+    def ntotal(self) -> int:
+        return self._n
+
+    def load(self, vectors: np.ndarray, ids: np.ndarray, *, kmeans_iters: int = 8) -> None:
+        from ..models.base import next_pow2
+        from ..ops.kmeans import assign_clusters, train_kmeans
+
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        order = np.argsort(ids, kind="stable")
+        vectors, ids = vectors[order], ids[order]
+        self._n = vectors.shape[0]
+
+        shards = self.mesh.shape["data"]
+        nlist = min(self.nlist, max(shards, self._n))
+        nlist = ((nlist + shards - 1) // shards) * shards  # divisible by shards
+        centroids = train_kmeans(vectors, min(nlist, self._n), iters=kmeans_iters)
+        if centroids.shape[0] < nlist:  # tiny corpora: pad with copies
+            reps = np.tile(centroids, (nlist // centroids.shape[0] + 1, 1))
+            centroids = reps[:nlist]
+        assign = assign_clusters(vectors, centroids)
+
+        counts = np.bincount(assign, minlength=nlist)
+        pad = next_pow2(max(int(counts.max(initial=1)), 8))
+        list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
+        list_ids = np.full((nlist, pad), -1, np.int32)
+        sort = np.argsort(assign, kind="stable")
+        sorted_lists = assign[sort]
+        starts = np.zeros((nlist,), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        slots = np.arange(self._n) - starts[sorted_lists]
+        list_vecs[sorted_lists, slots] = vectors[sort]
+        list_ids[sorted_lists, slots] = ids[sort].astype(np.int32)
+
+        # Round-robin list placement: global list g lives on shard g % S at
+        # local row g // S. Rows are reordered shard-major so the sharded
+        # first axis slices into exactly each shard's lists.
+        g = np.arange(nlist)
+        owner = (g % shards).astype(np.int32)
+        local_of = (g // shards).astype(np.int32)
+        perm = np.argsort(owner * (nlist // shards) + local_of, kind="stable")
+
+        c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
+        self._params = (nlist, pad)
+        self._staged = (
+            jax.device_put(centroids, NamedSharding(self.mesh, P(None, None))),
+            jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
+            jax.device_put(list_vecs[perm], NamedSharding(self.mesh, P("data", None, None))),
+            jax.device_put(list_ids[perm], NamedSharding(self.mesh, P("data", None))),
+            jax.device_put(owner, NamedSharding(self.mesh, P(None))),
+            jax.device_put(local_of, NamedSharding(self.mesh, P(None))),
+        )
+
+    def search(
+        self, queries: np.ndarray, k: int, *, nprobe: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        if self._staged is None or self._n == 0:
+            shape = (queries.shape[0], k)
+            return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
+        nlist, pad = self._params
+        nprobe_eff = min(nprobe or self.nprobe, nlist)
+        program = sharded_ivf_search_program(
+            self.mesh, nlist, pad, self.dim, queries.shape[0], nprobe_eff, k
+        )
+        q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
+        d, i = program(*self._staged, q)
+        return np.asarray(d), np.asarray(i, dtype=np.int64)
+
+
 class ShardedFlatIndex:
     """Flat exact index sharded across a device mesh.
 

@@ -76,6 +76,55 @@ class TestShardedSearch:
         assert (i == -1).all()
 
 
+class TestShardedIVF:
+    def test_full_probe_matches_flat(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+
+        vectors, ids, queries = corpus
+        flat = FlatIndex(dim=64)
+        flat.add(vectors, ids)
+        want_d, _ = flat.search(queries, 10)
+
+        mesh = make_mesh(n_data=8)
+        ivf = ShardedIVFIndex(mesh, dim=64, nlist=16, nprobe=16)
+        ivf.load(vectors, ids)
+        got_d, got_i = ivf.search(queries, 10, nprobe=16)
+        # probing every list == exact search
+        true_got = ((queries[:, None, :] - vectors[got_i]) ** 2).sum(-1)
+        np.testing.assert_allclose(true_got, want_d, rtol=1e-3, atol=1e-3)
+
+    def test_partial_probe_recall(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+
+        vectors, ids, queries = corpus
+        flat = FlatIndex(dim=64)
+        flat.add(vectors, ids)
+        _, want_i = flat.search(queries, 10)
+
+        mesh = make_mesh(n_data=8)
+        ivf = ShardedIVFIndex(mesh, dim=64, nlist=16)
+        ivf.load(vectors, ids)
+        _, lo = ivf.search(queries, 10, nprobe=2)
+        _, hi = ivf.search(queries, 10, nprobe=8)
+
+        def rec(i):
+            return sum(
+                len(set(i[q].tolist()) & set(want_i[q].tolist()))
+                for q in range(len(queries))
+            ) / want_i.size
+
+        assert rec(hi) >= rec(lo)
+        assert rec(hi) > 0.3
+
+    def test_empty(self):
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+
+        mesh = make_mesh(n_data=8)
+        ivf = ShardedIVFIndex(mesh, dim=16)
+        d, i = ivf.search(np.zeros((2, 16), np.float32), k=3)
+        assert (i == -1).all()
+
+
 class TestSharded2D:
     def test_data_model_mesh_matches_oracle(self, corpus):
         vectors, ids, queries = corpus
