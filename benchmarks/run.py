@@ -96,6 +96,13 @@ def main() -> int:
     parser.add_argument("--nlist", type=int, default=4096)
     parser.add_argument("--pq-m", type=int, default=96)
     parser.add_argument("--nprobe-sweep", type=int, nargs="+", default=[1, 4, 16, 64])
+    parser.add_argument(
+        "--corpus",
+        choices=["random", "clustered"],
+        default="clustered",
+        help="clustered = balanced Gaussian mixture (realistic IVF recall); "
+        "random = iid Gaussian (worst case for IVF, exact-search stress)",
+    )
     parser.add_argument("--quick", action="store_true", help="small config")
     parser.add_argument("--skip-cpu", action="store_true")
     parser.add_argument("--skip-pq", action="store_true")
@@ -129,16 +136,37 @@ def main() -> int:
         "config": {"n": n, "d": d, "b": b, "k": k, "backend": jax.default_backend()}
     }
 
-    print(f"# corpus {n} x {d}, batch {b}, k {k} on {jax.default_backend()}", flush=True)
-    db = jax.random.normal(jax.random.key(0), (n, d), dtype=jnp.float32)
+    print(
+        f"# corpus {n} x {d} ({args.corpus}), batch {b}, k {k} "
+        f"on {jax.default_backend()}",
+        flush=True,
+    )
+    n_gen_clusters = min(4096, max(64, n // 256))
+
+    @jax.jit
+    def gen_points(key_idx, count_marker):
+        """Sample `count` mixture points: center + noise (clustered) or iid."""
+        count = count_marker.shape[0]
+        kc, kn = jax.random.split(jax.random.key(key_idx))
+        if args.corpus == "clustered":
+            centers = jax.random.normal(
+                jax.random.key(1), (n_gen_clusters, d), dtype=jnp.float32
+            )
+            cid = jax.random.randint(kc, (count,), 0, n_gen_clusters)
+            return centers[cid] * 3.0 + jax.random.normal(
+                kn, (count, d), dtype=jnp.float32
+            )
+        return jax.random.normal(kn, (count, d), dtype=jnp.float32)
+
+    db = gen_points(0, jnp.zeros((n,)))
     sq_norms = jnp.sum(db * db, axis=1)
     ids_dev = jnp.arange(n, dtype=jnp.int32)
     float(jnp.sum(sq_norms))
 
     def make_qstack(steps: int):
-        return jax.random.normal(jax.random.key(7), (steps, b, d), dtype=jnp.float32)
+        return gen_points(7, jnp.zeros((steps * b,))).reshape(steps, b, d)
 
-    eval_q_dev = jax.random.normal(jax.random.key(9), (b, d), dtype=jnp.float32)
+    eval_q_dev = gen_points(9, jnp.zeros((b,)))
 
     # ---- exact search step (f32) = ground truth -------------------------
     # All index arrays are runtime arguments (never closure constants).
