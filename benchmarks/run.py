@@ -287,6 +287,7 @@ def main() -> int:
         )
 
     list_vecs_d = scatter_vecs(db, order_d, lists_d, slots_d)
+    list_sqn_d = jax.jit(lambda v: jnp.sum(v * v, axis=-1))(list_vecs_d)
     float(jnp.sum(list_vecs_d[0, 0]))
     stage_s = time.perf_counter() - t0
     results["ivf_flat"] = {
@@ -301,10 +302,21 @@ def main() -> int:
     # ---- IVF-Flat sweep ------------------------------------------------------
     from c99_vectordb_tpu.models.ivf_flat import _ivf_search_program
 
-    ivf_ops = (centroids_d, c_sq_d, list_vecs_d, list_ids_d)
+    if on_tpu:
+        from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_full_search_program
+
+        ivf_ops = (centroids_d, c_sq_d, list_vecs_d, list_sqn_d, list_ids_d)
+        make_ivf_program = lambda nprobe: ivf_full_search_program(  # noqa: E731
+            nlist, pad, d, b, nprobe, k
+        )
+    else:
+        ivf_ops = (centroids_d, c_sq_d, list_vecs_d, list_ids_d)
+        make_ivf_program = lambda nprobe: _ivf_search_program(  # noqa: E731
+            nlist, pad, d, b, nprobe, k
+        )
     for nprobe in args.nprobe_sweep:
         nprobe = min(nprobe, nlist)
-        program = _ivf_search_program(nlist, pad, d, b, nprobe, k)
+        program = make_ivf_program(nprobe)
 
         def ivf_step(q, *ops, _p=program):
             return _p(*ops, q)

@@ -152,11 +152,13 @@ class IVFFlatIndex:
             list_vecs[sorted_lists, slots] = self._vectors[order]
             list_ids[sorted_lists, slots] = self._ids[order]
             c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
+            list_sqn = np.einsum("lpd,lpd->lp", list_vecs, list_vecs)
             self._staged = (
                 jax.device_put(self._centroids.astype(np.float32)),
                 jax.device_put(c_sq.astype(np.float32)),
                 jax.device_put(list_vecs),
                 jax.device_put(list_ids),
+                jax.device_put(list_sqn.astype(np.float32)),
                 pad,
             )
         return self._staged
@@ -170,13 +172,25 @@ class IVFFlatIndex:
         if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
-        centroids, c_sq, list_vecs, list_ids, pad = self._stage()
+        centroids, c_sq, list_vecs, list_ids, list_sqn, pad = self._stage()
         nlist_eff = centroids.shape[0]
         nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
-        program = _ivf_search_program(
-            nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k
-        )
-        dists, out_ids = program(centroids, c_sq, list_vecs, list_ids, queries)
+        if jax.default_backend() == "tpu":
+            # Pallas scalar-prefetch scan: streams probed lists HBM->VMEM
+            # at full bandwidth (XLA's probe gather runs far below it).
+            from ..ops.ivf_scan_pallas import ivf_full_search_program
+
+            program = ivf_full_search_program(
+                nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k
+            )
+            dists, out_ids = program(
+                centroids, c_sq, list_vecs, list_sqn, list_ids, queries
+            )
+        else:
+            program = _ivf_search_program(
+                nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k
+            )
+            dists, out_ids = program(centroids, c_sq, list_vecs, list_ids, queries)
         return np.asarray(dists), np.asarray(out_ids, dtype=np.int64)
 
     def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

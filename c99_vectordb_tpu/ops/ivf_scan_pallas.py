@@ -1,7 +1,7 @@
 """Pallas IVF list-scan kernel — gather-free probing via scalar-prefetch DMA.
 
 XLA lowers the IVF probe gather (`list_vecs[lists]`, a (B, pad, D) row
-gather per probe) to a generic gather that runs ~75x below HBM bandwidth
+gather per probe) to a generic gather that runs far below HBM bandwidth
 on TPU. This kernel replaces it with the idiomatic Mosaic pattern: the
 probed list ids are SCALAR-PREFETCHED, and each grid step's BlockSpec
 index_map uses them to DMA exactly the needed (pad, D) list block from
@@ -13,6 +13,11 @@ adaptive sorted-insertion used by the flat kernel (ops/topk_pallas.py).
 Per step: one (1, D) x (D, pad) MXU matvec + masked distance + 0..k
 insertion rounds. HBM traffic is the theoretical minimum
 B * nprobe * pad * D * itemsize.
+
+Mosaic block-shape constraints shape the layouts: the last two block dims
+must be (8k, 128k)-divisible or equal to the array dims, so queries ride
+as one full (B, D) VMEM block (row-read dynamically), per-list norms/ids
+are stored (nlist, 1, pad), and outputs are (B, 1, k_pad).
 """
 
 from __future__ import annotations
@@ -33,18 +38,19 @@ def _round_up(n: int, m: int) -> int:
 
 def _ivf_scan_kernel(
     lists_ref,      # scalar-prefetch: (B, nprobe) int32 probed list ids
-    q_ref,          # (1, D) current query block
-    vecs_ref,       # (pad, D) the probed list's vectors (DMA'd by index_map)
-    sqn_ref,        # (1, pad) the list's row norms
-    ids_ref,        # (1, pad) the list's external ids (-1 padding)
-    out_d_ref,      # (1, k_pad)
-    out_i_ref,      # (1, k_pad)
+    q_ref,          # (B, D) all queries, VMEM-resident
+    vecs_ref,       # (1, pad, D) the probed list's vectors (DMA'd by index_map)
+    sqn_ref,        # (1, 1, pad) the list's row norms
+    ids_ref,        # (1, 1, pad) the list's external ids (-1 padding)
+    out_d_ref,      # (1, 1, k_pad)
+    out_i_ref,      # (1, 1, k_pad)
     best_d,         # scratch (1, k_pad)
     best_i,         # scratch (1, k_pad)
     *,
     k: int,
     k_pad: int,
 ):
+    q_idx = pl.program_id(0)
     p_idx = pl.program_id(1)
 
     @pl.when(p_idx == 0)
@@ -52,16 +58,16 @@ def _ivf_scan_kernel(
         best_d[:] = jnp.full_like(best_d[:], jnp.inf)
         best_i[:] = jnp.full_like(best_i[:], jnp.iinfo(jnp.int32).max)
 
-    q = q_ref[:]                                   # (1, D)
+    q = q_ref[pl.ds(q_idx, 1), :]                  # (1, D)
     x = vecs_ref[0]                                # (pad, D)
     ip = jax.lax.dot_general(
         q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # (1, pad)
     qf = q.astype(jnp.float32)
-    dist = jnp.sum(qf * qf) + sqn_ref[:] - 2.0 * ip
+    dist = jnp.sum(qf * qf) + sqn_ref[0] - 2.0 * ip
     dist = jnp.maximum(dist, 0.0)
-    ids = ids_ref[:]                               # (1, pad)
+    ids = ids_ref[0]                               # (1, pad)
     dist = jnp.where(ids >= 0, dist, jnp.inf)
 
     pad = dist.shape[1]
@@ -88,8 +94,8 @@ def _ivf_scan_kernel(
 
     jax.lax.fori_loop(0, rounds, extract_and_insert, dist)
 
-    out_d_ref[:] = best_d[:]
-    out_i_ref[:] = best_i[:]
+    out_d_ref[0] = best_d[:]
+    out_i_ref[0] = best_i[:]
 
 
 @functools.lru_cache(maxsize=None)
@@ -98,7 +104,9 @@ def ivf_scan_program(
     db_dtype=jnp.float32,
 ):
     """Returns jitted (lists, queries, list_vecs, list_sqn, list_ids) ->
-    (dists (b, k_pad), ids (b, k_pad)) with ascending per-query results."""
+    (dists (b, k), ids (b, k)) ascending per query.
+
+    list_vecs: (nlist, pad, dim); list_sqn/list_ids: (nlist, pad)."""
     k_pad = _round_up(max(k, 1), LANE)
     kernel = functools.partial(_ivf_scan_kernel, k=k, k_pad=k_pad)
 
@@ -106,14 +114,14 @@ def ivf_scan_program(
         num_scalar_prefetch=1,
         grid=(b, nprobe),
         in_specs=[
-            pl.BlockSpec((1, dim), lambda i, p, lists: (i, 0)),
+            pl.BlockSpec((b, dim), lambda i, p, lists: (0, 0)),
             pl.BlockSpec((1, pad, dim), lambda i, p, lists: (lists[i, p], 0, 0)),
-            pl.BlockSpec((1, pad), lambda i, p, lists: (lists[i, p], 0)),
-            pl.BlockSpec((1, pad), lambda i, p, lists: (lists[i, p], 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (lists[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (lists[i, p], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, k_pad), lambda i, p, lists: (i, 0)),
-            pl.BlockSpec((1, k_pad), lambda i, p, lists: (i, 0)),
+            pl.BlockSpec((1, 1, k_pad), lambda i, p, lists: (i, 0, 0)),
+            pl.BlockSpec((1, 1, k_pad), lambda i, p, lists: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, k_pad), jnp.float32),
@@ -126,8 +134,8 @@ def ivf_scan_program(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, k_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -142,9 +150,17 @@ def ivf_scan_program(
 
     @jax.jit
     def run(lists, queries, list_vecs, list_sqn, list_ids):
-        out_d, out_i = call(lists, queries, list_vecs, list_sqn, list_ids)
+        out_d, out_i = call(
+            lists,
+            queries,
+            list_vecs,
+            list_sqn.reshape(nlist, 1, pad),
+            list_ids.reshape(nlist, 1, pad),
+        )
+        out_d = out_d[:, 0, :k]
+        out_i = out_i[:, 0, :k]
         big = jnp.iinfo(jnp.int32).max
-        return out_d[:, :k], jnp.where(out_i[:, :k] == big, -1, out_i[:, :k])
+        return out_d, jnp.where(out_i == big, -1, out_i)
 
     return run
 

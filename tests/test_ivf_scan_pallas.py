@@ -21,8 +21,7 @@ def staged_ivf():
     ivf = IVFFlatIndex(dim=64, nlist=16, nprobe=16)
     ivf.train(points)
     ivf.add(points, ids)
-    centroids, c_sq, list_vecs, list_ids, pad = ivf._stage()
-    list_sqn = jnp.sum(list_vecs * list_vecs, axis=-1)
+    centroids, c_sq, list_vecs, list_ids, list_sqn, pad = ivf._stage()
     return points, ids, (centroids, c_sq, list_vecs, list_sqn, list_ids, pad), ivf
 
 
