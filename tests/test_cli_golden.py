@@ -178,6 +178,57 @@ class TestSaveRecall:
         assert dists[0, 0] < 1e-6
 
 
+class TestMoreParity:
+    def test_global_flags_position_independent(self, run, tmp_path):
+        # -f may come after the command words (reference scans argv globally)
+        path = write_input(tmp_path, "in.yaml", SAVE_INPUT)
+        rc, out, _ = run("save", path, "-f", "db")
+        assert rc == 0
+        assert out.splitlines()[0].startswith("Memorized:")
+
+    def test_recall_yaml_with_filter(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run(
+            "-f", "db", "recall", "--yaml", "-k", "5", "--filter",
+            "{priority: {$gte: 3}}", "preference",
+        )
+        parsed = yaml.safe_load(out)
+        assert [r["id"] for r in parsed["results"]] == [1]
+
+    def test_stats_date_range_via_cli(self, run, tmp_path):
+        docs = (
+            "---\nmetadata: {t: '2024-01-02T10:00:00Z'}\nbody: a\n"
+            "---\nmetadata: {t: '2024-03-04T10:00:00Z'}\nbody: b\n"
+        )
+        run("-f", "db3", "save", write_input(tmp_path, "d.yaml", docs))
+        rc, out, _ = run("-f", "db3", "analyze", "--filter", "{}", "--stats", "t")
+        lines = out.splitlines()
+        assert "Range (date-like):" in lines
+        assert "  start: 2024-01-02" in lines
+        assert "  end:   2024-03-04" in lines
+
+    def test_invalid_filter_after_header(self, run, tmp_path):
+        # reference parses the filter AFTER printing the header line
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, err = run("-f", "db", "recall", "--filter", "{bad: [", "q")
+        assert rc == 1
+        assert out == "Top 2 results:\n"
+        assert err.startswith("Error: invalid --filter expression:")
+
+    def test_k_requires_integer(self, run):
+        rc, _, err = run("-f", "db", "recall", "-k", "abc", "q")
+        assert rc == 1
+        assert err == "Error: -k requires an integer\n"
+
+    def test_empty_filter_string_hides_metadataless(self, run, tmp_path):
+        mixed = "---\nbody: no meta note\n---\nmetadata: {s: 1}\nbody: with meta note\n"
+        run("-f", "db4", "save", write_input(tmp_path, "m.yaml", mixed))
+        rc, out, _ = run("-f", "db4", "recall", "-k", "5", "--filter", "{}", "note")
+        shown = [ln for ln in out.splitlines() if ln.startswith("  [")]
+        assert len(shown) == 1
+        assert shown[0].startswith("  [1]")
+
+
 class TestOverwrite:
     def test_overwrite_by_id(self, run, tmp_path):
         run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
