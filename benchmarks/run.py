@@ -297,7 +297,7 @@ def main() -> int:
         "sweep": {},
     }
     print(f"ivf_flat build  {coarse_s + stage_s:.1f}s (pad={pad})", flush=True)
-    del db, sq_norms, flat_step  # free HBM for the sweeps
+    del sq_norms, flat_step  # db is retained for the PQ exact-rerank sweep
 
     # ---- IVF-Flat sweep ------------------------------------------------------
     from c99_vectordb_tpu.models.ivf_flat import _ivf_search_program
@@ -348,6 +348,36 @@ def main() -> int:
                 "qps": round(qps, 1), "recall": round(rec, 4)
             }
             print(f"ivf_pq  p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}", flush=True)
+
+        # -- refined PQ: ADC top-(4k) candidates exactly re-ranked on device
+        from c99_vectordb_tpu.ops.topk import merge_topk
+
+        k_adc = 4 * k
+        refine_probe = min(args.nprobe_sweep[0], nlist)
+        adc_wide = _adc_search_program(
+            nlist, pad, d, args.pq_m, 256, b, refine_probe, k_adc
+        )
+
+        def refined_step(q, _db, *ops, _p=adc_wide):
+            cd, ci = _p(*ops, q)
+            vecs = _db[jnp.maximum(ci, 0)]
+            exact = jnp.sum((vecs - q[:, None, :]) ** 2, axis=-1)
+            exact = jnp.where(ci >= 0, exact, jnp.inf)
+            return merge_topk(exact, ci, k)
+
+        refined_ops = (db,) + pq_ops
+        _, ai = jax.jit(refined_step)(eval_q_dev, *refined_ops)
+        rec = recall_at_k(np.asarray(ai), gt_i)
+        qps = timed_scan_qps(refined_step, refined_ops, make_qstack, b, args.iters)
+        results["ivf_pq"]["refined"] = {
+            "nprobe": refine_probe, "k_adc": k_adc,
+            "qps": round(qps, 1), "recall": round(rec, 4),
+        }
+        print(
+            f"ivf_pq refined (p={refine_probe}, top{k_adc} rerank) "
+            f"qps={qps:,.0f}  recall@{k}={rec:.3f}",
+            flush=True,
+        )
 
     # ---- CPU baseline ------------------------------------------------------------
     if not args.skip_cpu:

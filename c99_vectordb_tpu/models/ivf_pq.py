@@ -101,7 +101,14 @@ class IVFPQIndex:
         nprobe: int = 8,
         m: int = 8,
         ksub: int = 256,
+        refine: bool = True,
+        refine_factor: int = 4,
     ):
+        """refine=True keeps raw vectors and exactly re-ranks the ADC
+        top-(k*refine_factor) candidates (the FAISS IndexRefineFlat
+        pattern) — ADC alone caps recall@10 well below 1.0 because the
+        quantization error is on the same scale as neighbor gaps. Set
+        refine=False for a pure compressed index (m bytes/vector)."""
         if dim % m != 0:
             raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
         self.dim = int(dim)
@@ -109,6 +116,9 @@ class IVFPQIndex:
         self.nprobe = int(nprobe)
         self.m = int(m)
         self.ksub = int(ksub)
+        self.refine = bool(refine)
+        self.refine_factor = int(refine_factor)
+        self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
         self._codes = np.zeros((0, self.m), dtype=np.uint8)
         self._assign: np.ndarray | None = None
@@ -174,11 +184,15 @@ class IVFPQIndex:
         self._ids = np.concatenate([self._ids, ids])
         self._codes = np.concatenate([self._codes, codes], axis=0)
         self._assign = np.concatenate([old_assign, assign])
+        if self.refine:
+            self._vectors = np.concatenate([self._vectors, vectors], axis=0)
         if not np.all(self._ids[:-1] <= self._ids[1:]):
             order = np.argsort(self._ids, kind="stable")
             self._ids = self._ids[order]
             self._codes = self._codes[order]
             self._assign = self._assign[order]
+            if self.refine:
+                self._vectors = self._vectors[order]
         self._staged = None
 
     # -- device staging ----------------------------------------------------------------
@@ -221,14 +235,38 @@ class IVFPQIndex:
         centroids, c_sq, codebooks, list_codes, list_ids, pad = self._stage()
         nlist_eff = centroids.shape[0]
         nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
+        k_adc = min(k * self.refine_factor, self.ntotal) if self.refine else k
+        k_adc = max(k_adc, k)
         program = _adc_search_program(
             nlist_eff, pad, self.dim, self.m, codebooks.shape[1],
-            queries.shape[0], nprobe_eff, k,
+            queries.shape[0], nprobe_eff, k_adc,
         )
         dists, out_ids = program(
             centroids, c_sq, codebooks, list_codes, list_ids, queries
         )
-        return np.asarray(dists), np.asarray(out_ids, dtype=np.int64)
+        dists = np.asarray(dists)
+        out_ids = np.asarray(out_ids, dtype=np.int64)
+        if not self.refine:
+            return dists[:, :k], out_ids[:, :k]
+        return self._rerank_exact(queries, dists, out_ids, k)
+
+    def _rerank_exact(
+        self, queries: np.ndarray, adc_d: np.ndarray, cand: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Re-rank ADC candidates by exact squared-L2 on retained vectors."""
+        b, r = cand.shape
+        rows = np.searchsorted(self._ids, np.maximum(cand, 0))
+        rows = np.clip(rows, 0, max(self.ntotal - 1, 0))
+        gathered = self._vectors[rows]                       # (B, R, D)
+        exact = ((gathered - queries[:, None, :]) ** 2).sum(-1).astype(np.float32)
+        exact = np.where(cand >= 0, exact, np.inf)
+        out_d = np.full((b, k), np.inf, np.float32)
+        out_i = np.full((b, k), -1, np.int64)
+        for q in range(b):
+            order = np.lexsort((cand[q], exact[q]))[:k]
+            out_d[q] = exact[q][order]
+            out_i[q] = np.where(np.isinf(out_d[q]), -1, cand[q][order])
+        return out_d, out_i
 
     def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """ADC ranking of every stored code (probes all lists)."""
@@ -248,6 +286,7 @@ class IVFPQIndex:
         params = {
             "dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe,
             "m": self.m, "ksub": self.ksub,
+            "refine": self.refine, "refine_factor": self.refine_factor,
         }
         empty_books = np.zeros((self.m, 0, self.dim // self.m), np.float32)
         arrays = {
@@ -256,6 +295,7 @@ class IVFPQIndex:
             "assign": self._assign if self._assign is not None else np.zeros((0,), np.int32),
             "centroids": self._centroids if self._centroids is not None else np.zeros((0, self.dim), np.float32),
             "codebooks": self._codebooks if self._codebooks is not None else empty_books,
+            "vectors": self._vectors,
         }
         return params, arrays
 
@@ -264,7 +304,11 @@ class IVFPQIndex:
         index = cls(
             dim=int(params["dim"]), nlist=int(params["nlist"]),
             nprobe=int(params["nprobe"]), m=int(params["m"]), ksub=int(params["ksub"]),
+            refine=bool(params.get("refine", False)),
+            refine_factor=int(params.get("refine_factor", 4)),
         )
+        if "vectors" in arrays and arrays["vectors"].size:
+            index._vectors = np.ascontiguousarray(arrays["vectors"], dtype=np.float32)
         if arrays["centroids"].size:
             index._centroids = np.ascontiguousarray(arrays["centroids"], dtype=np.float32)
         if arrays["codebooks"].size:

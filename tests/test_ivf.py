@@ -189,3 +189,33 @@ class TestIVFPQ:
     def test_dim_divisibility_enforced(self):
         with pytest.raises(ValueError, match="divisible"):
             IVFPQIndex(dim=30, m=8)
+
+    def test_refine_beats_pure_adc(self, clustered_data):
+        points, ids, _ = clustered_data
+        rng = np.random.default_rng(21)
+        queries = points[rng.choice(len(points), 8)] + 0.01
+        flat = FlatIndex(dim=32)
+        flat.add(points, ids)
+
+        pure = IVFPQIndex(dim=32, nlist=16, nprobe=16, m=8, refine=False)
+        pure.train(points)
+        pure.add(points, ids)
+        refined = IVFPQIndex(dim=32, nlist=16, nprobe=16, m=8, refine=True)
+        refined.train(points)
+        refined.add(points, ids)
+
+        r_pure = recall_at_k(pure, flat, queries, 10)
+        r_refined = recall_at_k(refined, flat, queries, 10)
+        assert r_refined >= r_pure
+        assert r_refined >= 0.9  # exact re-rank of ADC top-40
+
+    def test_refine_round_trips(self, tmp_path, clustered_data):
+        points, ids, _ = clustered_data
+        pq = IVFPQIndex(dim=32, nlist=8, m=4, refine=True)
+        pq.train(points[:512])
+        pq.add(points[:512], ids[:512])
+        write_index(pq, tmp_path / "rq.memo")
+        loaded = read_index(tmp_path / "rq.memo")
+        assert loaded.refine is True
+        q = points[3][None]
+        np.testing.assert_array_equal(loaded.search(q, 5)[1], pq.search(q, 5)[1])
