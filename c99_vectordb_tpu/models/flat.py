@@ -90,9 +90,17 @@ class FlatIndex:
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
         vecs, ids, valid, sq_norms = self._staged()
         k_eff = min(k, vecs.shape[0])
-        dists, out_ids = topk_program(vecs.shape[0], self.dim, k_eff)(
-            vecs, ids, valid, sq_norms, queries
-        )
+        if jax.default_backend() == "tpu" and vecs.shape[0] >= 1024:
+            # Fused Pallas kernel: streams DB tiles HBM->VMEM with the
+            # running top-k on chip; the padded pow2 capacity >= 1024 is
+            # always a tile multiple. (Smaller DBs: one XLA matmul wins.)
+            from ..ops.topk_pallas import fused_topk
+
+            dists, out_ids = fused_topk(vecs, ids, sq_norms, queries, k_eff)
+        else:
+            dists, out_ids = topk_program(vecs.shape[0], self.dim, k_eff)(
+                vecs, ids, valid, sq_norms, queries
+            )
         dists = np.asarray(dists)
         out_ids = np.asarray(out_ids, dtype=np.int64)
         if k_eff < k:
