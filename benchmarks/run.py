@@ -260,6 +260,16 @@ def main() -> int:
 
         list_codes_d = scatter_codes(codes_d, order_d, lists_d, slots_d)
         float(jnp.sum(list_codes_d.astype(jnp.int32)[0, 0]))
+        if on_tpu:
+            # Host-side per-item ADC constant for the Pallas kernel (a ~m*n
+            # numpy pass; only codes (~n*m uint8) cross the device boundary).
+            from c99_vectordb_tpu.ops.adc_pallas import build_item_constants
+
+            codes_host = np.asarray(codes_d).T.astype(np.uint8)
+            pq_item_const = build_item_constants(
+                np.asarray(centroids_d), assign, codes_host, np.asarray(books_d),
+                order, sorted_lists, slots, nlist, pad,
+            )
         pq_build_s = time.perf_counter() - t0
         del codes_d
         results["ivf_pq"] = {
@@ -333,10 +343,35 @@ def main() -> int:
     if list_codes_d is not None:
         from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
 
-        pq_ops = (centroids_d, c_sq_d, books_d, list_codes_d, list_ids_d)
+        if on_tpu:
+            # Pallas ADC path: codes padded to 128 subspace lanes + the
+            # host-built per-item constant (see ops/adc_pallas.py).
+            from c99_vectordb_tpu.ops.adc_pallas import (
+                CODE_LANES,
+                adc_full_search_program,
+            )
+
+            codes128_d = jax.jit(
+                lambda c: jnp.pad(
+                    c.transpose(0, 2, 1),
+                    ((0, 0), (0, CODE_LANES - args.pq_m), (0, 0)),
+                )
+            )(list_codes_d)
+            item_const_d = jnp.asarray(pq_item_const)
+            pq_ops = (
+                centroids_d, c_sq_d, books_d, codes128_d, item_const_d, list_ids_d
+            )
+            make_pq_program = lambda nprobe, kk: adc_full_search_program(  # noqa: E731
+                nlist, pad, d, args.pq_m, 256, b, nprobe, kk
+            )
+        else:
+            pq_ops = (centroids_d, c_sq_d, books_d, list_codes_d, list_ids_d)
+            make_pq_program = lambda nprobe, kk: _adc_search_program(  # noqa: E731
+                nlist, pad, d, args.pq_m, 256, b, nprobe, kk
+            )
         for nprobe in args.nprobe_sweep:
             nprobe = min(nprobe, nlist)
-            program = _adc_search_program(nlist, pad, d, args.pq_m, 256, b, nprobe, k)
+            program = make_pq_program(nprobe, k)
 
             def pq_step(q, *ops, _p=program):
                 return _p(*ops, q)
@@ -354,9 +389,7 @@ def main() -> int:
 
         k_adc = 4 * k
         refine_probe = min(args.nprobe_sweep[0], nlist)
-        adc_wide = _adc_search_program(
-            nlist, pad, d, args.pq_m, 256, b, refine_probe, k_adc
-        )
+        adc_wide = make_pq_program(refine_probe, k_adc)
 
         def refined_step(q, _db, *ops, _p=adc_wide):
             cd, ci = _p(*ops, q)

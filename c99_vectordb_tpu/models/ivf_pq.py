@@ -213,12 +213,25 @@ class IVFPQIndex:
             list_codes[sorted_lists, slots] = self._codes[order]
             list_ids[sorted_lists, slots] = self._ids[order]
             c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
+
+            # Pallas ADC layout: codes padded to 128 subspace lanes + the
+            # per-item constant (ops/adc_pallas.py docstring).
+            from ..ops.adc_pallas import CODE_LANES, build_item_constants
+
+            codes128 = np.zeros((nlist_eff, CODE_LANES, pad), np.uint8)
+            codes128[:, : self.m, :] = list_codes.transpose(0, 2, 1)
+            item_const = build_item_constants(
+                self._centroids, self._assign, self._codes, self._codebooks,
+                order, sorted_lists, slots, nlist_eff, pad,
+            )
             self._staged = (
                 jax.device_put(self._centroids.astype(np.float32)),
                 jax.device_put(c_sq.astype(np.float32)),
                 jax.device_put(self._codebooks),
                 jax.device_put(list_codes),
                 jax.device_put(list_ids),
+                jax.device_put(codes128),
+                jax.device_put(item_const),
                 pad,
             )
         return self._staged
@@ -232,18 +245,33 @@ class IVFPQIndex:
         if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
-        centroids, c_sq, codebooks, list_codes, list_ids, pad = self._stage()
+        (
+            centroids, c_sq, codebooks, list_codes, list_ids,
+            codes128, item_const, pad,
+        ) = self._stage()
         nlist_eff = centroids.shape[0]
+        ksub_eff = codebooks.shape[1]
         nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
         k_adc = min(k * self.refine_factor, self.ntotal) if self.refine else k
         k_adc = max(k_adc, k)
-        program = _adc_search_program(
-            nlist_eff, pad, self.dim, self.m, codebooks.shape[1],
-            queries.shape[0], nprobe_eff, k_adc,
-        )
-        dists, out_ids = program(
-            centroids, c_sq, codebooks, list_codes, list_ids, queries
-        )
+        if jax.default_backend() == "tpu" and ksub_eff == 256:
+            from ..ops.adc_pallas import adc_full_search_program
+
+            program = adc_full_search_program(
+                nlist_eff, pad, self.dim, self.m, ksub_eff,
+                queries.shape[0], nprobe_eff, k_adc,
+            )
+            dists, out_ids = program(
+                centroids, c_sq, codebooks, codes128, item_const, list_ids, queries
+            )
+        else:
+            program = _adc_search_program(
+                nlist_eff, pad, self.dim, self.m, ksub_eff,
+                queries.shape[0], nprobe_eff, k_adc,
+            )
+            dists, out_ids = program(
+                centroids, c_sq, codebooks, list_codes, list_ids, queries
+            )
         dists = np.asarray(dists)
         out_ids = np.asarray(out_ids, dtype=np.int64)
         if not self.refine:

@@ -1,0 +1,244 @@
+"""Pallas ADC (asymmetric distance computation) kernel for IVF-PQ search.
+
+The XLA ADC path gathers a per-query lookup table with take_along_axis —
+a generic gather that runs ~100x below achievable rates on TPU, and
+Mosaic supports no in-kernel dynamic gather at all (probed 2026-08-16).
+This kernel avoids the residual-LUT gather entirely by algebra:
+
+  d(q, item) = || (q - c) - y ||^2   summed over subspaces j, where
+               c = item's coarse centroid, y_j = codebook_j[code_j]
+             = ||q - c||^2                       (the COARSE distance)
+               - 2 * sum_j q_j . y_jc_j          (query-only dot table QD)
+               + sum_j (2 c_j . y_jc_j + ||y_jc_j||^2)
+                 == ||x_hat||^2 - ||c||^2        (per-ITEM constant)
+
+so per probed item the kernel needs: the coarse distance (computed by the
+XLA prologue's top-k), a per-item constant baked at BUILD time, and
+sum_j QD[j, code_j] — a lookup into the (m, 256) query table that is
+VMEM-resident per grid step and evaluated with a chunked one-hot
+compare+mul+sum (the one Mosaic-legal "gather").
+
+Grid: (B, nprobe), probe ids scalar-prefetched exactly like the IVF-Flat
+scan (ops/ivf_scan_pallas.py); per-query top-k carried in VMEM scratch
+with the adaptive sorted-insertion update. HBM traffic per step is just
+the list's codes (pad x 128 bytes) + ids + constants.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+CODE_LANES = 128          # m padded up to one lane tile of subspaces
+_SUB_CHUNK = 8            # subspaces per one-hot chunk (bounds VMEM)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _adc_kernel(
+    lists_ref,      # scalar-prefetch: (B, nprobe) int32 probed list ids
+    qd_ref,         # (1, CODE_LANES, ksub) query dot table (rows >= m are 0)
+    pc_ref,         # SMEM (1, 1, nprobe): coarse distance of each probe
+    codes_ref,      # (1, CODE_LANES, pad) uint8, subspace-major (rows >= m are 0)
+    const_ref,      # (1, 1, pad) per-item constant
+    ids_ref,        # (1, 1, pad) external ids, -1 padding
+    out_d_ref,      # (1, 1, k_pad)
+    out_i_ref,      # (1, 1, k_pad)
+    best_d,         # scratch (1, k_pad)
+    best_i,         # scratch (1, k_pad)
+    *,
+    k: int,
+    k_pad: int,
+    ksub: int,
+    m: int,
+):
+    p_idx = pl.program_id(1)
+
+    @pl.when(p_idx == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d[:], jnp.inf)
+        best_i[:] = jnp.full_like(best_i[:], jnp.iinfo(jnp.int32).max)
+
+    qd = qd_ref[0]                                  # (CODE_LANES, ksub)
+    codes = codes_ref[0].astype(jnp.int32)          # (CODE_LANES, pad)
+    pad = codes.shape[1]
+
+    # sum_j QD[j, code_j], one subspace at a time: build the (ksub, pad)
+    # one-hot of this subspace's codes and contract it against the QD row
+    # with a (1, ksub) x (ksub, pad) MXU matmul. Strictly 2-D elementwise
+    # + matmul ops — Mosaic miscompiles 3-D vector reductions and batched
+    # matvecs for these shapes. Rows >= m hold zero codes and zero QD.
+    code_iota = jax.lax.broadcasted_iota(jnp.int32, (ksub, pad), 0)
+    qdot = jnp.zeros((1, pad), jnp.float32)
+    for j in range(m):
+        sel = (code_iota == codes[j : j + 1, :]).astype(jnp.float32)
+        qdot = qdot + jax.lax.dot_general(
+            qd[j : j + 1, :], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    coarse = pc_ref[0, 0, p_idx]                    # scalar from SMEM
+    dist = coarse - 2.0 * qdot + const_ref[0]       # (1, pad)
+    dist = jnp.maximum(dist, 0.0)
+    ids = ids_ref[0]                                # (1, pad)
+    dist = jnp.where(ids >= 0, dist, jnp.inf)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, pad), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+
+    worst = best_d[0, k - 1]
+    rounds = jnp.minimum(jnp.sum((dist < worst).astype(jnp.int32)), k)
+
+    def extract_and_insert(_, remaining):
+        m = jnp.min(remaining, axis=1, keepdims=True)
+        first = jnp.min(jnp.where(remaining == m, col, pad), axis=1, keepdims=True)
+        hit = col == first
+        vid = jnp.sum(jnp.where(hit, ids, 0), axis=1, keepdims=True)
+        bd = best_d[:]
+        bi = best_i[:]
+        pos = jnp.sum((bd <= m).astype(jnp.int32), axis=1, keepdims=True)
+        before = out_col < pos
+        at = out_col == pos
+        best_d[:] = jnp.where(before, bd, jnp.where(at, m, pltpu.roll(bd, 1, axis=1)))
+        best_i[:] = jnp.where(before, bi, jnp.where(at, vid, pltpu.roll(bi, 1, axis=1)))
+        return jnp.where(hit, jnp.inf, remaining)
+
+    jax.lax.fori_loop(0, rounds, extract_and_insert, dist)
+
+    out_d_ref[0] = best_d[:]
+    out_i_ref[0] = best_i[:]
+
+
+@functools.lru_cache(maxsize=None)
+def adc_scan_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: int, k: int):
+    """Jitted (lists, probe_coarse, qd, codes128, item_const, list_ids) ->
+    (dists (b, k), ids (b, k)).
+
+    codes128: (nlist, 128, pad) uint8 SUBSPACE-MAJOR, rows >= m zeroed;
+    qd: (b, 128, ksub) f32 with rows >= m zeroed; item_const: (nlist, pad);
+    probe_coarse: (b, nprobe) coarse distances aligned with `lists`."""
+    k_pad = _round_up(max(k, 1), LANE)
+    kernel = functools.partial(_adc_kernel, k=k, k_pad=k_pad, ksub=ksub, m=m)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, CODE_LANES, ksub), lambda i, p, L: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, nprobe), lambda i, p, L: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, CODE_LANES, pad), lambda i, p, L: (L[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, k_pad), lambda i, p, L: (i, 0, 0)),
+            pl.BlockSpec((1, 1, k_pad), lambda i, p, L: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, k_pad), jnp.float32),
+            pltpu.VMEM((1, k_pad), jnp.int32),
+        ],
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nprobe * pad * m * ksub,
+            bytes_accessed=b * nprobe * pad * (CODE_LANES + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(lists, probe_coarse, qd, codes128, item_const, list_ids):
+        out_d, out_i = call(
+            lists,
+            qd,
+            probe_coarse.reshape(b, 1, nprobe),
+            codes128,
+            item_const.reshape(nlist, 1, pad),
+            list_ids.reshape(nlist, 1, pad),
+        )
+        out_d = out_d[:, 0, :k]
+        out_i = out_i[:, 0, :k]
+        big = jnp.iinfo(jnp.int32).max
+        return out_d, jnp.where(out_i == big, -1, out_i)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def adc_full_search_program(
+    nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int, k: int
+):
+    """Coarse XLA prologue (centroid matmul + top-k + query dot table) then
+    the Pallas ADC scan."""
+    scan = adc_scan_program(nlist, pad, m, ksub, b, nprobe, k)
+    dsub = dim // m
+
+    @jax.jit
+    def run(centroids, c_sq, codebooks, codes128, item_const, list_ids, queries):
+        coarse = (
+            jnp.sum(queries * queries, axis=1, keepdims=True)
+            + c_sq[None, :]
+            - 2.0 * jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+        )
+        neg, probes = jax.lax.top_k(-coarse, nprobe)
+        probe_coarse = jnp.maximum(-neg, 0.0)
+
+        # QD[b, j, c] = q_bj . codebook_jc — one MXU einsum per batch.
+        q_sub = queries.reshape(b, m, dsub)
+        qd = jnp.einsum(
+            "bjd,jcd->bjc", q_sub, codebooks, preferred_element_type=jnp.float32
+        )
+        qd = jnp.pad(qd, ((0, 0), (0, CODE_LANES - m), (0, 0)))
+
+        return scan(
+            probes.astype(jnp.int32), probe_coarse, qd, codes128, item_const, list_ids
+        )
+
+    return run
+
+
+def build_item_constants(
+    centroids, assign, codes, codebooks, list_order, sorted_lists, slots, nlist, pad
+):
+    """Host-side build of the per-item ADC constant, scattered into the
+    padded list layout: const[item] = ||x_hat||^2 - ||c||^2
+                                    = sum_j (2 c_j . y_j + ||y_j||^2).
+
+    centroids (nlist, D) f32; assign (n,) int32; codes (n, m) uint8;
+    codebooks (m, ksub, dsub) f32. list_order/sorted_lists/slots are the
+    same bucketing arrays used to scatter codes/ids."""
+    import numpy as np
+
+    n, m = codes.shape
+    dsub = codebooks.shape[2]
+    cent_sub = centroids.reshape(centroids.shape[0], m, dsub)
+    const = np.zeros((n,), np.float32)
+    for j in range(m):
+        y = codebooks[j][codes[:, j]]                      # (n, dsub)
+        c_j = cent_sub[assign, j]                          # (n, dsub)
+        const += 2.0 * np.einsum("nd,nd->n", c_j, y) + np.einsum("nd,nd->n", y, y)
+    out = np.zeros((nlist, pad), np.float32)
+    out[sorted_lists, slots] = const[list_order]
+    return out

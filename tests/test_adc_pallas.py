@@ -1,0 +1,68 @@
+"""Pallas ADC kernel vs the XLA ADC path (identical estimator, different
+evaluation): distances and ids must agree."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from c99_vectordb_tpu.models.ivf_pq import IVFPQIndex, _adc_search_program
+from c99_vectordb_tpu.ops.adc_pallas import adc_full_search_program
+
+
+@pytest.fixture(scope="module")
+def staged_pq():
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((16, 32)).astype(np.float32) * 5.0
+    points = np.concatenate(
+        [c + rng.standard_normal((128, 32)).astype(np.float32) for c in centers]
+    )
+    ids = np.arange(points.shape[0], dtype=np.int64)
+    pq = IVFPQIndex(dim=32, nlist=16, m=4, refine=False)
+    pq.train(points)
+    pq.add(points, ids)
+    return points, pq, pq._stage()
+
+
+class TestPallasADC:
+    def test_matches_xla_adc(self, staged_pq):
+        points, pq, staged = staged_pq
+        (
+            centroids, c_sq, codebooks, list_codes, list_ids,
+            codes128, item_const, pad,
+        ) = staged
+        assert codebooks.shape[1] == 256
+        rng = np.random.default_rng(5)
+        queries = (points[rng.choice(len(points), 2)] + 0.1).astype(np.float32)
+
+        xla = _adc_search_program(16, pad, 32, 4, 256, 2, 4, 5)
+        d_x, i_x = xla(centroids, c_sq, codebooks, list_codes, list_ids,
+                       jnp.asarray(queries))
+
+        pallas = adc_full_search_program(16, pad, 32, 4, 256, 2, 4, 5)
+        d_p, i_p = pallas(centroids, c_sq, codebooks, codes128, item_const,
+                          list_ids, jnp.asarray(queries))
+
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+        np.testing.assert_allclose(
+            np.asarray(d_p), np.asarray(d_x), rtol=1e-3, atol=1e-2
+        )
+
+    def test_item_constant_identity(self, staged_pq):
+        # const = ||x_hat||^2 - ||c||^2 for each encoded item
+        points, pq, staged = staged_pq
+        (_, _, _, _, list_ids, _, item_const, pad) = staged
+        books = pq._codebooks
+        m, dsub = pq.m, pq.dim // pq.m
+        li = np.asarray(list_ids)
+        const = np.asarray(item_const)
+        rows = np.flatnonzero(li.reshape(-1) >= 0)[:20]
+        for flat in rows:
+            l, s = divmod(int(flat), pad)
+            rid = int(li[l, s])
+            row = int(np.searchsorted(pq._ids, rid))
+            code = pq._codes[row]
+            y = np.concatenate([books[j][code[j]] for j in range(m)])
+            c = np.asarray(pq._centroids)[pq._assign[row]]
+            want = float(((c + y) ** 2).sum() - (c**2).sum())
+            assert abs(const[l, s] - want) < 1e-2
