@@ -387,7 +387,9 @@ def main() -> int:
         # -- refined PQ: ADC top-(4k) candidates exactly re-ranked on device
         from c99_vectordb_tpu.ops.topk import merge_topk
 
-        k_adc = 4 * k
+        # ADC is cheap now (Pallas kernel), so a deep shortlist costs little
+        # and the exact re-rank recovers most of the quantization loss.
+        k_adc = 10 * k
         refine_probe = min(args.nprobe_sweep[0], nlist)
         adc_wide = make_pq_program(refine_probe, k_adc)
 
