@@ -414,6 +414,32 @@ def main() -> int:
             flush=True,
         )
 
+    # ---- bf16 inverted lists: halves the scan's HBM traffic ----------------
+    if on_tpu:
+        del db
+        list_vecs16 = jax.jit(lambda v: v.astype(jnp.bfloat16))(list_vecs_d)
+        float(jnp.sum(list_vecs16[0, 0].astype(jnp.float32)))
+        del list_vecs_d
+        ivf16_ops = (centroids_d, c_sq_d, list_vecs16, list_sqn_d, list_ids_d)
+        results["ivf_flat_bf16"] = {"sweep": {}}
+        for nprobe in args.nprobe_sweep[-2:]:
+            nprobe = min(nprobe, nlist)
+            program = ivf_full_search_program(nlist, pad, d, b, nprobe, k)
+
+            def ivf16_step(q, *ops, _p=program):
+                return _p(*ops, q)
+
+            _, ai = program(*ivf16_ops, eval_q_dev)
+            rec = recall_at_k(np.asarray(ai), gt_i)
+            qps = timed_scan_qps(ivf16_step, ivf16_ops, make_qstack, b, args.iters)
+            results["ivf_flat_bf16"]["sweep"][nprobe] = {
+                "qps": round(qps, 1), "recall": round(rec, 4)
+            }
+            print(
+                f"ivf16   p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}",
+                flush=True,
+            )
+
     # ---- CPU baseline ------------------------------------------------------------
     if not args.skip_cpu:
         import torch
