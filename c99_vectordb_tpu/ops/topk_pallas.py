@@ -42,15 +42,19 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
-                  best_d, best_i, *, k: int, k_pad: int):
-    n_idx = pl.program_id(1)
+                  best_d, best_i, *, k: int, k_pad: int, tile_b: int):
+    n_idx = pl.program_id(0)
+    b_idx = pl.program_id(1)
+    row0 = pl.multiple_of(b_idx * tile_b, 8)
 
     @pl.when(n_idx == 0)
     def _init():
-        best_d[:] = jnp.full_like(best_d[:], jnp.inf)
-        best_i[:] = jnp.full_like(best_i[:], jnp.iinfo(jnp.int32).max)
+        best_d[pl.ds(row0, tile_b), :] = jnp.full((tile_b, k_pad), jnp.inf, jnp.float32)
+        best_i[pl.ds(row0, tile_b), :] = jnp.full(
+            (tile_b, k_pad), jnp.iinfo(jnp.int32).max, jnp.int32
+        )
 
-    q = q_ref[:]                       # (TB, D)
+    q = q_ref[pl.ds(row0, tile_b), :]  # (TB, D) slice of the resident batch
     x = db_ref[:]                      # (TN, D); bf16 storage halves HBM traffic
     ip = jax.lax.dot_general(
         q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
@@ -74,7 +78,7 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
     out_col = jax.lax.broadcasted_iota(jnp.int32, (tb, k_pad), 1)
     tile_ids_b = jnp.broadcast_to(tile_ids, dist.shape)
 
-    worst = best_d[:, k - 1][:, None]                            # (TB, 1) kth best
+    worst = best_d[pl.ds(row0, tile_b), k - 1][:, None]          # (TB, 1) kth best
     counts = jnp.sum((dist < worst).astype(jnp.int32), axis=1)   # (TB,)
     rounds = jnp.minimum(jnp.max(counts), k)                     # scalar, traced
 
@@ -88,53 +92,62 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
         vid = jnp.sum(jnp.where(hit, tile_ids_b, 0), axis=1, keepdims=True)
 
         # -- insert (m, vid) into the sorted scratch via a shift
-        bd = best_d[:]
-        bi = best_i[:]
+        bd = best_d[pl.ds(row0, tile_b), :]
+        bi = best_i[pl.ds(row0, tile_b), :]
         pos = jnp.sum((bd <= m).astype(jnp.int32), axis=1, keepdims=True)
         before = out_col < pos          # unchanged prefix
         at = out_col == pos             # insertion lane (>=k lanes are waste, sliced off)
         shifted_d = pltpu.roll(bd, 1, axis=1)
         shifted_i = pltpu.roll(bi, 1, axis=1)
-        best_d[:] = jnp.where(before, bd, jnp.where(at, m, shifted_d))
-        best_i[:] = jnp.where(before, bi, jnp.where(at, vid, shifted_i))
+        best_d[pl.ds(row0, tile_b), :] = jnp.where(
+            before, bd, jnp.where(at, m, shifted_d)
+        )
+        best_i[pl.ds(row0, tile_b), :] = jnp.where(
+            before, bi, jnp.where(at, vid, shifted_i)
+        )
         return jnp.where(hit, jnp.inf, remaining)
 
     jax.lax.fori_loop(0, rounds, extract_and_insert, dist)
 
-    out_d_ref[:] = best_d[:]
-    out_i_ref[:] = best_i[:]
+    out_d_ref[pl.ds(row0, tile_b), :] = best_d[pl.ds(row0, tile_b), :]
+    out_i_ref[pl.ds(row0, tile_b), :] = best_i[pl.ds(row0, tile_b), :]
 
 
 @functools.lru_cache(maxsize=None)
 def _fused_call(n: int, dim: int, b: int, k: int, k_pad: int, tile_b: int,
                 tile_n: int, db_dtype=jnp.float32):
-    grid = (b // tile_b, n // tile_n)
-    kernel = functools.partial(_fused_kernel, k=k, k_pad=k_pad)
+    # Grid order: database tiles OUTER, query tiles INNER, with the whole
+    # query batch + top-k scratch VMEM-resident. Consecutive inner steps
+    # reuse the same db block (pallas skips the refetch), so ONE streaming
+    # pass over the corpus serves the entire batch — HBM traffic is
+    # n*dim*itemsize + b*dim*4, independent of b/tile_b.
+    grid = (n // tile_n, b // tile_b)
+    kernel = functools.partial(_fused_kernel, k=k, k_pad=k_pad, tile_b=tile_b)
     # Off-TPU (CPU CI) the Mosaic kernel runs in interpreter mode.
     interpret = jax.default_backend() != "tpu"
     call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_b, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, dim), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_b, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_b, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, k_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, k_pad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((tile_b, k_pad), jnp.float32),
-            pltpu.VMEM((tile_b, k_pad), jnp.int32),
+            pltpu.VMEM((b, k_pad), jnp.float32),
+            pltpu.VMEM((b, k_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * dim,
@@ -157,13 +170,16 @@ def fused_topk(
     *,
     tile_b: int = 128,
     tile_n: int = 1024,
+    max_resident_b: int = 1024,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact batched top-k via the fused kernel.
 
-    db: (N, D) float32 rows ascending by id; ids: (N,) int32 with -1 for
-    padding rows; sq_norms: (N,) float32 per-row ||x||^2; queries: (B, D).
-    Returns ascending (distances (B, k), ids (B, k)); empty slots (inf, -1).
-    N must be a multiple of tile_n (callers pad); B is padded here.
+    db: (N, D) float32/bf16 rows ascending by id; ids: (N,) int32 with -1
+    for padding rows; sq_norms: (N,) float32 per-row ||x||^2; queries:
+    (B, D). Returns ascending (distances (B, k), ids (B, k)); empty slots
+    (inf, -1). N must be a multiple of tile_n (callers pad). The whole
+    batch stays VMEM-resident so one corpus scan serves all queries;
+    batches beyond max_resident_b are processed in resident-size chunks.
     """
     n, dim = db.shape
     b = queries.shape[0]
@@ -172,6 +188,19 @@ def fused_topk(
     k_pad = _round_up(max(k, 1), LANE)
     if k_pad > tile_n:
         raise ValueError(f"k ({k}) too large for tile_n ({tile_n})")
+
+    if b > max_resident_b:
+        parts = [
+            fused_topk(
+                db, ids, sq_norms, queries[s0 : s0 + max_resident_b], k,
+                tile_b=tile_b, tile_n=tile_n, max_resident_b=max_resident_b,
+            )
+            for s0 in range(0, b, max_resident_b)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0),
+        )
 
     tb = min(tile_b, _round_up(b, 8))
     b_pad = _round_up(b, tb)
