@@ -352,6 +352,53 @@ class TestCleanReindex:
         assert err == "Error: reindex does not accept extra arguments\n"
 
 
+class TestEdgePaths:
+    def test_mixed_save_overwrite_and_append(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        mixed = (
+            "---\nid: 0\nmetadata: {source: user}\nbody: replaced zero\n"
+            "---\nmetadata: {source: new}\nbody: appended note\n"
+        )
+        rc, out, _ = run("-f", "db", "save", write_input(tmp_path, "mix.yaml", mixed))
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0] == "Memorized: 'replaced zero' (ID: 0)"
+        assert lines[1] == "Memorized: 'appended note' (ID: 3)"
+        rc, out, _ = run("-f", "db", "recall", "-k", "1", "appended note")
+        assert out.splitlines()[1].startswith("  [3] Score: ")
+
+    def test_recall_with_missing_index_file(self, run, tmp_path):
+        # YAML exists, index gone: silent fresh index => header only,
+        # reindex is the documented recovery path
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        (tmp_path / "db.memo").unlink()
+        rc, out, err = run("-f", "db", "recall", "tea")
+        assert rc == 0
+        assert out == "Top 2 results:\n"
+        run("-f", "db", "reindex")
+        rc, out, _ = run("-f", "db", "recall", "-k", "1", "tea coffee")
+        assert "  [0] Score: " in out
+
+    def test_analyze_whole_metadata_column(self, run, tmp_path):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        rc, out, _ = run(
+            "-f", "db", "analyze", "--filter", "{source: agent}",
+            "--fields", "id,metadata",
+        )
+        lines = out.splitlines()
+        assert lines[0] == "Matched: 1"
+        assert lines[1].split()[:2] == ["ID", "metadata"]
+        assert "source: agent" in lines[2]
+
+    def test_save_into_subdirectory_base(self, run, tmp_path):
+        rc, out, _ = run(
+            "-f", "deep/dir/db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT)
+        )
+        assert rc == 0
+        assert (tmp_path / "deep" / "dir" / "db.yaml").exists()
+        assert (tmp_path / "deep" / "dir" / "db.memo").exists()
+
+
 class TestVerbose:
     def test_verbose_goes_to_stderr_only(self, run, tmp_path):
         run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
