@@ -23,7 +23,7 @@ from typing import Any
 import numpy as np
 import yaml
 
-from .utils.runtime import configure_jax_cache
+from .utils.runtime import configure_jax_cache, select_platform
 
 configure_jax_cache()  # before any jit: persistent XLA cache across CLI calls
 
@@ -131,6 +131,7 @@ def cmd_reindex(db_base: str, user_cwd: str, verbose: bool) -> int:
     compacted, dropped = store.compact()
     compacted.save(yaml_path)  # canonicalize formatting + persist re-sequenced ids
 
+    select_platform(len(compacted))  # memo-scale -> CPU, corpus-scale -> TPU
     index = build_index_from_store(compacted.bodies, verbose)
     ensure_parent(index_path)
     write_index(index, index_path)
@@ -189,6 +190,7 @@ def cmd_save(db_base: str, input_file: str, user_cwd: str, verbose: bool) -> int
     except Exception as e:
         return _fail(f"failed to load database YAML '{yaml_path}': {e}")
 
+    select_platform(len(store) + len(entries))  # memo-scale -> CPU
     index = load_index_or_fresh(
         index_path,
         dim=DIM,
@@ -246,6 +248,7 @@ def cmd_recall(
     except Exception as e:
         return _fail(f"failed to load database YAML '{yaml_path}': {e}")
 
+    select_platform(len(store))  # memo-scale -> CPU, corpus-scale -> TPU
     index = load_index_or_fresh(index_path, dim=DIM)
 
     if not as_yaml:

@@ -14,6 +14,57 @@ from __future__ import annotations
 
 import os
 
+_platform_locked = False
+
+
+def platform_decision(choice: str, ntotal_hint: int, threshold: int) -> str | None:
+    """Pure decision: which platform should this invocation run on?
+
+    Returns "cpu", an explicit platform string, or None (keep the process
+    default, i.e. the TPU). The product use case (memo-scale DBs of tens
+    to thousands of records) must answer in milliseconds like the CPU
+    reference does (memo_cli.py:292) — TPU dispatch latency plus remote
+    compile only pays off at corpus scale, so `auto` routes small corpora
+    to CPU and reserves the TPU for ntotal >= threshold.
+    """
+    choice = (choice or "auto").strip().lower()
+    if choice in ("", "auto"):
+        return "cpu" if ntotal_hint < threshold else None
+    if choice in ("default", "tpu"):
+        return None
+    return choice
+
+
+def select_platform(ntotal_hint: int) -> str | None:
+    """Pick the JAX platform for this CLI invocation (idempotent).
+
+    Must run BEFORE the first backend touch (jit / device_put /
+    default_backend) — in this container jax is pre-imported with the
+    platform baked into the environment, so the only effective override
+    is jax.config.update("jax_platforms", ...) prior to backend init.
+
+    Env knobs:
+      C99VDB_PLATFORM      = auto (default) | cpu | tpu | <platform name>
+      C99VDB_CPU_THRESHOLD = corpus-size cutoff for auto (default 100000)
+    """
+    global _platform_locked
+    target = platform_decision(
+        os.environ.get("C99VDB_PLATFORM", "auto"),
+        ntotal_hint,
+        int(os.environ.get("C99VDB_CPU_THRESHOLD", "100000")),
+    )
+    if _platform_locked:
+        return target
+    _platform_locked = True
+    if target is not None:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", target)
+        except Exception:
+            pass  # backend already up (embedded use); honor the existing one
+    return target
+
 
 def configure_jax_cache() -> None:
     cache_dir = os.environ.get(
