@@ -184,11 +184,83 @@ def main() -> int:
             return -neg, _ids[rows]
 
     flat_ops = (db, ids_dev, sq_norms)
-    _, gt_i_dev = jax.jit(flat_step)(eval_q_dev, *flat_ops)
+
+    # ---- TRUE ground truth: HIGHEST-precision chunked scan ----------------
+    # DEFAULT TPU matmul precision multiplies in bf16 (distance noise
+    # sigma~1 at 768-d), which silently corrupts the GT itself — measured
+    # 0.978 agreement with the true f32 ranking (exp_precision.py). The GT
+    # must therefore run at Precision.HIGHEST.
+    @jax.jit
+    def gt_scan(_db, _sq, q):
+        q_sq = jnp.sum(q * q, axis=1)
+        chunks = _db.reshape(n // 2048, 2048, d)
+        sq_chunks = _sq.reshape(n // 2048, 2048)
+
+        def step(carry, inp):
+            best_d, best_i = carry
+            block, block_sq, idx = inp
+            ip = jax.lax.dot_general(
+                q, block.T, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            dist = block_sq[None, :] - 2.0 * ip + q_sq[:, None]
+            bids = idx * 2048 + jnp.arange(2048, dtype=jnp.int32)
+            alld = jnp.concatenate([best_d, dist], axis=1)
+            alli = jnp.concatenate(
+                [best_i, jnp.broadcast_to(bids, (b, 2048))], axis=1
+            )
+            neg, pos = jax.lax.top_k(-alld, k)
+            return (-neg, jnp.take_along_axis(alli, pos, axis=1)), None
+
+        init = (
+            jnp.full((b, k), jnp.inf, jnp.float32),
+            jnp.full((b, k), -1, jnp.int32),
+        )
+        (bd, bi), _ = jax.lax.scan(
+            step, init,
+            (chunks, sq_chunks, jnp.arange(n // 2048, dtype=jnp.int32)),
+        )
+        return bd, bi
+
+    _, gt_i_dev = gt_scan(db, sq_norms, eval_q_dev)
     gt_i = np.asarray(gt_i_dev)
-    flat_qps = timed_scan_qps(flat_step, flat_ops, make_qstack, b, args.iters)
-    results["flat_f32"] = {"qps": round(flat_qps, 1), "recall": 1.0}
-    print(f"flat f32        qps={flat_qps:,.0f}  recall@{k}=1.000", flush=True)
+
+    # Raw scan kernel accuracy (diagnostic: bf16-multiply noise vs true GT)
+    _, raw_i = jax.jit(flat_step)(eval_q_dev, *flat_ops)
+    raw_rec = recall_at_k(np.asarray(raw_i), gt_i)
+
+    # Product path: kernel shortlist + exact f32 rerank (ops/rerank.py)
+    from c99_vectordb_tpu.ops.rerank import rerank_program, shortlist_depth
+
+    k_slack = shortlist_depth(k, n)
+    if on_tpu:
+        from c99_vectordb_tpu.ops.topk_pallas import fused_topk as _ft
+
+        def flat_exact_step(q, _db, _ids, _sq):
+            _, ci = _ft(_db, _ids, _sq, q, k_slack)
+            return rerank_program(n, d, n, b, k_slack, k, "float32")(
+                _db, _ids, _ids, ci, q
+            )
+
+        _, ei = jax.jit(flat_exact_step)(eval_q_dev, *flat_ops)
+        exact_rec = recall_at_k(np.asarray(ei), gt_i)
+        headline_step = flat_exact_step  # the real product path
+    else:
+        exact_rec = 1.0
+        headline_step = flat_step
+    flat_qps = timed_scan_qps(headline_step, flat_ops, make_qstack, b, args.iters)
+    results["flat_f32"] = {
+        "qps": round(flat_qps, 1),
+        "recall": round(exact_rec, 4),
+        "raw_kernel_recall": round(raw_rec, 4),
+        "rerank_depth": k_slack if on_tpu else None,
+    }
+    print(
+        f"flat f32        qps={flat_qps:,.0f}  recall@{k}={exact_rec:.3f} "
+        f"(raw kernel, no rerank: {raw_rec:.3f})",
+        flush=True,
+    )
 
     # ---- bf16-storage flat ------------------------------------------------
     if on_tpu:
@@ -339,6 +411,36 @@ def main() -> int:
         }
         print(f"ivf_flat p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}", flush=True)
 
+    # -- IVF-Flat + exact rerank (the product path on TPU: restores the
+    #    f32 order the kernel's bf16 multiplies perturb) -------------------
+    if on_tpu:
+        row_of_pos_ivf = np.zeros((n,), np.int32)
+        row_of_pos_ivf[order] = (sorted_lists.astype(np.int64) * pad + slots).astype(
+            np.int32
+        )
+        rr_ops = (jnp.asarray(row_of_pos_ivf),)
+        results["ivf_flat_rerank"] = {"sweep": {}}
+        for nprobe in [args.nprobe_sweep[0], args.nprobe_sweep[-1]]:
+            nprobe = min(nprobe, nlist)
+            scan_p = ivf_full_search_program(nlist, pad, d, b, nprobe, k_slack)
+            rr_p = rerank_program(nlist * pad, d, n, b, k_slack, k, "float32")
+
+            def ivf_exact_step(q, cents, csq, lv, lsq, lids, rop, _s=scan_p, _r=rr_p):
+                _, ci = _s(cents, csq, lv, lsq, lids, q)
+                return _r(lv.reshape(nlist * pad, d), ids_dev, rop, ci, q)
+
+            ops2 = ivf_ops + rr_ops
+            _, ai = jax.jit(ivf_exact_step)(eval_q_dev, *ops2)
+            rec = recall_at_k(np.asarray(ai), gt_i)
+            qps = timed_scan_qps(ivf_exact_step, ops2, make_qstack, b, args.iters)
+            results["ivf_flat_rerank"]["sweep"][nprobe] = {
+                "qps": round(qps, 1), "recall": round(rec, 4)
+            }
+            print(
+                f"ivf_flat+rr p={nprobe:<2d} qps={qps:,.0f}  recall@{k}={rec:.3f}",
+                flush=True,
+            )
+
     # ---- IVF-PQ sweep -----------------------------------------------------------
     if list_codes_d is not None:
         from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
@@ -384,35 +486,39 @@ def main() -> int:
             }
             print(f"ivf_pq  p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}", flush=True)
 
-        # -- refined PQ: ADC top-(4k) candidates exactly re-ranked on device
+        # -- refined PQ: deep ADC shortlist exactly re-ranked on device.
+        # The rerank is elementwise f32 (no MXU noise), so its recall is
+        # bounded only by shortlist coverage — sweep depth to find the
+        # >=0.99 strict-recall operating point vs the TRUE f32 GT.
         from c99_vectordb_tpu.ops.topk import merge_topk
 
-        # ADC is cheap now (Pallas kernel), so a deep shortlist costs little
-        # and the exact re-rank recovers most of the quantization loss.
-        k_adc = 10 * k
         refine_probe = min(args.nprobe_sweep[0], nlist)
-        adc_wide = make_pq_program(refine_probe, k_adc)
+        results["ivf_pq"]["refined"] = {}
+        for k_adc in (4 * k, 10 * k, 20 * k):
+            adc_wide = make_pq_program(refine_probe, k_adc)
 
-        def refined_step(q, _db, *ops, _p=adc_wide):
-            cd, ci = _p(*ops, q)
-            vecs = _db[jnp.maximum(ci, 0)]
-            exact = jnp.sum((vecs - q[:, None, :]) ** 2, axis=-1)
-            exact = jnp.where(ci >= 0, exact, jnp.inf)
-            return merge_topk(exact, ci, k)
+            def refined_step(q, _db, *ops, _p=adc_wide):
+                cd, ci = _p(*ops, q)
+                vecs = _db[jnp.maximum(ci, 0)]
+                exact = jnp.sum((vecs - q[:, None, :]) ** 2, axis=-1)
+                exact = jnp.where(ci >= 0, exact, jnp.inf)
+                return merge_topk(exact, ci, k)
 
-        refined_ops = (db,) + pq_ops
-        _, ai = jax.jit(refined_step)(eval_q_dev, *refined_ops)
-        rec = recall_at_k(np.asarray(ai), gt_i)
-        qps = timed_scan_qps(refined_step, refined_ops, make_qstack, b, args.iters)
-        results["ivf_pq"]["refined"] = {
-            "nprobe": refine_probe, "k_adc": k_adc,
-            "qps": round(qps, 1), "recall": round(rec, 4),
-        }
-        print(
-            f"ivf_pq refined (p={refine_probe}, top{k_adc} rerank) "
-            f"qps={qps:,.0f}  recall@{k}={rec:.3f}",
-            flush=True,
-        )
+            refined_ops = (db,) + pq_ops
+            _, ai = jax.jit(refined_step)(eval_q_dev, *refined_ops)
+            rec = recall_at_k(np.asarray(ai), gt_i)
+            qps = timed_scan_qps(
+                refined_step, refined_ops, make_qstack, b, args.iters
+            )
+            results["ivf_pq"]["refined"][k_adc] = {
+                "nprobe": refine_probe, "k_adc": k_adc,
+                "qps": round(qps, 1), "recall": round(rec, 4),
+            }
+            print(
+                f"ivf_pq refined (p={refine_probe}, top{k_adc} rerank) "
+                f"qps={qps:,.0f}  recall@{k}={rec:.3f}",
+                flush=True,
+            )
 
     # ---- bf16 inverted lists: halves the scan's HBM traffic ----------------
     if on_tpu:

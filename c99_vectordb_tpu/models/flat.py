@@ -21,6 +21,7 @@ import numpy as np
 
 from ..constants import DIM
 from ..ops.distances import ranked_program
+from ..ops.rerank import exact_rerank, shortlist_depth
 from ..ops.topk import topk_program
 from .base import next_pow2
 from .registry import register
@@ -62,8 +63,9 @@ class FlatIndex:
 
     # -- device staging ----------------------------------------------------
 
-    def _staged(self) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-        """Padded device buffers: (vectors, ids_i32, valid, sq_norms)."""
+    def _staged(self):
+        """Padded device buffers:
+        (vectors, ids_i32, valid, sq_norms, ids_search, row_of_pos)."""
         if self._device is None:
             cap = next_pow2(max(self.ntotal, 1))
             vecs = np.zeros((cap, self.dim), dtype=np.float32)
@@ -73,11 +75,17 @@ class FlatIndex:
             valid = np.zeros((cap,), dtype=bool)
             valid[: self.ntotal] = True
             sq_norms = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+            # Rerank lookup: ascending ids padded with int32.max (keeps
+            # searchsorted valid); position == row for the flat layout.
+            ids_search = np.full((cap,), np.iinfo(np.int32).max, dtype=np.int32)
+            ids_search[: self.ntotal] = self._ids.astype(np.int32)
             self._device = (
                 jax.device_put(vecs),
                 jax.device_put(ids),
                 jax.device_put(valid),
                 jax.device_put(sq_norms),
+                jax.device_put(ids_search),
+                jax.device_put(np.arange(cap, dtype=np.int32)),
             )
         return self._device
 
@@ -88,18 +96,28 @@ class FlatIndex:
         if self.ntotal == 0:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
-        vecs, ids, valid, sq_norms = self._staged()
+        vecs, ids, valid, sq_norms, ids_search, row_of_pos = self._staged()
         k_eff = min(k, vecs.shape[0])
-        if jax.default_backend() == "tpu" and vecs.shape[0] >= 1024:
+        on_tpu = jax.default_backend() == "tpu"
+        # TPU matmuls multiply in bf16 at DEFAULT precision, so the scan's
+        # ranking near the boundary carries sigma~1 distance noise; take a
+        # slacked shortlist and restore exactness with an f32 rerank
+        # (ops/rerank.py). CPU XLA computes true f32 — no rerank needed.
+        k_scan = shortlist_depth(k_eff, vecs.shape[0]) if on_tpu else k_eff
+        if on_tpu and vecs.shape[0] >= 1024:
             # Fused Pallas kernel: streams DB tiles HBM->VMEM with the
             # running top-k on chip; the padded pow2 capacity >= 1024 is
             # always a tile multiple. (Smaller DBs: one XLA matmul wins.)
             from ..ops.topk_pallas import fused_topk
 
-            dists, out_ids = fused_topk(vecs, ids, sq_norms, queries, k_eff)
+            dists, out_ids = fused_topk(vecs, ids, sq_norms, queries, k_scan)
         else:
-            dists, out_ids = topk_program(vecs.shape[0], self.dim, k_eff)(
+            dists, out_ids = topk_program(vecs.shape[0], self.dim, k_scan)(
                 vecs, ids, valid, sq_norms, queries
+            )
+        if on_tpu:
+            dists, out_ids = exact_rerank(
+                vecs, ids_search, row_of_pos, out_ids, queries, k_eff
             )
         dists = np.asarray(dists)
         out_ids = np.asarray(out_ids, dtype=np.int64)
@@ -113,7 +131,7 @@ class FlatIndex:
         if self.ntotal == 0:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
         query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
-        vecs, ids, valid, _ = self._staged()
+        vecs, ids, valid, _, _, _ = self._staged()
         dists, out_ids = ranked_program(vecs.shape[0], self.dim)(vecs, ids, valid, query)
         n = self.ntotal
         return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]

@@ -78,8 +78,11 @@ class RecordStore:
             if "id" not in doc or "body" not in doc:
                 raise ValueError("database YAML entries require 'id' and 'body'")
             rid, body, meta = doc["id"], doc["body"], doc.get("metadata")
-            if not isinstance(rid, int) or isinstance(rid, bool) or rid < 0:
+            # bool passes as int (True -> id 1): parity with the reference's
+            # isinstance(id, int) check (memo_cli.py:79-100; ADVICE round 1).
+            if not isinstance(rid, int) or rid < 0:
                 raise ValueError("database YAML entry 'id' must be a non-negative integer")
+            rid = int(rid)
             if rid in seen:
                 raise ValueError(f"database YAML has duplicate id {rid}")
             if not isinstance(body, str):

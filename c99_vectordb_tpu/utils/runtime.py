@@ -61,6 +61,12 @@ def select_platform(ntotal_hint: int) -> str | None:
             import jax
 
             jax.config.update("jax_platforms", target)
+            if target == "cpu":
+                # The persistent cache exists for TPU remote-compile latency.
+                # CPU compiles are fast, and reloading CPU AOT entries built
+                # on a different host CPU generation spews machine-feature
+                # warnings (and risks SIGILL) — skip the cache on CPU.
+                jax.config.update("jax_compilation_cache_dir", None)
         except Exception:
             pass  # backend already up (embedded use); honor the existing one
     return target

@@ -88,6 +88,15 @@ class TestRecordStore:
         with pytest.raises(ValueError, match="must be a string"):
             RecordStore.load(path)
 
+    def test_bool_id_accepted_as_int(self, tmp_path):
+        # Reference parity: bool is int in Python, so `id: true` loads as
+        # id 1 (memo_cli.py:79-100; ADVICE round 1 consistency finding).
+        path = tmp_path / "db.yaml"
+        path.write_text("---\nid: true\nbody: one\n---\nid: 0\nbody: zero\n")
+        store = RecordStore.load(path)
+        assert store.bodies == ["zero", "one"]
+        assert type(next(iter(store))[0]) is int
+
     def test_compact_drops_and_resequences(self):
         store = RecordStore(
             bodies=["keep one", "", "deleted: true", "keep two"],
