@@ -239,8 +239,9 @@ def main() -> int:
 
         def flat_exact_step(q, _db, _ids, _sq):
             _, ci = _ft(_db, _ids, _sq, q, k_slack)
+            # ids are iota here, so the id->row table IS the id array
             return rerank_program(n, d, n, b, k_slack, k, "float32")(
-                _db, _ids, _ids, ci, q
+                _db, _ids, ci, q
             )
 
         _, ei = jax.jit(flat_exact_step)(eval_q_dev, *flat_ops)
@@ -427,7 +428,8 @@ def main() -> int:
 
             def ivf_exact_step(q, cents, csq, lv, lsq, lids, rop, _s=scan_p, _r=rr_p):
                 _, ci = _s(cents, csq, lv, lsq, lids, q)
-                return _r(lv.reshape(nlist * pad, d), ids_dev, rop, ci, q)
+                # ids are iota, so row_of_pos_ivf doubles as id->bucket-row
+                return _r(lv.reshape(nlist * pad, d), rop, ci, q)
 
             ops2 = ivf_ops + rr_ops
             _, ai = jax.jit(ivf_exact_step)(eval_q_dev, *ops2)

@@ -58,13 +58,17 @@ def make_index():
     The CLI surface stays contract-identical regardless of family; the
     family is an engine choice via environment variables:
       C99VDB_INDEX  = flat (default) | ivf_flat | ivf_pq
+                    | sharded_flat | sharded_ivf | sharded_ivf_pq
       C99VDB_NLIST / C99VDB_NPROBE / C99VDB_PQ_M tune the IVF variants.
+    Sharded kinds build a data mesh over ALL visible devices (one chip ->
+    a 1-device mesh; the same code scales to a pod slice unchanged).
     """
     import os
 
     kind = os.environ.get("C99VDB_INDEX", "flat").strip().lower()
     nlist = int(os.environ.get("C99VDB_NLIST", "64"))
     nprobe = int(os.environ.get("C99VDB_NPROBE", "8"))
+    m = int(os.environ.get("C99VDB_PQ_M", "8"))
     if kind == "flat":
         return FlatIndex(dim=DIM)
     if kind == "ivf_flat":
@@ -74,8 +78,19 @@ def make_index():
     if kind == "ivf_pq":
         from .models.ivf_pq import IVFPQIndex
 
-        m = int(os.environ.get("C99VDB_PQ_M", "8"))
         return IVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m)
+    if kind == "sharded_flat":
+        from .parallel.sharded import ShardedFlatIndex
+
+        return ShardedFlatIndex(dim=DIM)
+    if kind == "sharded_ivf":
+        from .parallel.sharded import ShardedIVFIndex
+
+        return ShardedIVFIndex(dim=DIM, nlist=nlist, nprobe=nprobe)
+    if kind == "sharded_ivf_pq":
+        from .parallel.sharded import ShardedIVFPQIndex
+
+        return ShardedIVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m)
     raise ValueError(f"unknown C99VDB_INDEX '{kind}'")
 
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..constants import DIM
 from ..ops.distances import ranked_program
-from ..ops.rerank import exact_rerank, shortlist_depth
+from ..ops.rerank import build_id_lookup, exact_rerank_staged, shortlist_depth
 from ..ops.topk import topk_program
 from .base import next_pow2
 from .registry import register
@@ -65,7 +65,7 @@ class FlatIndex:
 
     def _staged(self):
         """Padded device buffers:
-        (vectors, ids_i32, valid, sq_norms, ids_search, row_of_pos)."""
+        (vectors, ids_i32, valid, sq_norms, id_lookup)."""
         if self._device is None:
             cap = next_pow2(max(self.ntotal, 1))
             vecs = np.zeros((cap, self.dim), dtype=np.float32)
@@ -75,17 +75,13 @@ class FlatIndex:
             valid = np.zeros((cap,), dtype=bool)
             valid[: self.ntotal] = True
             sq_norms = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
-            # Rerank lookup: ascending ids padded with int32.max (keeps
-            # searchsorted valid); position == row for the flat layout.
-            ids_search = np.full((cap,), np.iinfo(np.int32).max, dtype=np.int32)
-            ids_search[: self.ntotal] = self._ids.astype(np.int32)
             self._device = (
                 jax.device_put(vecs),
                 jax.device_put(ids),
                 jax.device_put(valid),
                 jax.device_put(sq_norms),
-                jax.device_put(ids_search),
-                jax.device_put(np.arange(cap, dtype=np.int32)),
+                # Rerank id->row lookup (row == id-sorted position here).
+                build_id_lookup(self._ids),
             )
         return self._device
 
@@ -96,7 +92,7 @@ class FlatIndex:
         if self.ntotal == 0:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
-        vecs, ids, valid, sq_norms, ids_search, row_of_pos = self._staged()
+        vecs, ids, valid, sq_norms, id_lookup = self._staged()
         k_eff = min(k, vecs.shape[0])
         on_tpu = jax.default_backend() == "tpu"
         # TPU matmuls multiply in bf16 at DEFAULT precision, so the scan's
@@ -116,8 +112,8 @@ class FlatIndex:
                 vecs, ids, valid, sq_norms, queries
             )
         if on_tpu:
-            dists, out_ids = exact_rerank(
-                vecs, ids_search, row_of_pos, out_ids, queries, k_eff
+            dists, out_ids = exact_rerank_staged(
+                vecs, id_lookup, out_ids, queries, k_eff
             )
         dists = np.asarray(dists)
         out_ids = np.asarray(out_ids, dtype=np.int64)
@@ -131,7 +127,7 @@ class FlatIndex:
         if self.ntotal == 0:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
         query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
-        vecs, ids, valid, _, _, _ = self._staged()
+        vecs, ids, valid, _, _ = self._staged()
         dists, out_ids = ranked_program(vecs.shape[0], self.dim)(vecs, ids, valid, query)
         n = self.ntotal
         return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]

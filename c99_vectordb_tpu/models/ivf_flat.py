@@ -153,23 +153,20 @@ class IVFFlatIndex:
             list_ids[sorted_lists, slots] = self._ids[order]
             c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
             list_sqn = np.einsum("lpd,lpd->lp", list_vecs, list_vecs)
-            # Rerank lookup (ops/rerank.py): ascending-id position -> row in
-            # the bucketed store viewed flat as (nlist*pad, D). _ids stays
-            # sorted, so position == original row index.
+            # Rerank lookup (ops/rerank.py): external id -> row in the
+            # bucketed store viewed flat as (nlist*pad, D).
+            from ..ops.rerank import build_id_lookup
+
             n = self.ntotal
-            cap = next_pow2(max(n, 1))
-            ids_search = np.full((cap,), np.iinfo(np.int32).max, np.int32)
-            ids_search[:n] = self._ids.astype(np.int32)
-            row_of_pos = np.zeros((cap,), np.int32)
-            row_of_pos[order] = (sorted_lists * pad + slots).astype(np.int32)
+            bucket_row = np.zeros((n,), np.int32)
+            bucket_row[order] = (sorted_lists * pad + slots).astype(np.int32)
             self._staged = (
                 jax.device_put(self._centroids.astype(np.float32)),
                 jax.device_put(c_sq.astype(np.float32)),
                 jax.device_put(list_vecs),
                 jax.device_put(list_ids),
                 jax.device_put(list_sqn.astype(np.float32)),
-                jax.device_put(ids_search),
-                jax.device_put(row_of_pos),
+                build_id_lookup(self._ids, bucket_row),
                 pad,
             )
         return self._staged
@@ -184,8 +181,7 @@ class IVFFlatIndex:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
         (
-            centroids, c_sq, list_vecs, list_ids, list_sqn,
-            ids_search, row_of_pos, pad,
+            centroids, c_sq, list_vecs, list_ids, list_sqn, id_lookup, pad,
         ) = self._stage()
         nlist_eff = centroids.shape[0]
         nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
@@ -196,7 +192,7 @@ class IVFFlatIndex:
             # shortlist and restore exact f32 order with a rerank over the
             # bucketed store (ops/rerank.py).
             from ..ops.ivf_scan_pallas import ivf_full_search_program
-            from ..ops.rerank import exact_rerank, shortlist_depth
+            from ..ops.rerank import exact_rerank_staged, shortlist_depth
 
             k_scan = shortlist_depth(k, self.ntotal)
             program = ivf_full_search_program(
@@ -205,8 +201,8 @@ class IVFFlatIndex:
             dists, out_ids = program(
                 centroids, c_sq, list_vecs, list_sqn, list_ids, queries
             )
-            dists, out_ids = exact_rerank(
-                list_vecs.reshape(-1, self.dim), ids_search, row_of_pos,
+            dists, out_ids = exact_rerank_staged(
+                list_vecs.reshape(-1, self.dim), id_lookup,
                 out_ids, jnp.asarray(queries), k,
             )
         else:

@@ -35,7 +35,7 @@ from ..ops.kmeans import (
     train_kmeans,
     train_kmeans_multi,
 )
-from ..ops.rerank import exact_rerank
+from ..ops.rerank import exact_rerank_staged
 from ..ops.topk import merge_topk
 from .base import next_pow2
 from .registry import register
@@ -285,35 +285,33 @@ class IVFPQIndex:
             )
         if self.refine:
             # Rerank consumes the device shortlist directly — no host trip.
-            vecs, ids_search, row_of_pos, _, _ = self._stage_refine()
-            out_d, out_i = exact_rerank(
-                vecs, ids_search, row_of_pos,
+            vecs, id_lookup, _, _ = self._stage_refine()
+            out_d, out_i = exact_rerank_staged(
+                vecs, id_lookup,
                 out_ids.astype(jnp.int32), jnp.asarray(queries), k,
             )
             return np.asarray(out_d), np.asarray(out_i, dtype=np.int64)
         return np.asarray(dists)[:, :k], np.asarray(out_ids, dtype=np.int64)[:, :k]
 
     def _stage_refine(self):
-        """Refine-store device buffers:
-        (vectors, ids_search, row_of_pos, ids, valid).
+        """Refine-store device buffers: (vectors, id_lookup, ids, valid).
 
-        Vectors pad to pow2 capacity so growth reuses executables; ids pad
-        with int32.max to keep searchsorted monotone (ops/rerank.py)."""
+        Vectors pad to pow2 capacity so growth reuses executables; the
+        id -> row lookup comes from ops/rerank.build_id_lookup."""
         if self._staged_refine is None:
+            from ..ops.rerank import build_id_lookup
+
             cap = next_pow2(max(self.ntotal, 1))
             dtype = np.float32 if self.refine_dtype == "float32" else jnp.bfloat16
             vecs = np.zeros((cap, self.dim), np.float32)
             vecs[: self.ntotal] = self._vectors
-            ids_search = np.full((cap,), np.iinfo(np.int32).max, np.int32)
-            ids_search[: self.ntotal] = self._ids.astype(np.int32)
             ids = np.full((cap,), -1, np.int32)
             ids[: self.ntotal] = self._ids.astype(np.int32)
             valid = np.zeros((cap,), bool)
             valid[: self.ntotal] = True
             self._staged_refine = (
                 jax.device_put(jnp.asarray(vecs, dtype=dtype)),
-                jax.device_put(ids_search),
-                jax.device_put(np.arange(cap, dtype=np.int32)),
+                build_id_lookup(self._ids),
                 jax.device_put(ids),
                 jax.device_put(valid),
             )
@@ -332,7 +330,7 @@ class IVFPQIndex:
         if self.refine:
             from ..ops.distances import ranked_program
 
-            vecs, _, _, ids, valid = self._stage_refine()
+            vecs, _, ids, valid = self._stage_refine()
             dists, out_ids = ranked_program(vecs.shape[0], self.dim)(
                 vecs.astype(jnp.float32), ids, valid, jnp.asarray(query)
             )

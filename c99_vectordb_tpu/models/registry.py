@@ -32,6 +32,10 @@ def _ensure_builtin() -> None:
         from . import ivf_pq  # noqa: F401
     except ImportError:
         pass
+    try:
+        from ..parallel import sharded  # noqa: F401
+    except ImportError:
+        pass
 
 
 builtin_loader: Callable[[], None] = _ensure_builtin

@@ -35,23 +35,28 @@ from .topk import merge_topk
 def rerank_program(n_rows: int, dim: int, cap: int, b: int, r: int, k: int, dtype: str):
     """Jitted exact-rerank: shortlist external ids -> exact f32 top-k.
 
+    The id -> row translation is a DENSE LOOKUP TABLE gather, not a
+    binary search: jnp.searchsorted measured 12 us/query at 1M rows on
+    TPU (benchmarks/exp_rerank.py) — it alone would dominate the whole
+    rerank (gather 0.03 us, merge 1.2 us). Index staging builds
+    row_of_id sized by max id, which is cheap because CLI/product ids
+    are dense (sparse-id fallback lives in the staging helpers).
+
     Arguments of the returned program:
-      vectors    (n_rows, dim)  candidate store (f32 or bf16; any layout
-                                flattened to rows, e.g. bucketed IVF lists
-                                viewed as (nlist*pad, dim))
-      ids_search (cap,) int32   stored external ids ascending, padded with
-                                int32.max so searchsorted stays valid
-      row_of_pos (cap,) int32   sorted-id position -> `vectors` row
-      cand_ids   (b, r) int32   shortlist external ids, -1 = invalid
-      queries    (b, dim)
+      vectors   (n_rows, dim)  candidate store (f32 or bf16; any layout
+                               flattened to rows, e.g. bucketed IVF lists
+                               viewed as (nlist*pad, dim))
+      row_of_id (cap,) int32   external id -> `vectors` row (0 where the
+                               id is absent — masked by cand_ids >= 0)
+      cand_ids  (b, r) int32   shortlist external ids, -1 = invalid
+      queries   (b, dim)
     Returns exact (distances (b, k) f32, ids (b, k) int32).
     """
 
     @jax.jit
-    def run(vectors, ids_search, row_of_pos, cand_ids, queries):
-        pos = jnp.searchsorted(ids_search, jnp.maximum(cand_ids, 0).astype(jnp.int32))
-        pos = jnp.clip(pos, 0, cap - 1)
-        rows = row_of_pos[pos]
+    def run(vectors, row_of_id, cand_ids, queries):
+        safe = jnp.clip(jnp.maximum(cand_ids, 0), 0, cap - 1)
+        rows = row_of_id[safe]
         vecs = vectors[rows].astype(jnp.float32)               # (b, r, dim)
         diff = vecs - queries[:, None, :].astype(jnp.float32)
         exact = jnp.sum(diff * diff, axis=-1)                  # f32 VPU, no MXU
@@ -61,9 +66,48 @@ def rerank_program(n_rows: int, dim: int, cap: int, b: int, r: int, k: int, dtyp
     return run
 
 
-def exact_rerank(vectors, ids_search, row_of_pos, cand_ids, queries, k: int):
+def exact_rerank(vectors, row_of_id, cand_ids, queries, k: int):
     """Convenience wrapper resolving the cached program from shapes."""
     program = rerank_program(
+        int(vectors.shape[0]),
+        int(vectors.shape[1]),
+        int(row_of_id.shape[0]),
+        int(cand_ids.shape[0]),
+        int(cand_ids.shape[1]),
+        int(k),
+        str(vectors.dtype),
+    )
+    return program(vectors, row_of_id, cand_ids, queries)
+
+
+@functools.lru_cache(maxsize=None)
+def rerank_program_sparse(
+    n_rows: int, dim: int, cap: int, b: int, r: int, k: int, dtype: str
+):
+    """Sparse-id fallback: searchsorted over ascending ids (int32.max
+    padded) -> row_of_pos. ~12 us/query slower than the dense table at 1M
+    rows; only used when the id space is too sparse to materialize."""
+
+    @jax.jit
+    def run(vectors, ids_search, row_of_pos, cand_ids, queries):
+        pos = jnp.searchsorted(ids_search, jnp.maximum(cand_ids, 0).astype(jnp.int32))
+        pos = jnp.clip(pos, 0, cap - 1)
+        rows = row_of_pos[pos]
+        vecs = vectors[rows].astype(jnp.float32)
+        diff = vecs - queries[:, None, :].astype(jnp.float32)
+        exact = jnp.sum(diff * diff, axis=-1)
+        exact = jnp.where(cand_ids >= 0, exact, jnp.inf)
+        return merge_topk(exact, cand_ids, k)
+
+    return run
+
+
+def exact_rerank_staged(vectors, lookup, cand_ids, queries, k: int):
+    """Rerank with a lookup produced by build_id_lookup (dense or sparse)."""
+    if lookup[0] == "dense":
+        return exact_rerank(vectors, lookup[1], cand_ids, queries, k)
+    _, ids_search, row_of_pos = lookup
+    program = rerank_program_sparse(
         int(vectors.shape[0]),
         int(vectors.shape[1]),
         int(ids_search.shape[0]),
@@ -73,6 +117,46 @@ def exact_rerank(vectors, ids_search, row_of_pos, cand_ids, queries, k: int):
         str(vectors.dtype),
     )
     return program(vectors, ids_search, row_of_pos, cand_ids, queries)
+
+
+def build_id_lookup(ids, rows=None):
+    """Host-side staging helper: external id -> candidate-store row.
+
+    `ids` is the stored id array in ASCENDING order; `rows` the matching
+    store row per id (defaults to the position). Returns device arrays:
+      ("dense", row_of_id)                — ids dense enough for a direct
+                                            table (max_id+1 pow2-padded,
+                                            ~4 bytes/record; the CLI's ids
+                                            are always dense)
+      ("sparse", ids_search, row_of_pos)  — searchsorted fallback when the
+                                            id space is >64x the count
+    """
+    import jax as _jax
+    import numpy as np
+
+    from ..models.base import next_pow2
+
+    ids = np.asarray(ids)
+    n = ids.shape[0]
+    row_arr = np.arange(n, dtype=np.int32) if rows is None else np.asarray(rows, np.int32)
+    if n == 0:
+        return ("dense", _jax.device_put(np.zeros((1,), np.int32)))
+    max_id = int(ids.max())
+    if max_id + 1 <= 64 * n + 1024:
+        cap = next_pow2(max_id + 1)
+        table = np.zeros((cap,), np.int32)
+        table[ids.astype(np.int64)] = row_arr
+        return ("dense", _jax.device_put(table))
+    cap = next_pow2(n)
+    ids_search = np.full((cap,), np.iinfo(np.int32).max, np.int32)
+    ids_search[:n] = ids.astype(np.int32)
+    row_of_pos = np.zeros((cap,), np.int32)
+    row_of_pos[:n] = row_arr
+    return (
+        "sparse",
+        _jax.device_put(ids_search),
+        _jax.device_put(row_of_pos),
+    )
 
 
 def shortlist_depth(k: int, cap: int) -> int:

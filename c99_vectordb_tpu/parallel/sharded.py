@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models.registry import register
 from ..ops.topk import merge_topk
 
 
@@ -114,6 +115,45 @@ def sharded_search_2d(mesh: Mesh, n: int, dim: int, b: int, k: int):
         in_specs=(P("data", "model"), P("data"), P(None, "model")),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
+    )
+    return jax.jit(shard_fn)
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_search_2level(mesh: Mesh, n: int, dim: int, b: int, k: int):
+    """Jitted exact search with a hierarchical (host, chip) merge.
+
+    SURVEY.md §7 step 8's "DCN-aware two-level merge": rows are sharded
+    over BOTH mesh axes; each chip takes its local top-k, the first merge
+    all_gathers only within the `chip` axis (ICI inside a host), and the
+    second all_gathers the per-host winners across `host` (the slow DCN
+    axis) — so cross-host traffic is k candidates per HOST, not per chip.
+    Results are bit-identical to the flat 1D merge (same candidate set,
+    same lexicographic (distance, id) order; tests assert equality).
+    """
+
+    def local(db, ids, sq_norms, queries):
+        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+        ip = jnp.dot(queries, db.T, preferred_element_type=jnp.float32)
+        d = jnp.maximum(q_sq + sq_norms[None, :] - 2.0 * ip, 0.0)
+        d = jnp.where(ids[None, :] >= 0, d, jnp.inf)
+        local_d, local_i = _local_topk(d, jnp.broadcast_to(ids[None, :], d.shape), k)
+        # Level 1: merge across chips within the host (ICI).
+        host_d, host_i = _merge_gathered(local_d, local_i, k, "chip")
+        # Level 2: merge per-host winners across hosts (DCN).
+        return _merge_gathered(host_d, host_i, k, "host")
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(("host", "chip"), None),
+            P(("host", "chip")),
+            P(("host", "chip")),
+            P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs replicated post-all_gather; inference can't prove it
     )
     return jax.jit(shard_fn)
 
@@ -211,7 +251,246 @@ def sharded_ivf_search_program(
     return jax.jit(shard_fn)
 
 
-class ShardedIVFIndex:
+def _merge_topk_with_rows(dists, ids, rows, k):
+    """merge_topk variant that carries a per-candidate payload (`rows`)
+    through the (distance, id) lexicographic selection."""
+    big = jnp.iinfo(jnp.int32).max
+    tie_ids = jnp.where(jnp.isinf(dists), big, ids)
+    sorted_d, sorted_i, sorted_r = jax.lax.sort(
+        (dists, tie_ids, rows), num_keys=2, dimension=-1
+    )
+    out_i = sorted_i[..., :k]
+    return (
+        sorted_d[..., :k],
+        jnp.where(out_i == big, -1, out_i),
+        sorted_r[..., :k],
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def sharded_pq_search_program(
+    mesh: Mesh,
+    nlist: int,
+    pad: int,
+    dim: int,
+    m: int,
+    b: int,
+    nprobe: int,
+    k: int,
+    k_adc: int,
+):
+    """Jitted data-parallel IVF-PQ search with per-shard exact refine.
+
+    Layout mirrors sharded_ivf_search_program (centroids/codebooks
+    replicated, code lists + refine vectors round-robin list-sharded).
+    Each chip: ADC-scan its share of the probed lists tracking LOCAL rows,
+    exact-rerank its own top-k_adc candidates from its LOCAL refine store
+    (zero cross-shard gathers — a chip only ever reranks rows it owns),
+    then all_gather k winners and merge. Exactness of the final order
+    comes from the per-shard elementwise f32 rerank + (distance, id)
+    merge, so results match the single-chip refined IVFPQIndex.
+    """
+    dsub = dim // m
+
+    def local(
+        centroids, c_sq, codebooks, local_codes, local_ids, local_vecs,
+        owner, local_of, queries,
+    ):
+        my_shard = jax.lax.axis_index("data")
+        coarse = (
+            c_sq[None, :]
+            - 2.0 * jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+        )
+        _, probes = jax.lax.top_k(-coarse, nprobe)                # (B, nprobe)
+
+        init = (
+            jnp.full((b, k_adc), jnp.inf, jnp.float32),
+            jnp.full((b, k_adc), -1, jnp.int32),
+            jnp.zeros((b, k_adc), jnp.int32),
+        )
+        lane = jnp.arange(pad, dtype=jnp.int32)
+
+        def probe_step(carry, p):
+            best_d, best_i, best_r = carry
+            lists = probes[:, p]                                   # (B,) global list
+            mine = owner[lists] == my_shard
+            lrow = local_of[lists]                                 # (B,) local row
+            residual = queries - centroids[lists]                  # (B, D)
+            r_sub = residual.reshape(b, m, 1, dsub)
+            lut = jnp.sum((r_sub - codebooks[None]) ** 2, axis=-1)  # (B, m, ksub)
+            codes = local_codes[lrow].astype(jnp.int32)            # (B, pad, m)
+            ids = jnp.where(mine[:, None], local_ids[lrow], -1)    # foreign => invalid
+            gathered = jnp.take_along_axis(lut, codes.transpose(0, 2, 1), axis=2)
+            d = jnp.sum(gathered, axis=1)                          # (B, pad)
+            d = jnp.where(ids >= 0, d, jnp.inf)
+            rows = lrow[:, None] * pad + lane[None, :]             # local flat row
+            merged = _merge_topk_with_rows(
+                jnp.concatenate([best_d, d], axis=1),
+                jnp.concatenate([best_i, ids], axis=1),
+                jnp.concatenate([best_r, jnp.broadcast_to(rows, (b, pad))], axis=1),
+                k_adc,
+            )
+            return merged, None
+
+        (adc_d, adc_i, adc_r), _ = jax.lax.scan(probe_step, init, jnp.arange(nprobe))
+
+        # Per-shard exact refine: gather ONLY locally-owned rows.
+        flat_vecs = local_vecs.reshape(-1, dim)
+        vecs = flat_vecs[adc_r].astype(jnp.float32)                # (B, k_adc, D)
+        diff = vecs - queries[:, None, :]
+        exact = jnp.sum(diff * diff, axis=-1)
+        exact = jnp.where(adc_i >= 0, exact, jnp.inf)
+        local_d, local_i = merge_topk(exact, adc_i, k)
+        return _merge_gathered(local_d, local_i, k, "data")
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),          # centroids
+            P(None),                # centroid norms
+            P(None, None, None),    # codebooks (m, ksub, dsub)
+            P("data", None, None),  # code lists (nlist, pad, m), list-sharded
+            P("data", None),        # list ids
+            P("data", None, None),  # refine vectors, list-sharded
+            P(None),                # list -> owning shard
+            P(None),                # list -> local row
+            P(None, None),          # queries
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs replicated post-all_gather; inference can't prove it
+    )
+    return jax.jit(shard_fn)
+
+
+class _ShardedBase:
+    """Shared plumbing for first-class sharded families (CLAUDE.md
+    convention: every family exposes add/search/ranked_all/ids and
+    state()/from_state() through storage/index_io.py).
+
+    Host arrays stay authoritative (incremental `add` accumulates and
+    re-sorts them); the mesh placement is a lazily rebuilt cache, exactly
+    like the single-chip families' device staging. The mesh itself is
+    environmental — NOT serialized — so an index saved on an 8-chip mesh
+    reloads cleanly on any other device count.
+    """
+
+    def __init__(self, dim: int, mesh: Mesh | None = None):
+        from .mesh import default_data_mesh
+
+        self.mesh = mesh if mesh is not None else default_data_mesh()
+        self.dim = int(dim)
+        self._vectors = np.zeros((0, self.dim), dtype=np.float32)
+        self._ids = np.zeros((0,), dtype=np.int64)
+        self._staged = None
+
+    @property
+    def ntotal(self) -> int:
+        return int(self._ids.shape[0])
+
+    def ids(self) -> np.ndarray:
+        return self._ids.copy()
+
+    def _absorb(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if vectors.shape[0] != ids.shape[0]:
+            raise ValueError("vectors and ids must have matching leading dimension")
+        self._vectors = np.concatenate([self._vectors, vectors], axis=0)
+        self._ids = np.concatenate([self._ids, ids])
+        if not np.all(self._ids[:-1] <= self._ids[1:]):
+            order = np.argsort(self._ids, kind="stable")
+            self._vectors = self._vectors[order]
+            self._ids = self._ids[order]
+        self._staged = None
+
+    def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Exact full ranking (CLI recall path) over the host store."""
+        from ..models.base import next_pow2
+        from ..ops.distances import ranked_program
+
+        if self.ntotal == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+        query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
+        cap = next_pow2(max(self.ntotal, 1))
+        vecs = np.zeros((cap, self.dim), np.float32)
+        vecs[: self.ntotal] = self._vectors
+        ids = np.full((cap,), -1, np.int32)
+        ids[: self.ntotal] = self._ids.astype(np.int32)
+        valid = np.zeros((cap,), bool)
+        valid[: self.ntotal] = True
+        dists, out_ids = ranked_program(cap, self.dim)(vecs, ids, valid, query)
+        n = self.ntotal
+        return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
+
+
+@register
+class ShardedFlatIndex(_ShardedBase):
+    """Flat exact index with rows sharded over the mesh's `data` axis.
+
+    Search is one shard_map program: per-chip MXU scoring + local top-k,
+    then an all_gather of (dist, id) candidates and a replicated
+    lexicographic merge — O(shards * k) traffic per query.
+    """
+
+    kind = "sharded_flat"
+
+    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+        self._absorb(vectors, ids)
+
+    def load(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+        """Bulk (re)load: reset then add."""
+        self._vectors = np.zeros((0, self.dim), dtype=np.float32)
+        self._ids = np.zeros((0,), dtype=np.int64)
+        self.add(vectors, ids)
+
+    def _stage(self):
+        if self._staged is None:
+            shards = self.mesh.shape["data"]
+            n = self.ntotal
+            per = -(-max(n, 1) // shards)
+            per = ((per + 7) // 8) * 8  # sublane-align each shard
+            cap = per * shards
+            db = np.zeros((cap, self.dim), np.float32)
+            db[:n] = self._vectors
+            idp = np.full((cap,), -1, np.int32)
+            idp[:n] = self._ids.astype(np.int32)
+            sq = np.einsum("nd,nd->n", db, db).astype(np.float32)
+            row_sharding = NamedSharding(self.mesh, P("data", None))
+            vec_sharding = NamedSharding(self.mesh, P("data"))
+            self._staged = (
+                jax.device_put(db, row_sharding),
+                jax.device_put(idp, vec_sharding),
+                jax.device_put(sq, vec_sharding),
+            )
+        return self._staged
+
+    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        if self.ntotal == 0:
+            shape = (queries.shape[0], k)
+            return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
+        db, idp, sq = self._stage()
+        program = sharded_search_program(
+            self.mesh, db.shape[0], self.dim, queries.shape[0], k
+        )
+        q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
+        d, i = program(db, idp, sq, q)
+        return np.asarray(d), np.asarray(i, dtype=np.int64)
+
+    def state(self):
+        return {"dim": self.dim}, {"vectors": self._vectors, "ids": self._ids}
+
+    @classmethod
+    def from_state(cls, params, arrays) -> "ShardedFlatIndex":
+        index = cls(dim=int(params["dim"]))
+        if arrays["vectors"].size:
+            index.add(arrays["vectors"], arrays["ids"])
+        return index
+
+
+@register
+class ShardedIVFIndex(_ShardedBase):
     """IVF-Flat index with inverted lists sharded across a device mesh.
 
     Build path mirrors IVFFlatIndex (device k-means + dense padded lists),
@@ -222,136 +501,297 @@ class ShardedIVFIndex:
 
     kind = "sharded_ivf"
 
-    def __init__(self, mesh: Mesh, dim: int, nlist: int = 64, nprobe: int = 8):
-        self.mesh = mesh
-        self.dim = int(dim)
+    def __init__(
+        self, dim: int, nlist: int = 64, nprobe: int = 8, mesh: Mesh | None = None
+    ):
+        super().__init__(dim, mesh)
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
-        self._staged = None
-        self._n = 0
+        self._centroids: np.ndarray | None = None
 
     @property
-    def ntotal(self) -> int:
-        return self._n
+    def is_trained(self) -> bool:
+        return self._centroids is not None
 
-    def load(self, vectors: np.ndarray, ids: np.ndarray, *, kmeans_iters: int = 8) -> None:
-        from ..models.base import next_pow2
-        from ..ops.kmeans import assign_clusters, train_kmeans
+    def train(self, data: np.ndarray, *, iters: int = 8, seed: int = 0) -> None:
+        from ..ops.kmeans import train_kmeans
 
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
-        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
-        order = np.argsort(ids, kind="stable")
-        vectors, ids = vectors[order], ids[order]
-        self._n = vectors.shape[0]
-
+        data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
         shards = self.mesh.shape["data"]
-        nlist = min(self.nlist, max(shards, self._n))
+        nlist = min(self.nlist, max(shards, data.shape[0]))
         nlist = ((nlist + shards - 1) // shards) * shards  # divisible by shards
-        centroids = train_kmeans(vectors, min(nlist, self._n), iters=kmeans_iters)
+        centroids = train_kmeans(
+            data, min(nlist, data.shape[0]), iters=iters, seed=seed
+        )
         if centroids.shape[0] < nlist:  # tiny corpora: pad with copies
             reps = np.tile(centroids, (nlist // centroids.shape[0] + 1, 1))
             centroids = reps[:nlist]
-        assign = assign_clusters(vectors, centroids)
+        self._centroids = centroids.astype(np.float32)
+        self._staged = None
 
-        counts = np.bincount(assign, minlength=nlist)
-        pad = next_pow2(max(int(counts.max(initial=1)), 8))
-        list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
-        list_ids = np.full((nlist, pad), -1, np.int32)
-        sort = np.argsort(assign, kind="stable")
-        sorted_lists = assign[sort]
-        starts = np.zeros((nlist,), np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        slots = np.arange(self._n) - starts[sorted_lists]
-        list_vecs[sorted_lists, slots] = vectors[sort]
-        list_ids[sorted_lists, slots] = ids[sort].astype(np.int32)
+    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+        if not self.is_trained:
+            self.train(vectors)
+        self._absorb(vectors, ids)
 
-        # Round-robin list placement: global list g lives on shard g % S at
-        # local row g // S. Rows are reordered shard-major so the sharded
-        # first axis slices into exactly each shard's lists.
-        g = np.arange(nlist)
-        owner = (g % shards).astype(np.int32)
-        local_of = (g // shards).astype(np.int32)
-        perm = np.argsort(owner * (nlist // shards) + local_of, kind="stable")
+    def load(self, vectors: np.ndarray, ids: np.ndarray, *, kmeans_iters: int = 8) -> None:
+        """Bulk (re)load: retrain on the corpus, then add."""
+        self._vectors = np.zeros((0, self.dim), dtype=np.float32)
+        self._ids = np.zeros((0,), dtype=np.int64)
+        self._centroids = None
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+        self.train(vectors, iters=kmeans_iters)
+        self.add(vectors, ids)
 
-        c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
-        self._params = (nlist, pad)
-        self._staged = (
-            jax.device_put(centroids, NamedSharding(self.mesh, P(None, None))),
-            jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
-            jax.device_put(list_vecs[perm], NamedSharding(self.mesh, P("data", None, None))),
-            jax.device_put(list_ids[perm], NamedSharding(self.mesh, P("data", None))),
-            jax.device_put(owner, NamedSharding(self.mesh, P(None))),
-            jax.device_put(local_of, NamedSharding(self.mesh, P(None))),
-        )
+    def _stage(self):
+        if self._staged is None:
+            from ..models.base import next_pow2
+            from ..ops.kmeans import assign_clusters
+
+            centroids = self._centroids
+            nlist = centroids.shape[0]
+            shards = self.mesh.shape["data"]
+            assign = assign_clusters(self._vectors, centroids)
+            n = self.ntotal
+
+            counts = np.bincount(assign, minlength=nlist)
+            pad = next_pow2(max(int(counts.max(initial=1)), 8))
+            list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
+            list_ids = np.full((nlist, pad), -1, np.int32)
+            sort = np.argsort(assign, kind="stable")
+            sorted_lists = assign[sort]
+            starts = np.zeros((nlist,), np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            slots = np.arange(n) - starts[sorted_lists]
+            list_vecs[sorted_lists, slots] = self._vectors[sort]
+            list_ids[sorted_lists, slots] = self._ids[sort].astype(np.int32)
+
+            # Round-robin list placement: global list g lives on shard g % S
+            # at local row g // S. Rows are reordered shard-major so the
+            # sharded first axis slices into exactly each shard's lists.
+            g = np.arange(nlist)
+            owner = (g % shards).astype(np.int32)
+            local_of = (g // shards).astype(np.int32)
+            perm = np.argsort(owner * (nlist // shards) + local_of, kind="stable")
+
+            c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
+            self._params = (nlist, pad)
+            self._staged = (
+                jax.device_put(centroids, NamedSharding(self.mesh, P(None, None))),
+                jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
+                jax.device_put(
+                    list_vecs[perm], NamedSharding(self.mesh, P("data", None, None))
+                ),
+                jax.device_put(list_ids[perm], NamedSharding(self.mesh, P("data", None))),
+                jax.device_put(owner, NamedSharding(self.mesh, P(None))),
+                jax.device_put(local_of, NamedSharding(self.mesh, P(None))),
+            )
+        return self._staged
 
     def search(
         self, queries: np.ndarray, k: int, *, nprobe: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
         queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
-        if self._staged is None or self._n == 0:
+        if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
+        staged = self._stage()
         nlist, pad = self._params
         nprobe_eff = min(nprobe or self.nprobe, nlist)
         program = sharded_ivf_search_program(
             self.mesh, nlist, pad, self.dim, queries.shape[0], nprobe_eff, k
         )
         q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
-        d, i = program(*self._staged, q)
+        d, i = program(*staged, q)
         return np.asarray(d), np.asarray(i, dtype=np.int64)
 
+    def state(self):
+        params = {"dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe}
+        arrays = {
+            "vectors": self._vectors,
+            "ids": self._ids,
+            "centroids": self._centroids
+            if self._centroids is not None
+            else np.zeros((0, self.dim), np.float32),
+        }
+        return params, arrays
 
-class ShardedFlatIndex:
-    """Flat exact index sharded across a device mesh.
+    @classmethod
+    def from_state(cls, params, arrays) -> "ShardedIVFIndex":
+        index = cls(
+            dim=int(params["dim"]),
+            nlist=int(params["nlist"]),
+            nprobe=int(params["nprobe"]),
+        )
+        if arrays["centroids"].size:
+            index._centroids = np.ascontiguousarray(arrays["centroids"], np.float32)
+        if arrays["vectors"].size:
+            index._absorb(arrays["vectors"], arrays["ids"])
+        return index
 
-    Host-side convenience wrapper over sharded_search_program: pads the
-    corpus to a per-shard multiple, places shards with NamedSharding, and
-    exposes the same search() contract as the single-chip FlatIndex.
+
+@register
+class ShardedIVFPQIndex(ShardedIVFIndex):
+    """IVF-PQ with code lists AND the refine store sharded over `data`.
+
+    Same list placement as ShardedIVFIndex; per-chip ADC over m-byte codes
+    plus a per-shard exact f32 refine (each chip reranks only rows it
+    owns), so compressed-scan traffic is m bytes/vector while results
+    match the single-chip refined IVFPQIndex. Codebooks train like
+    IVFPQIndex (per-subspace k-means on coarse residuals, one vmapped
+    device program).
     """
 
-    kind = "sharded_flat"
+    kind = "sharded_ivf_pq"
 
-    def __init__(self, mesh: Mesh, dim: int):
-        self.mesh = mesh
-        self.dim = int(dim)
-        self._db = None
-        self._ids = None
-        self._sq = None
-        self._n = 0
+    def __init__(
+        self,
+        dim: int,
+        nlist: int = 64,
+        nprobe: int = 8,
+        m: int = 8,
+        ksub: int = 256,
+        refine_factor: int = 4,
+        mesh: Mesh | None = None,
+    ):
+        if dim % m != 0:
+            raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+        super().__init__(dim, nlist, nprobe, mesh)
+        self.m = int(m)
+        self.ksub = int(ksub)
+        self.refine_factor = int(refine_factor)
+        self._codebooks: np.ndarray | None = None
 
     @property
-    def ntotal(self) -> int:
-        return self._n
+    def is_trained(self) -> bool:
+        return self._centroids is not None and self._codebooks is not None
 
-    def load(self, vectors: np.ndarray, ids: np.ndarray) -> None:
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
-        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
-        order = np.argsort(ids, kind="stable")
-        vectors, ids = vectors[order], ids[order]
-        shards = self.mesh.shape["data"]
-        self._n = vectors.shape[0]
-        per = -(-max(self._n, 1) // shards)
-        per = ((per + 7) // 8) * 8  # sublane-align each shard
-        cap = per * shards
-        db = np.zeros((cap, self.dim), np.float32)
-        db[: self._n] = vectors
-        idp = np.full((cap,), -1, np.int32)
-        idp[: self._n] = ids.astype(np.int32)
-        sq = np.einsum("nd,nd->n", db, db).astype(np.float32)
-        row_sharding = NamedSharding(self.mesh, P("data", None))
-        vec_sharding = NamedSharding(self.mesh, P("data"))
-        self._db = jax.device_put(db, row_sharding)
-        self._ids = jax.device_put(idp, vec_sharding)
-        self._sq = jax.device_put(sq, vec_sharding)
+    def train(self, data: np.ndarray, *, iters: int = 8, seed: int = 0) -> None:
+        from ..ops.kmeans import assign_clusters, train_kmeans_multi
 
-    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        super().train(data, iters=iters, seed=seed)
+        data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
+        assign = assign_clusters(data, self._centroids)
+        residuals = data - self._centroids[assign]
+        dsub = self.dim // self.m
+        ksub_eff = min(self.ksub, max(1, data.shape[0]))
+        subs = np.ascontiguousarray(
+            residuals.reshape(data.shape[0], self.m, dsub).transpose(1, 0, 2)
+        )
+        self._codebooks = train_kmeans_multi(subs, ksub_eff, iters=iters, seed=seed + 1)
+        self._staged = None
+
+    def _encode(self, data: np.ndarray) -> np.ndarray:
+        from ..ops.kmeans import assign_clusters, assign_clusters_multi
+
+        assign = assign_clusters(data, self._centroids)
+        residuals = data - self._centroids[assign]
+        dsub = self.dim // self.m
+        subs = np.ascontiguousarray(
+            residuals.reshape(data.shape[0], self.m, dsub).transpose(1, 0, 2)
+        )
+        return assign_clusters_multi(subs, self._codebooks).T.astype(np.uint8)
+
+    def _stage(self):
+        if self._staged is None:
+            from ..models.base import next_pow2
+            from ..ops.kmeans import assign_clusters
+
+            centroids = self._centroids
+            nlist = centroids.shape[0]
+            shards = self.mesh.shape["data"]
+            assign = assign_clusters(self._vectors, centroids)
+            codes = self._encode(self._vectors)
+            n = self.ntotal
+
+            counts = np.bincount(assign, minlength=nlist)
+            pad = next_pow2(max(int(counts.max(initial=1)), 8))
+            list_codes = np.zeros((nlist, pad, self.m), np.uint8)
+            list_ids = np.full((nlist, pad), -1, np.int32)
+            list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
+            sort = np.argsort(assign, kind="stable")
+            sorted_lists = assign[sort]
+            starts = np.zeros((nlist,), np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            slots = np.arange(n) - starts[sorted_lists]
+            list_codes[sorted_lists, slots] = codes[sort]
+            list_ids[sorted_lists, slots] = self._ids[sort].astype(np.int32)
+            list_vecs[sorted_lists, slots] = self._vectors[sort]
+
+            g = np.arange(nlist)
+            owner = (g % shards).astype(np.int32)
+            local_of = (g // shards).astype(np.int32)
+            perm = np.argsort(owner * (nlist // shards) + local_of, kind="stable")
+
+            c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
+            self._params = (nlist, pad)
+            self._staged = (
+                jax.device_put(centroids, NamedSharding(self.mesh, P(None, None))),
+                jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
+                jax.device_put(
+                    self._codebooks.astype(np.float32),
+                    NamedSharding(self.mesh, P(None, None, None)),
+                ),
+                jax.device_put(
+                    list_codes[perm], NamedSharding(self.mesh, P("data", None, None))
+                ),
+                jax.device_put(list_ids[perm], NamedSharding(self.mesh, P("data", None))),
+                jax.device_put(
+                    list_vecs[perm], NamedSharding(self.mesh, P("data", None, None))
+                ),
+                jax.device_put(owner, NamedSharding(self.mesh, P(None))),
+                jax.device_put(local_of, NamedSharding(self.mesh, P(None))),
+            )
+        return self._staged
+
+    def search(
+        self, queries: np.ndarray, k: int, *, nprobe: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
         queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
-        if self._db is None or self._n == 0:
+        if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
-        program = sharded_search_program(
-            self.mesh, self._db.shape[0], self.dim, queries.shape[0], k
+        staged = self._stage()
+        nlist, pad = self._params
+        nprobe_eff = min(nprobe or self.nprobe, nlist)
+        k_adc = min(max(k * self.refine_factor, k), self.ntotal)
+        program = sharded_pq_search_program(
+            self.mesh, nlist, pad, self.dim, self.m,
+            queries.shape[0], nprobe_eff, k, k_adc,
         )
         q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
-        d, i = program(self._db, self._ids, self._sq, q)
+        d, i = program(*staged, q)
         return np.asarray(d), np.asarray(i, dtype=np.int64)
+
+    def state(self):
+        params = {
+            "dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe,
+            "m": self.m, "ksub": self.ksub, "refine_factor": self.refine_factor,
+        }
+        empty_books = np.zeros((self.m, 0, self.dim // self.m), np.float32)
+        arrays = {
+            "vectors": self._vectors,
+            "ids": self._ids,
+            "centroids": self._centroids
+            if self._centroids is not None
+            else np.zeros((0, self.dim), np.float32),
+            "codebooks": self._codebooks if self._codebooks is not None else empty_books,
+        }
+        return params, arrays
+
+    @classmethod
+    def from_state(cls, params, arrays) -> "ShardedIVFPQIndex":
+        index = cls(
+            dim=int(params["dim"]), nlist=int(params["nlist"]),
+            nprobe=int(params["nprobe"]), m=int(params["m"]),
+            ksub=int(params["ksub"]),
+            refine_factor=int(params.get("refine_factor", 4)),
+        )
+        if arrays["centroids"].size:
+            index._centroids = np.ascontiguousarray(arrays["centroids"], np.float32)
+        if arrays["codebooks"].size:
+            index._codebooks = np.ascontiguousarray(arrays["codebooks"], np.float32)
+        if arrays["vectors"].size:
+            index._absorb(arrays["vectors"], arrays["ids"])
+        return index

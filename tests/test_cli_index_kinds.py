@@ -31,7 +31,10 @@ def run(tmp_path, monkeypatch, capsys):
     return invoke
 
 
-@pytest.mark.parametrize("kind", ["flat", "ivf_flat", "ivf_pq"])
+@pytest.mark.parametrize(
+    "kind",
+    ["flat", "ivf_flat", "ivf_pq", "sharded_flat", "sharded_ivf", "sharded_ivf_pq"],
+)
 def test_save_recall_reindex_cycle(run, monkeypatch, kind):
     monkeypatch.setenv("C99VDB_INDEX", kind)
     monkeypatch.setenv("C99VDB_NLIST", "2")
@@ -57,7 +60,9 @@ def test_save_recall_reindex_cycle(run, monkeypatch, kind):
     assert out.splitlines()[1].startswith("  [1] Score: ")
 
 
-@pytest.mark.parametrize("kind", ["ivf_flat", "ivf_pq"])
+@pytest.mark.parametrize(
+    "kind", ["ivf_flat", "ivf_pq", "sharded_flat", "sharded_ivf", "sharded_ivf_pq"]
+)
 def test_incremental_add_after_train(run, monkeypatch, tmp_path, kind):
     monkeypatch.setenv("C99VDB_INDEX", kind)
     monkeypatch.setenv("C99VDB_NLIST", "2")

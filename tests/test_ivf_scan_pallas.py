@@ -21,7 +21,7 @@ def staged_ivf():
     ivf = IVFFlatIndex(dim=64, nlist=16, nprobe=16)
     ivf.train(points)
     ivf.add(points, ids)
-    centroids, c_sq, list_vecs, list_ids, list_sqn, _, _, pad = ivf._stage()
+    centroids, c_sq, list_vecs, list_ids, list_sqn, _, pad = ivf._stage()
     return points, ids, (centroids, c_sq, list_vecs, list_sqn, list_ids, pad), ivf
 
 

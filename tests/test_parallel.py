@@ -38,7 +38,7 @@ class TestShardedSearch:
         want_d, want_i = flat.search(queries, 10)
 
         mesh = make_mesh(n_data=8)
-        sharded = ShardedFlatIndex(mesh, dim=64)
+        sharded = ShardedFlatIndex(dim=64, mesh=mesh)
         sharded.load(vectors, ids)
         got_d, got_i = sharded.search(queries, 10)
 
@@ -52,7 +52,7 @@ class TestShardedSearch:
         # everything and pad the tail with (-1, inf)
         vectors, ids, _ = corpus
         mesh = make_mesh(n_data=8)
-        sharded = ShardedFlatIndex(mesh, dim=64)
+        sharded = ShardedFlatIndex(dim=64, mesh=mesh)
         sharded.load(vectors[:20], ids[:20])
         d, i = sharded.search(vectors[:1], k=30)
         assert set(i[0, :20].tolist()) == set(range(20))
@@ -64,14 +64,14 @@ class TestShardedSearch:
         vectors = np.tile(base, (64, 1))  # identical rows land on all shards
         ids = np.arange(64, dtype=np.int64)
         mesh = make_mesh(n_data=8)
-        sharded = ShardedFlatIndex(mesh, dim=16)
+        sharded = ShardedFlatIndex(dim=16, mesh=mesh)
         sharded.load(vectors, ids)
         _, i = sharded.search(base, k=8)
         assert i[0].tolist() == [0, 1, 2, 3, 4, 5, 6, 7]
 
     def test_empty(self):
         mesh = make_mesh(n_data=8)
-        sharded = ShardedFlatIndex(mesh, dim=16)
+        sharded = ShardedFlatIndex(dim=16, mesh=mesh)
         d, i = sharded.search(np.zeros((2, 16), np.float32), k=3)
         assert (i == -1).all()
 
@@ -86,7 +86,7 @@ class TestShardedIVF:
         want_d, _ = flat.search(queries, 10)
 
         mesh = make_mesh(n_data=8)
-        ivf = ShardedIVFIndex(mesh, dim=64, nlist=16, nprobe=16)
+        ivf = ShardedIVFIndex(dim=64, nlist=16, nprobe=16, mesh=mesh)
         ivf.load(vectors, ids)
         got_d, got_i = ivf.search(queries, 10, nprobe=16)
         # probing every list == exact search
@@ -102,7 +102,7 @@ class TestShardedIVF:
         _, want_i = flat.search(queries, 10)
 
         mesh = make_mesh(n_data=8)
-        ivf = ShardedIVFIndex(mesh, dim=64, nlist=16)
+        ivf = ShardedIVFIndex(dim=64, nlist=16, mesh=mesh)
         ivf.load(vectors, ids)
         _, lo = ivf.search(queries, 10, nprobe=2)
         _, hi = ivf.search(queries, 10, nprobe=8)
@@ -120,9 +120,192 @@ class TestShardedIVF:
         from c99_vectordb_tpu.parallel import ShardedIVFIndex
 
         mesh = make_mesh(n_data=8)
-        ivf = ShardedIVFIndex(mesh, dim=16)
+        ivf = ShardedIVFIndex(dim=16, mesh=mesh)
         d, i = ivf.search(np.zeros((2, 16), np.float32), k=3)
         assert (i == -1).all()
+
+
+class TestShardedIVFPQ:
+    def test_refined_matches_single_chip(self, corpus):
+        from c99_vectordb_tpu.models.ivf_pq import IVFPQIndex
+        from c99_vectordb_tpu.parallel import ShardedIVFPQIndex
+
+        vectors, ids, queries = corpus
+        single = IVFPQIndex(dim=64, nlist=16, nprobe=16, m=8, refine=True)
+        single.train(vectors)
+        single.add(vectors, ids)
+        want_d, want_i = single.search(queries, 5, nprobe=16)
+
+        mesh = make_mesh(n_data=8)
+        pq = ShardedIVFPQIndex(dim=64, nlist=16, nprobe=16, m=8, mesh=mesh)
+        pq.load(vectors, ids)
+        got_d, got_i = pq.search(queries, 5, nprobe=16)
+        # Same training (same seeds/kernels) + exact refine -> same top-5
+        # whenever the ADC shortlists agree; require strong recall overlap
+        # and exactly-correct distances for whatever ids were returned.
+        true_got = ((queries[:, None, :] - vectors[got_i]) ** 2).sum(-1)
+        np.testing.assert_allclose(got_d, true_got, rtol=1e-4, atol=1e-4)
+        overlap = sum(
+            len(set(got_i[q].tolist()) & set(want_i[q].tolist()))
+            for q in range(len(queries))
+        ) / want_i.size
+        assert overlap >= 0.8
+
+    def test_refine_recall_beats_adc(self, corpus):
+        from c99_vectordb_tpu.models.flat import FlatIndex as _F
+        from c99_vectordb_tpu.parallel import ShardedIVFPQIndex
+
+        vectors, ids, queries = corpus
+        flat = _F(dim=64)
+        flat.add(vectors, ids)
+        _, want_i = flat.search(queries, 5)
+
+        mesh = make_mesh(n_data=8)
+        pq = ShardedIVFPQIndex(dim=64, nlist=16, nprobe=16, m=8, refine_factor=8, mesh=mesh)
+        pq.load(vectors, ids)
+        _, got_i = pq.search(queries, 5, nprobe=16)
+        rec = sum(
+            len(set(got_i[q].tolist()) & set(want_i[q].tolist()))
+            for q in range(len(queries))
+        ) / want_i.size
+        assert rec >= 0.8  # exact refine rescues PQ quantization at this scale
+
+    def test_incremental_add(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedIVFPQIndex
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        pq = ShardedIVFPQIndex(dim=64, nlist=16, m=8, mesh=mesh)
+        pq.add(vectors[:500], ids[:500])
+        assert pq.ntotal == 500
+        pq.add(vectors[500:], ids[500:])
+        assert pq.ntotal == 1000
+        d, i = pq.search(queries[:2], 3, nprobe=16)
+        assert (i >= 0).all()
+
+
+class TestShardedSerialization:
+    def test_round_trips(self, corpus, tmp_path):
+        from c99_vectordb_tpu.parallel import (
+            ShardedFlatIndex,
+            ShardedIVFIndex,
+            ShardedIVFPQIndex,
+        )
+        from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        builders = [
+            lambda: ShardedFlatIndex(dim=64, mesh=mesh),
+            lambda: ShardedIVFIndex(dim=64, nlist=16, nprobe=16, mesh=mesh),
+            lambda: ShardedIVFPQIndex(dim=64, nlist=16, nprobe=16, m=8, mesh=mesh),
+        ]
+        for build in builders:
+            index = build()
+            index.add(vectors, ids)
+            want_d, want_i = index.search(queries, 5)
+            path = tmp_path / f"{index.kind}.memo"
+            write_index(index, path)
+            loaded = read_index(path)
+            assert type(loaded) is type(index)
+            assert loaded.ntotal == index.ntotal
+            got_d, got_i = loaded.search(queries, 5)
+            np.testing.assert_array_equal(got_i, want_i)
+            np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-5)
+
+    def test_incremental_add_flat(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedFlatIndex
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        inc = ShardedFlatIndex(dim=64, mesh=mesh)
+        # out-of-order adds re-sort by id, matching a bulk load
+        inc.add(vectors[500:], ids[500:])
+        inc.add(vectors[:500], ids[:500])
+        bulk = ShardedFlatIndex(dim=64, mesh=mesh)
+        bulk.load(vectors, ids)
+        d1, i1 = inc.search(queries, 10)
+        d2, i2 = bulk.search(queries, 10)
+        np.testing.assert_array_equal(i1, i2)
+
+    def test_ranked_all(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedFlatIndex
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        sharded = ShardedFlatIndex(dim=64, mesh=mesh)
+        sharded.add(vectors, ids)
+        d, i = sharded.ranked_all(queries[0])
+        assert d.shape == (1000,) and i.shape == (1000,)
+        assert (np.diff(d) >= -1e-5).all()
+
+
+class TestTwoLevelMerge:
+    def test_identical_to_flat_merge(self, corpus):
+        from c99_vectordb_tpu.parallel import (
+            make_host_chip_mesh,
+            sharded_search_2level,
+            sharded_search_program,
+        )
+
+        vectors, ids, queries = corpus
+        n, dim = 1024, 64
+        db = np.zeros((n, dim), np.float32)
+        db[:1000] = vectors
+        idp = np.full((n,), -1, np.int32)
+        idp[:1000] = ids.astype(np.int32)
+        sq = np.einsum("nd,nd->n", db, db).astype(np.float32)
+
+        mesh1 = make_mesh(n_data=8)
+        flat_prog = sharded_search_program(mesh1, n, dim, queries.shape[0], 7)
+        want_d, want_i = flat_prog(
+            jax.device_put(db, NamedSharding(mesh1, P("data", None))),
+            jax.device_put(idp, NamedSharding(mesh1, P("data"))),
+            jax.device_put(sq, NamedSharding(mesh1, P("data"))),
+            queries,
+        )
+
+        mesh2 = make_host_chip_mesh(2, 4)
+        two_prog = sharded_search_2level(mesh2, n, dim, queries.shape[0], 7)
+        got_d, got_i = two_prog(
+            jax.device_put(db, NamedSharding(mesh2, P(("host", "chip"), None))),
+            jax.device_put(idp, NamedSharding(mesh2, P(("host", "chip")))),
+            jax.device_put(sq, NamedSharding(mesh2, P(("host", "chip")))),
+            queries,
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(got_d), np.asarray(want_d), rtol=1e-6, atol=1e-6
+        )
+
+    def test_4x2_factoring(self, corpus):
+        from c99_vectordb_tpu.parallel import (
+            make_host_chip_mesh,
+            sharded_search_2level,
+        )
+        from c99_vectordb_tpu.models.flat import FlatIndex as _F
+
+        vectors, ids, queries = corpus
+        flat = _F(dim=64)
+        flat.add(vectors, ids)
+        want_d, want_i = flat.search(queries, 5)
+
+        n = 1024
+        db = np.zeros((n, 64), np.float32)
+        db[:1000] = vectors
+        idp = np.full((n,), -1, np.int32)
+        idp[:1000] = ids.astype(np.int32)
+        sq = np.einsum("nd,nd->n", db, db).astype(np.float32)
+        mesh = make_host_chip_mesh(4, 2)
+        prog = sharded_search_2level(mesh, n, 64, queries.shape[0], 5)
+        got_d, got_i = prog(
+            jax.device_put(db, NamedSharding(mesh, P(("host", "chip"), None))),
+            jax.device_put(idp, NamedSharding(mesh, P(("host", "chip")))),
+            jax.device_put(sq, NamedSharding(mesh, P(("host", "chip")))),
+            queries,
+        )
+        np.testing.assert_array_equal(np.asarray(got_i), want_i.astype(np.int64))
+        np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-3, atol=1e-3)
 
 
 class TestSharded2D:
