@@ -34,11 +34,16 @@ def _env_int(name: str, default: int) -> int:
 
 
 def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
+    """QPS of the PRODUCT exact path: fused scan kernel over a slacked
+    shortlist + exact f32 rerank (strict recall 1.0 vs a HIGHEST-precision
+    ground truth — measured in benchmarks/run.py; the raw kernel alone is
+    0.978 because DEFAULT TPU matmuls multiply in bf16)."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
+    from c99_vectordb_tpu.ops.rerank import rerank_program, shortlist_depth
     from c99_vectordb_tpu.ops.topk_pallas import fused_topk
 
     dtype = dtype or jnp.float32
@@ -50,12 +55,24 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
     ids = jnp.arange(n, dtype=jnp.int32)
     float(jnp.sum(sq_norms))  # materialize inputs
 
-    if jax.default_backend() != "tpu":
+    k_scan = shortlist_depth(k, n)
+
+    if jax.default_backend() == "tpu":
+
+        def search_step(db, ids, sq_norms, q):
+            _, ci = fused_topk(db, ids, sq_norms, q, k_scan)
+            # ids are iota here, so the id->row table IS the id array.
+            return rerank_program(n, d, n, b, k_scan, k, str(db.dtype))(
+                db, ids, ci, q
+            )
+
+    else:
         # Off-TPU the Pallas kernel would run interpreted (orders of
-        # magnitude slow); measure the XLA reference formulation instead.
+        # magnitude slow); measure the XLA reference formulation instead
+        # (XLA CPU matmuls are true f32 — no rerank needed).
         from c99_vectordb_tpu.ops.distances import scores_via_matmul
 
-        def fused_topk(db, ids, sq_norms, q, k):  # noqa: F811 (shadow on purpose)
+        def search_step(db, ids, sq_norms, q):
             dists = scores_via_matmul(q, db.astype(jnp.float32), sq_norms)
             neg, rows = jax.lax.top_k(-dists, k)
             return -neg, ids[rows]
@@ -66,7 +83,7 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
     @functools.partial(jax.jit, static_argnums=())
     def chain(db, ids, sq_norms, qstack):
         def body(s, q):
-            out_d, _ = fused_topk(db, ids, sq_norms, q + s * 0.0, k)
+            out_d, _ = search_step(db, ids, sq_norms, q + s * 0.0)
             return s + out_d[0, 0] * 0.0 + 1.0, None
 
         s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), qstack)
@@ -128,20 +145,28 @@ def main() -> int:
     n = ((n + tile_n - 1) // tile_n) * tile_n
 
     qps = bench_tpu(n, d, b, k, iters)
+    # Large-batch operating point: the corpus-outer kernel grid serves the
+    # whole resident batch with ONE HBM scan (VERDICT round 1, item 8).
+    big_b = _env_int("C99VDB_BENCH_BIG_B", 1024)
+    qps_big = bench_tpu(n, d, big_b, k, max(iters // 2, 2)) if on_tpu else None
     # Baseline on a capped corpus, scaled linearly (brute force is O(n)).
     base_n = min(n, 262_144)
     cpu_qps = bench_cpu_baseline(base_n, d, b, k) * (base_n / n)
 
-    print(
-        json.dumps(
-            {
-                "metric": f"flat_qps_{n // 1000}k_{d}d_k{k}_b{b}",
-                "value": round(qps, 2),
-                "unit": "qps",
-                "vs_baseline": round(qps / cpu_qps, 2),
-            }
-        )
-    )
+    result = {
+        "metric": f"flat_exact_qps_{n // 1000}k_{d}d_k{k}_b{b}",
+        "value": round(qps, 2),
+        "unit": "qps",
+        "vs_baseline": round(qps / cpu_qps, 2),
+    }
+    if qps_big is not None:
+        result["extra"] = {
+            f"b{big_b}_qps": round(qps_big, 2),
+            f"b{big_b}_vs_baseline": round(qps_big / cpu_qps, 2),
+            "recall_note": "strict recall@10 = 1.0 vs HIGHEST-precision GT "
+            "(kernel shortlist + exact f32 rerank; see BASELINE.md)",
+        }
+    print(json.dumps(result))
     return 0
 
 

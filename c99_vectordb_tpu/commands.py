@@ -78,7 +78,8 @@ def make_index():
     if kind == "ivf_pq":
         from .models.ivf_pq import IVFPQIndex
 
-        return IVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m)
+        opq = os.environ.get("C99VDB_OPQ", "").strip() not in ("", "0", "false")
+        return IVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m, opq=opq)
     if kind == "sharded_flat":
         from .parallel.sharded import ShardedFlatIndex
 

@@ -105,6 +105,8 @@ class IVFPQIndex:
         refine: bool = True,
         refine_factor: int = 4,
         refine_dtype: str = "float32",
+        opq: bool = False,
+        opq_iters: int = 8,
     ):
         """refine=True keeps raw vectors and exactly re-ranks the ADC
         top-(k*refine_factor) candidates (the FAISS IndexRefineFlat
@@ -113,7 +115,15 @@ class IVFPQIndex:
         refine=False for a pure compressed index (m bytes/vector).
         refine_dtype="bfloat16" halves the refine store (memory honesty:
         with refine on, index memory = codes + refine store, NOT just the
-        m-bytes/vector codes)."""
+        m-bytes/vector codes).
+
+        opq=True learns an orthogonal rotation R before quantization
+        (OPQ, the FAISS OPQMatrix pre-transform): alternate PQ training
+        on rotated data with the orthogonal-Procrustes update
+        R <- UV^T from svd(X^T decode(encode(XR))). Rotation preserves
+        L2, so scores/refine are unchanged; queries pay one extra
+        (D, D) MXU matmul. Raises ADC shortlist quality on
+        cross-subspace-correlated data."""
         if dim % m != 0:
             raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
         if refine_dtype not in ("float32", "bfloat16"):
@@ -126,6 +136,9 @@ class IVFPQIndex:
         self.refine = bool(refine)
         self.refine_factor = int(refine_factor)
         self.refine_dtype = str(refine_dtype)
+        self.opq = bool(opq)
+        self.opq_iters = int(opq_iters)
+        self._rotation: np.ndarray | None = None  # (D, D); x_rot = x @ R
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
         self._codes = np.zeros((0, self.m), dtype=np.uint8)
@@ -154,8 +167,43 @@ class IVFPQIndex:
 
     # -- training --------------------------------------------------------------
 
+    def _train_opq_rotation(self, data: np.ndarray, *, iters: int, seed: int) -> None:
+        """Learn the OPQ rotation by alternating minimization (Ge et al.,
+        'Optimized Product Quantization', the non-parametric variant):
+        fix R -> train per-subspace codebooks on X R; fix codebooks ->
+        R = U V^T from svd(X^T Y), Y = decode(encode(X R)) — the
+        orthogonal Procrustes solution. Codebook training reuses the
+        vmapped on-device k-means; the (D, D) SVD runs on host."""
+        n = data.shape[0]
+        sample_cap = 65_536
+        stride = max(1, n // sample_cap)
+        x = np.ascontiguousarray(data[::stride][:sample_cap])
+        ns = x.shape[0]
+        dsub = self.dim // self.m
+        ksub_eff = min(self.ksub, max(1, ns))
+        rot = np.eye(self.dim, dtype=np.float32)
+        for it in range(max(1, iters)):
+            xr = x @ rot
+            subs = np.ascontiguousarray(xr.reshape(ns, self.m, dsub).transpose(1, 0, 2))
+            books = train_kmeans_multi(subs, ksub_eff, iters=3, seed=seed + 7 + it)
+            codes = assign_clusters_multi(subs, books)          # (m, ns)
+            recon = np.concatenate(
+                [books[j][codes[j]] for j in range(self.m)], axis=1
+            )                                                    # (ns, D) ~ x @ rot
+            u, _, vt = np.linalg.svd(x.T @ recon, full_matrices=False)
+            rot = np.ascontiguousarray((u @ vt).astype(np.float32))
+        self._rotation = rot
+
+    def _rotate(self, data: np.ndarray) -> np.ndarray:
+        if self._rotation is None:
+            return data
+        return np.ascontiguousarray(data @ self._rotation)
+
     def train(self, data: np.ndarray, *, iters: int = 10, seed: int = 0) -> None:
         data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
+        if self.opq and self._rotation is None:
+            self._train_opq_rotation(data, iters=self.opq_iters, seed=seed)
+        data = self._rotate(data)
         n = data.shape[0]
         nlist_eff = min(self.nlist, max(1, n))
         self._centroids = train_kmeans(data, nlist_eff, iters=iters, seed=seed)
@@ -172,7 +220,10 @@ class IVFPQIndex:
         self._staged_refine = None
 
     def _encode(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(N, D) -> (assignments (N,), codes (N, m) uint8)."""
+        """(N, D) -> (assignments (N,), codes (N, m) uint8).
+
+        Operates in the (optionally OPQ-rotated) quantization space."""
+        data = self._rotate(data)
         assign = assign_clusters(data, self._centroids)
         residuals = data - self._centroids[assign]
         dsub = self.dim // self.m
@@ -256,6 +307,10 @@ class IVFPQIndex:
         if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
+        # Coarse probing + ADC run in the (rotated) quantization space; the
+        # exact refine stays in the ORIGINAL space (rotation preserves L2,
+        # and the refine store keeps raw vectors).
+        q_adc = self._rotate(queries)
         (
             centroids, c_sq, codebooks, list_codes, list_ids,
             codes128, item_const, pad,
@@ -273,7 +328,7 @@ class IVFPQIndex:
                 queries.shape[0], nprobe_eff, k_adc,
             )
             dists, out_ids = program(
-                centroids, c_sq, codebooks, codes128, item_const, list_ids, queries
+                centroids, c_sq, codebooks, codes128, item_const, list_ids, q_adc
             )
         else:
             program = _adc_search_program(
@@ -281,7 +336,7 @@ class IVFPQIndex:
                 queries.shape[0], nprobe_eff, k_adc,
             )
             dists, out_ids = program(
-                centroids, c_sq, codebooks, list_codes, list_ids, queries
+                centroids, c_sq, codebooks, list_codes, list_ids, q_adc
             )
         if self.refine:
             # Rerank consumes the device shortlist directly — no host trip.
@@ -350,6 +405,7 @@ class IVFPQIndex:
             "m": self.m, "ksub": self.ksub,
             "refine": self.refine, "refine_factor": self.refine_factor,
             "refine_dtype": self.refine_dtype,
+            "opq": self.opq, "opq_iters": self.opq_iters,
         }
         empty_books = np.zeros((self.m, 0, self.dim // self.m), np.float32)
         arrays = {
@@ -359,6 +415,9 @@ class IVFPQIndex:
             "centroids": self._centroids if self._centroids is not None else np.zeros((0, self.dim), np.float32),
             "codebooks": self._codebooks if self._codebooks is not None else empty_books,
             "vectors": self._vectors,
+            "rotation": self._rotation
+            if self._rotation is not None
+            else np.zeros((0, self.dim), np.float32),
         }
         return params, arrays
 
@@ -370,7 +429,11 @@ class IVFPQIndex:
             refine=bool(params.get("refine", False)),
             refine_factor=int(params.get("refine_factor", 4)),
             refine_dtype=str(params.get("refine_dtype", "float32")),
+            opq=bool(params.get("opq", False)),
+            opq_iters=int(params.get("opq_iters", 8)),
         )
+        if arrays.get("rotation") is not None and arrays["rotation"].size:
+            index._rotation = np.ascontiguousarray(arrays["rotation"], np.float32)
         if "vectors" in arrays and arrays["vectors"].size:
             index._vectors = np.ascontiguousarray(arrays["vectors"], dtype=np.float32)
         if arrays["centroids"].size:

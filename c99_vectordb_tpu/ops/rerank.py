@@ -162,10 +162,11 @@ def build_id_lookup(ids, rows=None):
 def shortlist_depth(k: int, cap: int) -> int:
     """Kernel shortlist size for an exactness-restoring rerank.
 
-    DEFAULT-precision distance noise is sigma ~ 1 at 768-d while
-    neighbor-to-neighbor spacing near the top-10 boundary has median
-    ~ 2.5 (exp_precision.py), so true top-k items are displaced by at
-    most a few ranks; 4x-or-+30 slack is far beyond the displacement
-    tail.
+    DEFAULT-precision distance noise is sigma ~ 1 per distance (bf16
+    multiplies at 768-d) while neighbor spacing near the top-10 boundary
+    has median ~ 2.5 (exp_precision.py), so a true top-k item displaced
+    past rank k+8 would need a >8-sigma noise event — beyond anything a
+    1M-corpus boundary produces. 2x-or-+8 keeps the scan kernel's
+    selection rounds (which scale with requested k) cheap.
     """
-    return min(max(4 * k, k + 30), cap)
+    return min(max(2 * k, k + 8), cap)

@@ -104,7 +104,7 @@ def test_empty_lookup():
 
 
 def test_shortlist_depth():
-    assert shortlist_depth(10, 1 << 20) == 40
-    assert shortlist_depth(1, 1 << 20) == 31
-    assert shortlist_depth(100, 1 << 20) == 400
+    assert shortlist_depth(10, 1 << 20) == 20
+    assert shortlist_depth(1, 1 << 20) == 9
+    assert shortlist_depth(100, 1 << 20) == 200
     assert shortlist_depth(100, 64) == 64
