@@ -306,58 +306,13 @@ def main() -> int:
 
     list_ids_d = scatter_ids(ids_dev, order_d, lists_d, slots_d)
 
-    # ---- IVF-PQ build first (needs db; lists scatter comes after) ---------
-    if not args.skip_pq and d % args.pq_m == 0:
-        m, dsub = args.pq_m, d // args.pq_m
-        t0 = time.perf_counter()
-
-        @jax.jit
-        def make_subs(_db, _cents, _assign):
-            residuals = _db - _cents[_assign]
-            return residuals.reshape(n, m, dsub).transpose(1, 0, 2)
-
-        subs = make_subs(db, centroids_d, assign_d)
-        books_d = train_kmeans_multi(
-            subs, 256, iters=args.kmeans_iters, out_device=True
-        )
-        codes_d = assign_clusters_multi(subs, books_d, out_device=True)
-        del subs
-
-        @jax.jit
-        def scatter_codes(codes, order, lists, slots):
-            by_row = codes.astype(jnp.uint8).T  # (n, m)
-            return (
-                jnp.zeros((nlist, pad, m), jnp.uint8).at[lists, slots]
-                .set(by_row[order])
-            )
-
-        list_codes_d = scatter_codes(codes_d, order_d, lists_d, slots_d)
-        float(jnp.sum(list_codes_d.astype(jnp.int32)[0, 0]))
-        if on_tpu:
-            # Host-side per-item ADC constant for the Pallas kernel (a ~m*n
-            # numpy pass; only codes (~n*m uint8) cross the device boundary).
-            from c99_vectordb_tpu.ops.adc_pallas import build_item_constants
-
-            codes_host = np.asarray(codes_d).T.astype(np.uint8)
-            pq_item_const = build_item_constants(
-                np.asarray(centroids_d), assign, codes_host, np.asarray(books_d),
-                order, sorted_lists, slots, nlist, pad,
-            )
-        pq_build_s = time.perf_counter() - t0
-        del codes_d
-        results["ivf_pq"] = {
-            "build_s": round(pq_build_s + coarse_s, 1),
-            "m": m,
-            "code_mb": round(n * m / 1e6, 1),
-            "sweep": {},
-        }
-        print(
-            f"ivf_pq build    {pq_build_s + coarse_s:.1f}s (m={m}, codes "
-            f"{n * m / 1e6:.0f} MB vs raw {n * d * 4 / 1e6:.0f} MB)",
-            flush=True,
-        )
-    else:
-        list_codes_d = None
+    # Phase ordering note: every timed sweep runs with the MINIMUM set of
+    # live device buffers. Measured effect (exp_rerank3.py vs an earlier
+    # ordering that kept PQ staging alive through the IVF sweeps): the
+    # composed ivf+rerank p=1 step degraded ~5x under the extra residency.
+    # The corpus itself is regenerated on device (deterministic key) when
+    # a later phase needs it rather than hoarded across phases.
+    do_pq = not args.skip_pq and d % args.pq_m == 0
 
     # ---- IVF-Flat staging (then the raw corpus can be dropped) ------------
     t0 = time.perf_counter()
@@ -380,7 +335,8 @@ def main() -> int:
         "sweep": {},
     }
     print(f"ivf_flat build  {coarse_s + stage_s:.1f}s (pad={pad})", flush=True)
-    del sq_norms, flat_step  # db is retained for the PQ exact-rerank sweep
+    del sq_norms, flat_step  # db is dropped after the rerank sweeps and
+    # regenerated (same key) for the PQ phase — minimum live buffers per phase
 
     # ---- IVF-Flat sweep ------------------------------------------------------
     from c99_vectordb_tpu.models.ivf_flat import _ivf_search_program
@@ -443,8 +399,88 @@ def main() -> int:
                 flush=True,
             )
 
+    # ---- bf16 inverted lists: halves the scan's HBM traffic ----------------
+    if on_tpu:
+        del db
+        list_vecs16 = jax.jit(lambda v: v.astype(jnp.bfloat16))(list_vecs_d)
+        float(jnp.sum(list_vecs16[0, 0].astype(jnp.float32)))
+        del list_vecs_d
+        ivf16_ops = (centroids_d, c_sq_d, list_vecs16, list_sqn_d, list_ids_d)
+        results["ivf_flat_bf16"] = {"sweep": {}}
+        for nprobe in args.nprobe_sweep[-2:]:
+            nprobe = min(nprobe, nlist)
+            program = ivf_full_search_program(nlist, pad, d, b, nprobe, k)
+
+            def ivf16_step(q, *ops, _p=program):
+                return _p(*ops, q)
+
+            _, ai = program(*ivf16_ops, eval_q_dev)
+            rec = recall_at_k(np.asarray(ai), gt_i)
+            qps = timed_scan_qps(ivf16_step, ivf16_ops, make_qstack, b, args.iters)
+            results["ivf_flat_bf16"]["sweep"][nprobe] = {
+                "qps": round(qps, 1), "recall": round(rec, 4)
+            }
+            print(
+                f"ivf16   p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}",
+                flush=True,
+            )
+        del list_vecs16, ivf16_ops
+        db = gen_points(0, jnp.zeros((n,)))  # deterministic regeneration
+        float(jnp.sum(db[0]))
+
+    # ---- IVF-PQ build ------------------------------------------------------
+    if do_pq:
+        m, dsub = args.pq_m, d // args.pq_m
+        t0 = time.perf_counter()
+
+        @jax.jit
+        def make_subs(_db, _cents, _assign):
+            residuals = _db - _cents[_assign]
+            return residuals.reshape(n, m, dsub).transpose(1, 0, 2)
+
+        subs = make_subs(db, centroids_d, assign_d)
+        books_d = train_kmeans_multi(
+            subs, 256, iters=args.kmeans_iters, out_device=True
+        )
+        codes_d = assign_clusters_multi(subs, books_d, out_device=True)
+        del subs
+
+        @jax.jit
+        def scatter_codes(codes, order, lists, slots):
+            by_row = codes.astype(jnp.uint8).T  # (n, m)
+            return (
+                jnp.zeros((nlist, pad, m), jnp.uint8).at[lists, slots]
+                .set(by_row[order])
+            )
+
+        list_codes_d = scatter_codes(codes_d, order_d, lists_d, slots_d)
+        float(jnp.sum(list_codes_d.astype(jnp.int32)[0, 0]))
+        if on_tpu:
+            # Host-side per-item ADC constant for the Pallas kernel (a ~m*n
+            # numpy pass; only codes (~n*m uint8) cross the device boundary).
+            from c99_vectordb_tpu.ops.adc_pallas import build_item_constants
+
+            codes_host = np.asarray(codes_d).T.astype(np.uint8)
+            pq_item_const = build_item_constants(
+                np.asarray(centroids_d), assign, codes_host, np.asarray(books_d),
+                order, sorted_lists, slots, nlist, pad,
+            )
+        pq_build_s = time.perf_counter() - t0
+        del codes_d
+        results["ivf_pq"] = {
+            "build_s": round(pq_build_s + coarse_s, 1),
+            "m": m,
+            "code_mb": round(n * m / 1e6, 1),
+            "sweep": {},
+        }
+        print(
+            f"ivf_pq build    {pq_build_s + coarse_s:.1f}s (m={m}, codes "
+            f"{n * m / 1e6:.0f} MB vs raw {n * d * 4 / 1e6:.0f} MB)",
+            flush=True,
+        )
+
     # ---- IVF-PQ sweep -----------------------------------------------------------
-    if list_codes_d is not None:
+    if do_pq:
         from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
 
         if on_tpu:
@@ -519,32 +555,6 @@ def main() -> int:
             print(
                 f"ivf_pq refined (p={refine_probe}, top{k_adc} rerank) "
                 f"qps={qps:,.0f}  recall@{k}={rec:.3f}",
-                flush=True,
-            )
-
-    # ---- bf16 inverted lists: halves the scan's HBM traffic ----------------
-    if on_tpu:
-        del db
-        list_vecs16 = jax.jit(lambda v: v.astype(jnp.bfloat16))(list_vecs_d)
-        float(jnp.sum(list_vecs16[0, 0].astype(jnp.float32)))
-        del list_vecs_d
-        ivf16_ops = (centroids_d, c_sq_d, list_vecs16, list_sqn_d, list_ids_d)
-        results["ivf_flat_bf16"] = {"sweep": {}}
-        for nprobe in args.nprobe_sweep[-2:]:
-            nprobe = min(nprobe, nlist)
-            program = ivf_full_search_program(nlist, pad, d, b, nprobe, k)
-
-            def ivf16_step(q, *ops, _p=program):
-                return _p(*ops, q)
-
-            _, ai = program(*ivf16_ops, eval_q_dev)
-            rec = recall_at_k(np.asarray(ai), gt_i)
-            qps = timed_scan_qps(ivf16_step, ivf16_ops, make_qstack, b, args.iters)
-            results["ivf_flat_bf16"]["sweep"][nprobe] = {
-                "qps": round(qps, 1), "recall": round(rec, 4)
-            }
-            print(
-                f"ivf16   p={nprobe:<4d} qps={qps:,.0f}  recall@{k}={rec:.3f}",
                 flush=True,
             )
 

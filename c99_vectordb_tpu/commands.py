@@ -25,17 +25,25 @@ import yaml
 
 from .utils.runtime import configure_jax_cache, select_platform
 
-configure_jax_cache()  # before any jit: persistent XLA cache across CLI calls
-
 from .constants import DIM, SCORE_SKIP_THRESHOLD
-from .ops.embed import embed_text, embed_texts
-from .models.flat import FlatIndex
-from .storage.index_io import load_index_or_fresh, write_index
 from .storage.paths import db_paths, ensure_parent
 from .storage.yaml_store import RecordStore, block_str
 from .utils.filters import matches, parse_filter
 from .utils.reporting import default_fields, format_cell, render_stats, render_table, resolve_field
 from .utils.text import is_blank_body
+
+# The compute stack (jax + index families) imports lazily so jax-free
+# verbs (analyze, clean, arg errors) skip ~1.5s of interpreter work; the
+# persistent-cache config runs before the first jit either way.
+
+
+def _compute_stack():
+    configure_jax_cache()
+    from .models.flat import FlatIndex  # noqa: F401 (registry side effect)
+    from .ops.embed import embed_text, embed_texts
+    from .storage.index_io import load_index_or_fresh, write_index
+
+    return embed_text, embed_texts, load_index_or_fresh, write_index
 
 
 def vlog(enabled: bool, msg: str) -> None:
@@ -70,6 +78,8 @@ def make_index():
     nprobe = int(os.environ.get("C99VDB_NPROBE", "8"))
     m = int(os.environ.get("C99VDB_PQ_M", "8"))
     if kind == "flat":
+        from .models.flat import FlatIndex
+
         return FlatIndex(dim=DIM)
     if kind == "ivf_flat":
         from .models.ivf_flat import IVFFlatIndex
@@ -99,6 +109,7 @@ def build_index_from_store(bodies: list[str], verbose: bool):
     """Embed every non-blank body in ONE batched device program and build
     a fresh index (contrast: reference re-embeds in a Python loop,
     memo_cli.py:272-285)."""
+    _, embed_texts, _, _ = _compute_stack()
     keep_ids = [i for i, body in enumerate(bodies) if not is_blank_body(body or "")]
     index = make_index()
     if keep_ids:
@@ -148,6 +159,7 @@ def cmd_reindex(db_base: str, user_cwd: str, verbose: bool) -> int:
     compacted.save(yaml_path)  # canonicalize formatting + persist re-sequenced ids
 
     select_platform(len(compacted))  # memo-scale -> CPU, corpus-scale -> TPU
+    _, _, _, write_index = _compute_stack()
     index = build_index_from_store(compacted.bodies, verbose)
     ensure_parent(index_path)
     write_index(index, index_path)
@@ -207,6 +219,7 @@ def cmd_save(db_base: str, input_file: str, user_cwd: str, verbose: bool) -> int
         return _fail(f"failed to load database YAML '{yaml_path}': {e}")
 
     select_platform(len(store) + len(entries))  # memo-scale -> CPU
+    _, embed_texts, load_index_or_fresh, write_index = _compute_stack()
     index = load_index_or_fresh(
         index_path,
         dim=DIM,
@@ -265,6 +278,7 @@ def cmd_recall(
         return _fail(f"failed to load database YAML '{yaml_path}': {e}")
 
     select_platform(len(store))  # memo-scale -> CPU, corpus-scale -> TPU
+    embed_text, _, load_index_or_fresh, _ = _compute_stack()
     index = load_index_or_fresh(index_path, dim=DIM)
 
     if not as_yaml:
