@@ -272,7 +272,52 @@ def main() -> int:
         qps16 = timed_scan_qps(flat_step, bf16_ops, make_qstack, b, args.iters)
         results["flat_bf16"] = {"qps": round(qps16, 1), "recall": round(r16, 4)}
         print(f"flat bf16       qps={qps16:,.0f}  recall@{k}={r16:.3f}", flush=True)
-        del db16, bf16_ops
+
+        # -- bf16 SCAN + f32 rerank: the scan (HBM-bound at B=128) reads
+        #    half the bytes; the rerank gathers k_slack rows from the f32
+        #    corpus and restores the exact order. Memory 1.5x, speed ~2x,
+        #    exactness preserved.
+        def bf16_scan_f32_rerank(q, _db16, _db32, _ids, _sq):
+            _, ci = _ft(_db16, _ids, _sq, q, k_slack)
+            return rerank_program(n, d, n, b, k_slack, k, "float32")(
+                _db32, _ids, ci, q
+            )
+
+        mixed_ops = (db16, db, ids_dev, sq_norms)
+        _, mi = jax.jit(bf16_scan_f32_rerank)(eval_q_dev, *mixed_ops)
+        mrec = recall_at_k(np.asarray(mi), gt_i)
+        mqps = timed_scan_qps(
+            bf16_scan_f32_rerank, mixed_ops, make_qstack, b, args.iters
+        )
+        results["flat_bf16_scan_f32_rerank"] = {
+            "qps": round(mqps, 1), "recall": round(mrec, 4)
+        }
+        print(
+            f"flat bf16+rr32  qps={mqps:,.0f}  recall@{k}={mrec:.3f}", flush=True
+        )
+
+        # -- bf16 scan + rerank from the SAME bf16 store (no extra memory):
+        #    removes multiply noise, keeps storage rounding.
+        def bf16_scan_bf16_rerank(q, _db16, _ids, _sq):
+            _, ci = _ft(_db16, _ids, _sq, q, k_slack)
+            return rerank_program(n, d, n, b, k_slack, k, "bfloat16")(
+                _db16, _ids, ci, q
+            )
+
+        _, bi = jax.jit(bf16_scan_bf16_rerank)(eval_q_dev, *bf16_ops)
+        brec = recall_at_k(np.asarray(bi), gt_i)
+        bqps = timed_scan_qps(
+            bf16_scan_bf16_rerank, bf16_ops, make_qstack, b, args.iters
+        )
+        results["flat_bf16_self_rerank"] = {
+            "qps": round(bqps, 1), "recall": round(brec, 4)
+        }
+        print(
+            f"flat bf16+rr16  qps={bqps:,.0f}  recall@{k}={brec:.3f}", flush=True
+        )
+        # Free EVERYTHING holding a corpus reference (the operand TUPLES
+        # keep arrays alive — deleting only the names leaks 3GB+ each).
+        del db16, bf16_ops, mixed_ops, flat_ops, headline_step
 
     # ---- coarse quantizer (shared by IVF-Flat and IVF-PQ) -----------------
     nlist = min(args.nlist, n)
@@ -398,10 +443,12 @@ def main() -> int:
                 f"ivf_flat+rr p={nprobe:<2d} qps={qps:,.0f}  recall@{k}={rec:.3f}",
                 flush=True,
             )
+            del ops2
+        del rr_ops
 
     # ---- bf16 inverted lists: halves the scan's HBM traffic ----------------
     if on_tpu:
-        del db
+        del db, ivf_ops  # ivf_ops tuple also references list_vecs_d
         list_vecs16 = jax.jit(lambda v: v.astype(jnp.bfloat16))(list_vecs_d)
         float(jnp.sum(list_vecs16[0, 0].astype(jnp.float32)))
         del list_vecs_d
@@ -557,6 +604,35 @@ def main() -> int:
                 f"qps={qps:,.0f}  recall@{k}={rec:.3f}",
                 flush=True,
             )
+
+        # -- bf16 refine store: halves the refine memory (IVFPQIndex
+        #    refine_dtype="bfloat16"); measures the recall cost of storing
+        #    the rerank vectors rounded to bf16.
+        db16 = jax.jit(lambda x: x.astype(jnp.bfloat16))(db)
+        float(jnp.sum(db16[0].astype(jnp.float32)))
+        adc_deep = make_pq_program(refine_probe, 20 * k)
+
+        def refined16_step(q, _db16, *ops, _p=adc_deep):
+            cd, ci = _p(*ops, q)
+            vecs = _db16[jnp.maximum(ci, 0)].astype(jnp.float32)
+            exact = jnp.sum((vecs - q[:, None, :]) ** 2, axis=-1)
+            exact = jnp.where(ci >= 0, exact, jnp.inf)
+            return merge_topk(exact, ci, k)
+
+        refined16_ops = (db16,) + pq_ops
+        _, ai = jax.jit(refined16_step)(eval_q_dev, *refined16_ops)
+        rec = recall_at_k(np.asarray(ai), gt_i)
+        qps = timed_scan_qps(refined16_step, refined16_ops, make_qstack, b, args.iters)
+        results["ivf_pq"]["refined_bf16"] = {
+            "nprobe": refine_probe, "k_adc": 20 * k,
+            "qps": round(qps, 1), "recall": round(rec, 4),
+        }
+        print(
+            f"ivf_pq refined-bf16 (p={refine_probe}, top{20 * k}) "
+            f"qps={qps:,.0f}  recall@{k}={rec:.3f}",
+            flush=True,
+        )
+        del db16, refined16_ops
 
     # ---- CPU baseline ------------------------------------------------------------
     if not args.skip_cpu:

@@ -80,7 +80,8 @@ def make_index():
     if kind == "flat":
         from .models.flat import FlatIndex
 
-        return FlatIndex(dim=DIM)
+        scan_dtype = os.environ.get("C99VDB_SCAN_DTYPE", "float32").strip() or "float32"
+        return FlatIndex(dim=DIM, scan_dtype=scan_dtype)
     if kind == "ivf_flat":
         from .models.ivf_flat import IVFFlatIndex
 

@@ -115,3 +115,45 @@ class TestSerialization:
         write_index(index, path)
         path.write_bytes(path.read_bytes()[:20])
         assert load_index_or_fresh(path).ntotal == 0
+
+
+class TestScanDtype:
+    def test_bf16_scan_option_exact_on_cpu(self):
+        import numpy as np
+
+        from c99_vectordb_tpu.models.flat import FlatIndex
+
+        rng = np.random.default_rng(5)
+        vectors = rng.standard_normal((300, 32)).astype(np.float32)
+        ids = np.arange(300, dtype=np.int64)
+        f32 = FlatIndex(dim=32)
+        bf16 = FlatIndex(dim=32, scan_dtype="bfloat16")
+        f32.add(vectors, ids)
+        bf16.add(vectors, ids)
+        q = vectors[:4] + 0.01
+        d1, i1 = f32.search(q, 7)
+        d2, i2 = bf16.search(q, 7)
+        # CPU path scores from the f32 store either way -> identical.
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
+
+    def test_scan_dtype_round_trips(self, tmp_path):
+        import numpy as np
+
+        from c99_vectordb_tpu.models.flat import FlatIndex
+        from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+        index = FlatIndex(dim=16, scan_dtype="bfloat16")
+        index.add(np.eye(16, dtype=np.float32), np.arange(16, dtype=np.int64))
+        path = tmp_path / "f.memo"
+        write_index(index, path)
+        loaded = read_index(path)
+        assert loaded.scan_dtype == "bfloat16"
+
+    def test_invalid_scan_dtype_rejected(self):
+        import pytest
+
+        from c99_vectordb_tpu.models.flat import FlatIndex
+
+        with pytest.raises(ValueError, match="scan_dtype"):
+            FlatIndex(dim=16, scan_dtype="float16")
