@@ -578,6 +578,15 @@ def main() -> int:
         from c99_vectordb_tpu.ops.topk import merge_topk
 
         refine_probe = min(args.nprobe_sweep[0], nlist)
+        if on_tpu:
+            # Deep shortlists skip in-kernel selection entirely: dense ADC
+            # output + XLA top_k (adc_dense_search_program) — the sorted-
+            # insertion top-k costs ~k_adc VPU rounds per probe otherwise.
+            from c99_vectordb_tpu.ops.adc_pallas import adc_dense_search_program
+
+            make_pq_program = lambda nprobe, kk: adc_dense_search_program(  # noqa: E731
+                nlist, pad, d, args.pq_m, 256, b, nprobe, kk
+            )
         results["ivf_pq"]["refined"] = {}
         for k_adc in (4 * k, 10 * k, 20 * k):
             adc_wide = make_pq_program(refine_probe, k_adc)

@@ -40,6 +40,8 @@ from ..ops.topk import merge_topk
 from .base import next_pow2
 from .registry import register
 
+LANE_K = 128  # shortlists beyond ~a lane tile use the dense ADC variant
+
 
 @functools.lru_cache(maxsize=None)
 def _adc_search_program(
@@ -321,12 +323,24 @@ class IVFPQIndex:
         k_adc = min(k * self.refine_factor, self.ntotal) if self.refine else k
         k_adc = max(k_adc, k)
         if jax.default_backend() == "tpu" and ksub_eff == 256:
-            from ..ops.adc_pallas import adc_full_search_program
+            if self.refine and k_adc > 2 * LANE_K:
+                # Deep shortlists: the in-kernel sorted-insertion top-k
+                # costs ~k_adc VPU rounds per probe; the dense-output ADC
+                # + XLA top_k is far cheaper and the refine re-sorts
+                # exactly anyway (ops/adc_pallas.adc_dense_search_program).
+                from ..ops.adc_pallas import adc_dense_search_program
 
-            program = adc_full_search_program(
-                nlist_eff, pad, self.dim, self.m, ksub_eff,
-                queries.shape[0], nprobe_eff, k_adc,
-            )
+                program = adc_dense_search_program(
+                    nlist_eff, pad, self.dim, self.m, ksub_eff,
+                    queries.shape[0], nprobe_eff, k_adc,
+                )
+            else:
+                from ..ops.adc_pallas import adc_full_search_program
+
+                program = adc_full_search_program(
+                    nlist_eff, pad, self.dim, self.m, ksub_eff,
+                    queries.shape[0], nprobe_eff, k_adc,
+                )
             dists, out_ids = program(
                 centroids, c_sq, codebooks, codes128, item_const, list_ids, q_adc
             )

@@ -186,6 +186,127 @@ def adc_scan_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: in
     return run
 
 
+def _adc_dense_kernel(
+    lists_ref, qd_ref, pc_ref, codes_ref, const_ref, ids_ref,
+    out_d_ref, out_i_ref, *, ksub: int, m: int,
+):
+    """ADC estimates WITHOUT in-kernel selection: emits the probed list's
+    dense (1, pad) distances + ids per grid step. For deep-shortlist
+    refine flows the in-kernel sorted-insertion top-k is the bottleneck
+    (rounds scale with k: top-200 costs ~200 VPU insertion rounds per
+    probe), while the refine stage re-sorts exactly anyway — so skip
+    selection entirely and let XLA top_k shortlist the dense output."""
+    p_idx = pl.program_id(1)
+    qd = qd_ref[0]
+    codes = codes_ref[0].astype(jnp.int32)
+    pad = codes.shape[1]
+    code_iota = jax.lax.broadcasted_iota(jnp.int32, (ksub, pad), 0)
+    qdot = jnp.zeros((1, pad), jnp.float32)
+    for j in range(m):
+        sel = (code_iota == codes[j : j + 1, :]).astype(jnp.float32)
+        qdot = qdot + jax.lax.dot_general(
+            qd[j : j + 1, :], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    coarse = pc_ref[0, 0, p_idx]
+    dist = jnp.maximum(coarse - 2.0 * qdot + const_ref[0], 0.0)
+    ids = ids_ref[0]
+    out_d_ref[0] = jnp.where(ids >= 0, dist, jnp.inf)
+    out_i_ref[0] = ids
+
+
+@functools.lru_cache(maxsize=None)
+def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: int):
+    """Jitted (lists, probe_coarse, qd, codes128, item_const, list_ids) ->
+    dense (dists (b, nprobe*pad), ids (b, nprobe*pad))."""
+    kernel = functools.partial(_adc_dense_kernel, ksub=ksub, m=m)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, CODE_LANES, ksub), lambda i, p, L: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, nprobe), lambda i, p, L: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, CODE_LANES, pad), lambda i, p, L: (L[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, pad), lambda i, p, L: (i, p, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, L: (i, p, 0)),
+        ],
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nprobe, pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, nprobe, pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nprobe * pad * m * ksub,
+            bytes_accessed=b * nprobe * pad * (CODE_LANES + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(lists, probe_coarse, qd, codes128, item_const, list_ids):
+        out_d, out_i = call(
+            lists,
+            qd,
+            probe_coarse.reshape(b, 1, nprobe),
+            codes128,
+            item_const.reshape(nlist, 1, pad),
+            list_ids.reshape(nlist, 1, pad),
+        )
+        return out_d.reshape(b, nprobe * pad), out_i.reshape(b, nprobe * pad)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def adc_dense_search_program(
+    nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int, k_adc: int
+):
+    """Coarse prologue + dense ADC scan + XLA top-k shortlist: the fast
+    path for refine flows with deep shortlists (k_adc >> 10)."""
+    scan = adc_dense_program(nlist, pad, m, ksub, b, nprobe)
+    dsub = dim // m
+
+    @jax.jit
+    def run(centroids, c_sq, codebooks, codes128, item_const, list_ids, queries):
+        coarse = (
+            jnp.sum(queries * queries, axis=1, keepdims=True)
+            + c_sq[None, :]
+            - 2.0 * jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+        )
+        neg, probes = jax.lax.top_k(-coarse, nprobe)
+        probe_coarse = jnp.maximum(-neg, 0.0)
+        q_sub = queries.reshape(b, m, dsub)
+        qd = jnp.einsum(
+            "bjd,jcd->bjc", q_sub, codebooks, preferred_element_type=jnp.float32
+        )
+        qd = jnp.pad(qd, ((0, 0), (0, CODE_LANES - m), (0, 0)))
+        dense_d, dense_i = scan(
+            probes.astype(jnp.int32), probe_coarse, qd, codes128, item_const, list_ids
+        )
+        kk = min(k_adc, dense_d.shape[1])
+        neg_top, pos = jax.lax.top_k(-dense_d, kk)
+        return -neg_top, jnp.take_along_axis(dense_i, pos, axis=1)
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def adc_full_search_program(
     nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int, k: int

@@ -48,6 +48,31 @@ class TestPallasADC:
             np.asarray(d_p), np.asarray(d_x), rtol=1e-3, atol=1e-2
         )
 
+    def test_dense_variant_matches_xla(self, staged_pq):
+        from c99_vectordb_tpu.ops.adc_pallas import adc_dense_search_program
+
+        points, pq, staged = staged_pq
+        (
+            centroids, c_sq, codebooks, list_codes, list_ids,
+            codes128, item_const, pad,
+        ) = staged
+        rng = np.random.default_rng(11)
+        queries = (points[rng.choice(len(points), 2)] + 0.1).astype(np.float32)
+
+        k_adc = 12
+        xla = _adc_search_program(16, pad, 32, 4, 256, 2, 4, k_adc)
+        d_x, i_x = xla(centroids, c_sq, codebooks, list_codes, list_ids,
+                       jnp.asarray(queries))
+        dense = adc_dense_search_program(16, pad, 32, 4, 256, 2, 4, k_adc)
+        d_d, i_d = dense(centroids, c_sq, codebooks, codes128, item_const,
+                         list_ids, jnp.asarray(queries))
+        # Same candidate SET and distances; the dense variant's XLA top_k
+        # tie-break can differ, so compare sorted-by-(dist, id) pairs.
+        for q in range(2):
+            want = sorted(zip(np.asarray(d_x)[q].round(2), np.asarray(i_x)[q]))
+            got = sorted(zip(np.asarray(d_d)[q].round(2), np.asarray(i_d)[q]))
+            assert [i for _, i in got] == [i for _, i in want]
+
     def test_item_constant_identity(self, staged_pq):
         # const = ||x_hat||^2 - ||c||^2 for each encoded item
         points, pq, staged = staged_pq
