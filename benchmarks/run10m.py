@@ -1,0 +1,304 @@
+"""10M-vector single-chip benchmark: IVF-PQ + bf16 refine at 10M x 384.
+
+The BASELINE target's scale row. A 10M f32 corpus (15 GB at 384-d) does
+not fit next to its index on one v5e, so this measures the compressed
+deployment shape: PQ codes (m bytes/vector) for the scan + a bf16 refine
+store (2 bytes/dim) for the exact re-rank — everything generated,
+encoded, and kept ON DEVICE (host<->device is ~MB/s here), with the
+ground truth computed by re-generating corpus chunks from their
+deterministic keys and scanning at Precision.HIGHEST.
+
+Usage:  python benchmarks/run10m.py            # 10M x 384 on TPU
+        python benchmarks/run10m.py --quick    # small smoke config
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from c99_vectordb_tpu.utils.runtime import configure_jax_cache
+
+configure_jax_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=10_485_760)  # 10 x 1M, 2048-multiple
+    p.add_argument("--d", type=int, default=384)
+    p.add_argument("--b", type=int, default=128)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--m", type=int, default=48)
+    p.add_argument("--nlist", type=int, default=8192)
+    p.add_argument("--chunk", type=int, default=1_048_576)
+    p.add_argument("--kmeans-iters", type=int, default=8)
+    p.add_argument("--k-adc", type=int, default=200)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--json-out", type=str, default=None)
+    args = p.parse_args()
+    if args.quick:
+        args.n, args.d, args.b, args.m = 65_536, 128, 16, 16
+        args.nlist, args.chunk, args.kmeans_iters = 256, 16_384, 3
+
+    n, d, b, k, m = args.n, args.d, args.b, args.k, args.m
+    chunk = args.chunk
+    n_chunks = n // chunk
+    assert n % chunk == 0
+    nlist = args.nlist
+    n_gen_clusters = 4096
+
+    from c99_vectordb_tpu.ops.kmeans import (
+        assign_clusters,
+        assign_clusters_multi,
+        train_kmeans,
+        train_kmeans_multi,
+    )
+    from c99_vectordb_tpu.ops.rerank import rerank_program
+    from c99_vectordb_tpu.ops.topk import merge_topk
+
+    print(
+        f"# corpus {n} x {d} (clustered, {n_chunks} x {chunk} chunks), "
+        f"batch {b}, k {k}, m {m}, nlist {nlist} on {jax.default_backend()}",
+        flush=True,
+    )
+    results: dict = {"config": vars(args)}
+
+    def gen(key_idx, count):
+        @jax.jit
+        def _gen(marker):
+            kc, kn = jax.random.split(jax.random.key(key_idx))
+            centers = jax.random.normal(
+                jax.random.key(1), (n_gen_clusters, d), dtype=jnp.float32
+            )
+            cid = jax.random.randint(kc, (marker.shape[0],), 0, n_gen_clusters)
+            return centers[cid] * 3.0 + jax.random.normal(
+                kn, (marker.shape[0], d), dtype=jnp.float32
+            )
+
+        return _gen(jnp.zeros((count,), jnp.int8))
+
+    queries = gen(9999, b)
+    q_sq = jnp.sum(queries * queries, axis=1)
+
+    # ---- build: train on chunk 0, then encode every chunk ------------------
+    t0 = time.perf_counter()
+    first = gen(0, chunk)
+    centroids = train_kmeans(first, nlist, iters=args.kmeans_iters, out_device=True)
+    assign0 = assign_clusters(first, centroids, out_device=True)
+    dsub = d // m
+
+    @jax.jit
+    def residual_subs(x, cents, a):
+        return (x - cents[a]).reshape(x.shape[0], m, dsub).transpose(1, 0, 2)
+
+    books = train_kmeans_multi(
+        residual_subs(first, centroids, assign0), 256,
+        iters=args.kmeans_iters, out_device=True,
+    )
+    del first, assign0
+
+    # Per-chunk: regenerate, assign, encode. The big device stores update
+    # IN PLACE via donated dynamic_update_slice — a concatenate would
+    # double-buffer the 7.7 GB bf16 refine store and OOM the chip.
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def write_refine(store, x, start):
+        return jax.lax.dynamic_update_slice(
+            store, x.astype(jnp.bfloat16), (start, 0)
+        )
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def write_codes(store, c, start):
+        return jax.lax.dynamic_update_slice(
+            store, c.astype(jnp.uint8).T, (start, 0)
+        )
+
+    refine_dev = jnp.zeros((n, d), jnp.bfloat16)
+    codes_dev = jnp.zeros((n, m), jnp.uint8)
+    assigns = []
+    for ci in range(n_chunks):
+        x = gen(ci, chunk)
+        a = assign_clusters(x, centroids, out_device=True)
+        c = assign_clusters_multi(residual_subs(x, centroids, a), books,
+                                  out_device=True)
+        assigns.append(np.asarray(a))                       # host (4B/vec)
+        refine_dev = write_refine(refine_dev, x, jnp.int32(ci * chunk))
+        codes_dev = write_codes(codes_dev, c, jnp.int32(ci * chunk))
+        del x, a, c
+    assign = np.concatenate(assigns)
+    float(jnp.sum(refine_dev[0].astype(jnp.float32)))
+
+    # Bucket codes into padded lists (host metadata, device scatter).
+    counts = np.bincount(assign, minlength=nlist)
+    pad = int(-(-max(int(counts.max(initial=1)), 8) // 128) * 128)
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    sorted_lists = assign[order]
+    starts = np.zeros((nlist,), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    slots = (np.arange(n) - starts[sorted_lists]).astype(np.int32)
+    ids_dev = jnp.arange(n, dtype=jnp.int32)
+
+    @jax.jit
+    def scatter(codes, ids, order, lists, slots):
+        lc = (
+            jnp.zeros((nlist, pad, m), jnp.uint8).at[lists, slots].set(codes[order])
+        )
+        li = jnp.full((nlist, pad), -1, jnp.int32).at[lists, slots].set(ids[order])
+        return lc, li
+
+    codes_host_rows = np.asarray(codes_dev)  # (n, m) uint8, id order
+    list_codes, list_ids = scatter(
+        codes_dev, ids_dev, jnp.asarray(order), jnp.asarray(sorted_lists),
+        jnp.asarray(slots),
+    )
+    del codes_dev
+
+    from c99_vectordb_tpu.ops.adc_pallas import (
+        CODE_LANES,
+        adc_dense_search_program,
+        build_item_constants,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        codes128 = jax.jit(
+            lambda c: jnp.pad(
+                c.transpose(0, 2, 1), ((0, 0), (0, CODE_LANES - m), (0, 0))
+            )
+        )(list_codes)
+        item_const = build_item_constants(
+            np.asarray(centroids), assign, codes_host_rows,
+            np.asarray(books), order, sorted_lists, slots, nlist, pad,
+        )
+        item_const_d = jnp.asarray(item_const)
+    build_s = time.perf_counter() - t0
+    code_mb = n * m / 1e6
+    refine_mb = n * d * 2 / 1e6
+    print(
+        f"build {build_s:.1f}s  codes {code_mb:.0f} MB + bf16 refine "
+        f"{refine_mb:.0f} MB vs raw f32 {n * d * 4 / 1e6:.0f} MB (pad={pad})",
+        flush=True,
+    )
+    results["build_s"] = round(build_s, 1)
+    results["code_mb"] = round(code_mb, 1)
+    results["refine_mb"] = round(refine_mb, 1)
+
+    # ---- ground truth: chunked HIGHEST-precision scan ----------------------
+    @jax.jit
+    def gt_chunk(carry, x, x0):
+        best_d, best_i = carry
+        sq = jnp.sum(x * x, axis=1)
+        ip = jax.lax.dot_general(
+            queries, x.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        dist = sq[None, :] - 2.0 * ip + q_sq[:, None]
+        ids = x0 + jnp.arange(x.shape[0], dtype=jnp.int32)
+        alld = jnp.concatenate([best_d, dist], axis=1)
+        alli = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids[None, :], dist.shape)], axis=1
+        )
+        neg, pos = jax.lax.top_k(-alld, k)
+        return -neg, jnp.take_along_axis(alli, pos, axis=1)
+
+    gt = (
+        jnp.full((b, k), jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+    for ci in range(n_chunks):
+        gt = gt_chunk(gt, gen(ci, chunk), jnp.int32(ci * chunk))
+    gt_i = np.asarray(gt[1])
+
+    def recall(ai):
+        return sum(
+            len(set(ai[q].tolist()) & set(gt_i[q].tolist())) for q in range(b)
+        ) / gt_i.size
+
+    # ---- search: dense ADC + bf16 exact refine ------------------------------
+    c_sq = jnp.sum(centroids * centroids, axis=1)
+    k_adc = args.k_adc
+
+    def timed_qps(step, ops, iters=6):
+        @jax.jit
+        def chain(qstack, *ops):
+            def body(s, q):
+                out_d, _ = step(q + s * 0.0, *ops)
+                return s + out_d[0, 0] * 0.0 + 1.0, None
+
+            s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), qstack)
+            return s
+
+        def run(steps):
+            qstack = gen(7, steps * b).reshape(steps, b, d)
+            float(chain(qstack, *ops))
+            t0 = time.perf_counter()
+            float(chain(qstack, *ops))
+            return time.perf_counter() - t0
+
+        lo, hi = 2, 2 + iters
+        t_lo = run(lo)
+        while True:
+            t_hi = run(hi)
+            if t_hi > 1.5 * t_lo or hi >= 256:
+                break
+            hi *= 4
+        return b * (hi - lo) / max(t_hi - t_lo, 1e-9)
+
+    for nprobe in (1, 4):
+        if on_tpu:
+            adc = adc_dense_search_program(nlist, pad, d, m, 256, b, nprobe, k_adc)
+            rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
+
+            def refined_step(q, cents, csq, bks, c128, icst, lids, ref, ids):
+                cd, ci = adc(cents, csq, bks, c128, icst, lids, q)
+                return rr(ref, ids, ci, q)
+
+            ops = (
+                centroids, c_sq, books, codes128, item_const_d, list_ids,
+                refine_dev, ids_dev,
+            )
+        else:
+            from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
+
+            adc = _adc_search_program(nlist, pad, d, m, 256, b, nprobe, k_adc)
+            rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
+
+            def refined_step(q, cents, csq, bks, lc, lids, ref, ids):
+                cd, ci = adc(cents, csq, bks, lc, lids, q)
+                return rr(ref, ids, ci, q)
+
+            ops = (centroids, c_sq, books, list_codes, list_ids, refine_dev, ids_dev)
+
+        _, ai = jax.jit(refined_step)(queries, *ops)
+        rec = recall(np.asarray(ai))
+        qps = timed_qps(refined_step, ops)
+        results[f"refined_p{nprobe}"] = {
+            "qps": round(qps, 1), "recall": round(rec, 4), "k_adc": k_adc,
+        }
+        print(
+            f"ivf_pq+bf16refine p={nprobe} (top{k_adc}) "
+            f"qps={qps:,.0f}  recall@{k}={rec:.3f}",
+            flush=True,
+        )
+
+    line = json.dumps(results)
+    print(line, flush=True)
+    if args.json_out:
+        Path(args.json_out).write_text(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
