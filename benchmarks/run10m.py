@@ -256,7 +256,7 @@ def main() -> int:
             hi *= 4
         return b * (hi - lo) / max(t_hi - t_lo, 1e-9)
 
-    for nprobe in (1, 4):
+    for nprobe in (1, 4, 8):
         if on_tpu:
             adc = adc_dense_search_program(nlist, pad, d, m, 256, b, nprobe, k_adc)
             rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")

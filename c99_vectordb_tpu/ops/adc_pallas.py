@@ -235,8 +235,12 @@ def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: i
             pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, pad), lambda i, p, L: (i, p, 0)),
-            pl.BlockSpec((1, 1, pad), lambda i, p, L: (i, p, 0)),
+            # One (1, 1, pad) block per (query, probe), laid out along the
+            # LANE axis as (b, 1, nprobe*pad): a (1, pad) trailing block is
+            # Mosaic-legal for any nprobe (a (1, 1, pad) block over a
+            # (b, nprobe, pad) array is NOT — middle dim 1 != nprobe).
+            pl.BlockSpec((1, 1, pad), lambda i, p, L: (i, 0, p)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, L: (i, 0, p)),
         ],
     )
 
@@ -245,8 +249,8 @@ def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: i
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, nprobe, pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, nprobe, pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, nprobe * pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, nprobe * pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 _platform_locked = False
+_cpu_selected = False
 
 
 def platform_decision(choice: str, ntotal_hint: int, threshold: int) -> str | None:
@@ -47,7 +48,7 @@ def select_platform(ntotal_hint: int) -> str | None:
       C99VDB_PLATFORM      = auto (default) | cpu | tpu | <platform name>
       C99VDB_CPU_THRESHOLD = corpus-size cutoff for auto (default 100000)
     """
-    global _platform_locked
+    global _platform_locked, _cpu_selected
     target = platform_decision(
         os.environ.get("C99VDB_PLATFORM", "auto"),
         ntotal_hint,
@@ -56,6 +57,7 @@ def select_platform(ntotal_hint: int) -> str | None:
     if _platform_locked:
         return target
     _platform_locked = True
+    _cpu_selected = target == "cpu"
     if target is not None:
         try:
             import jax
@@ -73,6 +75,8 @@ def select_platform(ntotal_hint: int) -> str | None:
 
 
 def configure_jax_cache() -> None:
+    if _cpu_selected:
+        return  # CPU compiles are fast; stale-host AOT entries warn/SIGILL
     cache_dir = os.environ.get(
         "C99VDB_XLA_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "c99_vectordb_tpu", "xla"),
