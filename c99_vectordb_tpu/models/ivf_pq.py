@@ -44,6 +44,15 @@ LANE_K = 128  # shortlists beyond ~a lane tile use the dense ADC variant
 
 
 @functools.lru_cache(maxsize=None)
+def _rotate_program(dim: int, b: int):
+    @jax.jit
+    def run(queries: jax.Array, rotation: jax.Array) -> jax.Array:
+        return jnp.dot(queries, rotation, preferred_element_type=jnp.float32)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def _adc_search_program(
     nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int, k: int
 ):
@@ -141,6 +150,7 @@ class IVFPQIndex:
         self.opq = bool(opq)
         self.opq_iters = int(opq_iters)
         self._rotation: np.ndarray | None = None  # (D, D); x_rot = x @ R
+        self._rotation_dev: jax.Array | None = None
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
         self._codes = np.zeros((0, self.m), dtype=np.uint8)
@@ -195,11 +205,24 @@ class IVFPQIndex:
             u, _, vt = np.linalg.svd(x.T @ recon, full_matrices=False)
             rot = np.ascontiguousarray((u @ vt).astype(np.float32))
         self._rotation = rot
+        self._rotation_dev = None
 
     def _rotate(self, data: np.ndarray) -> np.ndarray:
+        """Host-side rotation — build/encode paths only (batched, offline)."""
         if self._rotation is None:
             return data
         return np.ascontiguousarray(data @ self._rotation)
+
+    def _rotate_queries(self, queries: np.ndarray):
+        """Query rotation ON DEVICE (one (B, D) x (D, D) MXU matmul) — the
+        search hot path must not pay a host matmul + an extra transfer."""
+        if self._rotation is None:
+            return queries
+        if self._rotation_dev is None:
+            self._rotation_dev = jax.device_put(self._rotation)
+        return _rotate_program(self.dim, queries.shape[0])(
+            jnp.asarray(queries), self._rotation_dev
+        )
 
     def train(self, data: np.ndarray, *, iters: int = 10, seed: int = 0) -> None:
         data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
@@ -312,7 +335,7 @@ class IVFPQIndex:
         # Coarse probing + ADC run in the (rotated) quantization space; the
         # exact refine stays in the ORIGINAL space (rotation preserves L2,
         # and the refine store keeps raw vectors).
-        q_adc = self._rotate(queries)
+        q_adc = self._rotate_queries(queries)
         (
             centroids, c_sq, codebooks, list_codes, list_ids,
             codes128, item_const, pad,

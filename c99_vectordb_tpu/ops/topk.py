@@ -47,7 +47,14 @@ def merge_topk(dists: jax.Array, ids: jax.Array, k: int):
     Used to combine per-shard / per-tile partial top-k results. Invalid
     candidates must carry +inf distance. Ids are made the secondary sort
     key so cross-source ties resolve deterministically to the lowest id.
+    When C < k the output PADS to width k with (inf, -1) — callers (and
+    the sharded all_gather merge) rely on a fixed (B, k) shape even for
+    tiny corpora.
     """
+    if dists.shape[-1] < k:
+        pad = [(0, 0)] * (dists.ndim - 1) + [(0, k - dists.shape[-1])]
+        dists = jnp.pad(dists, pad, constant_values=jnp.inf)
+        ids = jnp.pad(ids, pad, constant_values=-1)
     big = jnp.iinfo(jnp.int32).max
     tie_ids = jnp.where(jnp.isinf(dists), big, ids)
     sorted_d, sorted_i = jax.lax.sort((dists, tie_ids), num_keys=2, dimension=-1)

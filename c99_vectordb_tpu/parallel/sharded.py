@@ -363,6 +363,48 @@ def sharded_pq_search_program(
     return jax.jit(shard_fn)
 
 
+def _shard_list_layout(centroids: np.ndarray, assign: np.ndarray, shards: int):
+    """Shared staging math for list-sharded families.
+
+    Pads the centroid table to a shards-divisible count with sentinel
+    rows whose c_sq is pinned to +inf, so they can never win an
+    assignment or a probe — this is what lets an index trained/saved on
+    one mesh reload on ANY device count. Returns (centroids_padded,
+    c_sq, nlist, pad, order, sorted_lists, slots, owner, local_of,
+    perm).
+    """
+    from ..models.base import next_pow2
+
+    nlist0 = centroids.shape[0]
+    nlist = ((nlist0 + shards - 1) // shards) * shards
+    c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
+    if nlist != nlist0:
+        sentinel = np.zeros((nlist - nlist0, centroids.shape[1]), np.float32)
+        centroids = np.concatenate([centroids.astype(np.float32), sentinel])
+        c_sq = np.concatenate([c_sq, np.full((nlist - nlist0,), np.inf, np.float32)])
+
+    n = assign.shape[0]
+    counts = np.bincount(assign, minlength=nlist)
+    pad = next_pow2(max(int(counts.max(initial=1)), 8))
+    order = np.argsort(assign, kind="stable")
+    sorted_lists = assign[order]
+    starts = np.zeros((nlist,), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    slots = np.arange(n) - starts[sorted_lists]
+
+    # Round-robin list placement: global list g lives on shard g % S at
+    # local row g // S. Rows are reordered shard-major so the sharded
+    # first axis slices into exactly each shard's lists.
+    g = np.arange(nlist)
+    owner = (g % shards).astype(np.int32)
+    local_of = (g // shards).astype(np.int32)
+    perm = np.argsort(owner * (nlist // shards) + local_of, kind="stable")
+    return (
+        centroids, c_sq, nlist, pad, order, sorted_lists, slots,
+        owner, local_of, perm,
+    )
+
+
 class _ShardedBase:
     """Shared plumbing for first-class sharded families (CLAUDE.md
     convention: every family exposes add/search/ranked_all/ids and
@@ -546,36 +588,20 @@ class ShardedIVFIndex(_ShardedBase):
 
     def _stage(self):
         if self._staged is None:
-            from ..models.base import next_pow2
             from ..ops.kmeans import assign_clusters
 
-            centroids = self._centroids
-            nlist = centroids.shape[0]
             shards = self.mesh.shape["data"]
-            assign = assign_clusters(self._vectors, centroids)
-            n = self.ntotal
+            assign = assign_clusters(self._vectors, self._centroids)
+            (
+                centroids, c_sq, nlist, pad, sort, sorted_lists, slots,
+                owner, local_of, perm,
+            ) = _shard_list_layout(self._centroids, assign, shards)
 
-            counts = np.bincount(assign, minlength=nlist)
-            pad = next_pow2(max(int(counts.max(initial=1)), 8))
             list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
             list_ids = np.full((nlist, pad), -1, np.int32)
-            sort = np.argsort(assign, kind="stable")
-            sorted_lists = assign[sort]
-            starts = np.zeros((nlist,), np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            slots = np.arange(n) - starts[sorted_lists]
             list_vecs[sorted_lists, slots] = self._vectors[sort]
             list_ids[sorted_lists, slots] = self._ids[sort].astype(np.int32)
 
-            # Round-robin list placement: global list g lives on shard g % S
-            # at local row g // S. Rows are reordered shard-major so the
-            # sharded first axis slices into exactly each shard's lists.
-            g = np.arange(nlist)
-            owner = (g % shards).astype(np.int32)
-            local_of = (g // shards).astype(np.int32)
-            perm = np.argsort(owner * (nlist // shards) + local_of, kind="stable")
-
-            c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
             self._params = (nlist, pad)
             self._staged = (
                 jax.device_put(centroids, NamedSharding(self.mesh, P(None, None))),
@@ -695,36 +721,23 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
 
     def _stage(self):
         if self._staged is None:
-            from ..models.base import next_pow2
             from ..ops.kmeans import assign_clusters
 
-            centroids = self._centroids
-            nlist = centroids.shape[0]
             shards = self.mesh.shape["data"]
-            assign = assign_clusters(self._vectors, centroids)
+            assign = assign_clusters(self._vectors, self._centroids)
             codes = self._encode(self._vectors)
-            n = self.ntotal
+            (
+                centroids, c_sq, nlist, pad, sort, sorted_lists, slots,
+                owner, local_of, perm,
+            ) = _shard_list_layout(self._centroids, assign, shards)
 
-            counts = np.bincount(assign, minlength=nlist)
-            pad = next_pow2(max(int(counts.max(initial=1)), 8))
             list_codes = np.zeros((nlist, pad, self.m), np.uint8)
             list_ids = np.full((nlist, pad), -1, np.int32)
             list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
-            sort = np.argsort(assign, kind="stable")
-            sorted_lists = assign[sort]
-            starts = np.zeros((nlist,), np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            slots = np.arange(n) - starts[sorted_lists]
             list_codes[sorted_lists, slots] = codes[sort]
             list_ids[sorted_lists, slots] = self._ids[sort].astype(np.int32)
             list_vecs[sorted_lists, slots] = self._vectors[sort]
 
-            g = np.arange(nlist)
-            owner = (g % shards).astype(np.int32)
-            local_of = (g // shards).astype(np.int32)
-            perm = np.argsort(owner * (nlist // shards) + local_of, kind="stable")
-
-            c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
             self._params = (nlist, pad)
             self._staged = (
                 jax.device_put(centroids, NamedSharding(self.mesh, P(None, None))),
@@ -755,7 +768,9 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         staged = self._stage()
         nlist, pad = self._params
         nprobe_eff = min(nprobe or self.nprobe, nlist)
-        k_adc = min(max(k * self.refine_factor, k), self.ntotal)
+        # Never below k: merge_topk pads, but the ADC carry must be wide
+        # enough to hold k winners when ntotal >= k.
+        k_adc = max(min(k * self.refine_factor, self.ntotal), k)
         program = sharded_pq_search_program(
             self.mesh, nlist, pad, self.dim, self.m,
             queries.shape[0], nprobe_eff, k, k_adc,

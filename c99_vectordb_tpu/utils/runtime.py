@@ -57,17 +57,18 @@ def select_platform(ntotal_hint: int) -> str | None:
     if _platform_locked:
         return target
     _platform_locked = True
-    _cpu_selected = target == "cpu"
     if target is not None:
         try:
             import jax
 
             jax.config.update("jax_platforms", target)
-            if target == "cpu":
-                # The persistent cache exists for TPU remote-compile latency.
-                # CPU compiles are fast, and reloading CPU AOT entries built
-                # on a different host CPU generation spews machine-feature
-                # warnings (and risks SIGILL) — skip the cache on CPU.
+            # config.update silently no-ops when the backend is already
+            # initialized (embedded use), so VERIFY the switch before
+            # dropping the persistent cache: CPU compiles are fast and
+            # stale-host CPU AOT entries warn/SIGILL, but a process that
+            # stayed on TPU still needs the cache for remote compiles.
+            if target == "cpu" and jax.default_backend() == "cpu":
+                _cpu_selected = True
                 jax.config.update("jax_compilation_cache_dir", None)
         except Exception:
             pass  # backend already up (embedded use); honor the existing one

@@ -376,3 +376,61 @@ class TestDistributedKMeans:
         # distributed training also recovers the blob structure
         d = ((centers[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(-1)
         assert (d.min(axis=1) < 16.0).sum() >= 6
+
+
+class TestCodeReviewRegressions:
+    """Round-2 review findings: k > ntotal, cross-device-count reload."""
+
+    def test_sharded_pq_k_exceeds_ntotal(self):
+        from c99_vectordb_tpu.parallel import ShardedIVFPQIndex
+
+        rng = np.random.default_rng(0)
+        vectors = rng.standard_normal((5, 16)).astype(np.float32)
+        ids = np.arange(5, dtype=np.int64)
+        mesh = make_mesh(n_data=8)
+        pq = ShardedIVFPQIndex(dim=16, nlist=8, m=4, mesh=mesh)
+        pq.load(vectors, ids)
+        d, i = pq.search(vectors[:2], k=10)
+        assert d.shape == (2, 10) and i.shape == (2, 10)
+        assert set(i[0][i[0] >= 0].tolist()) <= set(range(5))
+        assert (i[:, 5:] == -1).all()
+
+    def test_sharded_flat_k_exceeds_ntotal(self):
+        from c99_vectordb_tpu.parallel import ShardedFlatIndex
+
+        rng = np.random.default_rng(1)
+        mesh = make_mesh(n_data=8)
+        idx = ShardedFlatIndex(dim=16, mesh=mesh)
+        idx.add(rng.standard_normal((3, 16)).astype(np.float32),
+                np.arange(3, dtype=np.int64))
+        d, i = idx.search(np.zeros((1, 16), np.float32), k=7)
+        assert i.shape == (1, 7) and (i[0, 3:] == -1).all()
+
+    @pytest.mark.parametrize("kind", ["sharded_ivf", "sharded_ivf_pq"])
+    def test_reload_on_different_device_count(self, corpus, tmp_path, kind):
+        # Saved on an 8-shard mesh (nlist divisible by 8), reloaded onto a
+        # 3-device mesh: staging must re-pad the centroid table.
+        from c99_vectordb_tpu.parallel import (
+            ShardedIVFIndex,
+            ShardedIVFPQIndex,
+        )
+        from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+        vectors, ids, queries = corpus
+        mesh8 = make_mesh(n_data=8)
+        if kind == "sharded_ivf":
+            index = ShardedIVFIndex(dim=64, nlist=16, nprobe=16, mesh=mesh8)
+        else:
+            index = ShardedIVFPQIndex(dim=64, nlist=16, nprobe=16, m=8, mesh=mesh8)
+        index.load(vectors, ids)
+        want_d, want_i = index.search(queries, 5)
+        path = tmp_path / f"{kind}.memo"
+        write_index(index, path)
+
+        loaded = read_index(path)
+        loaded.mesh = make_mesh(n_data=3, devices=jax.devices()[:3])
+        got_d, got_i = loaded.search(queries, 5)
+        # Same candidates regardless of shard count (sentinel lists never
+        # win probes or assignments).
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4)

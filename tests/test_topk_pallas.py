@@ -90,3 +90,18 @@ class TestFusedTopK:
         assert d.shape == (3, 3) and i.shape == (3, 3)
         want_d, _ = oracle(db, ids, q, 3)
         np.testing.assert_allclose(d, want_d, rtol=1e-3, atol=1e-3)
+
+
+def test_merge_topk_pads_narrow_candidates():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from c99_vectordb_tpu.ops.topk import merge_topk
+
+    d = jnp.asarray([[3.0, 1.0], [jnp.inf, 2.0]])
+    i = jnp.asarray([[7, 4], [-1, 9]], dtype=jnp.int32)
+    out_d, out_i = merge_topk(d, i, 5)
+    assert out_d.shape == (2, 5) and out_i.shape == (2, 5)
+    np.testing.assert_array_equal(np.asarray(out_i)[0], [4, 7, -1, -1, -1])
+    np.testing.assert_array_equal(np.asarray(out_i)[1], [9, -1, -1, -1, -1])
+    assert np.isinf(np.asarray(out_d)[0, 2:]).all()
