@@ -70,12 +70,21 @@ def main():
         _, ci = fused_topk(db16, ids, sq, q, KS)
         return rerank_program(N, D, N, B, KS, K, "float32")(db, ids, ci, q)
 
+    def raw_tiled(tb, tn):
+        def fn(q, db, ids, sq):
+            return fused_topk(db, ids, sq, q, K, tile_b=tb, tile_n=tn)
+
+        return fn
+
     for name, fn, ops in [
         ("raw k=10 f32", raw10, (db, ids, sq)),
         ("raw k=20 f32", raw20, (db, ids, sq)),
         ("k=20 + rerank", comp, (db, ids, sq)),
         ("bf16 scan + rerank", comp16, (db16, db, ids, sq)),
         ("raw k=10 bf16", raw10, (db16, ids, sq)),
+        ("raw tb=256 tn=1024", raw_tiled(256, 1024), (db, ids, sq)),
+        ("raw tb=512 tn=1024", raw_tiled(512, 1024), (db, ids, sq)),
+        # bigger tiles exceed the 16MB scoped-vmem limit (measured)
     ]:
         qps = timed_qps(fn, ops)
         print(f"{name:<20} {qps:>10,.0f} QPS  ({B * 1e6 / qps / 1000:.2f} ms/batch)",

@@ -83,6 +83,10 @@ class FlatIndex:
             valid = np.zeros((cap,), dtype=bool)
             valid[: self.ntotal] = True
             sq_norms = np.einsum("nd,nd->n", vecs, vecs).astype(np.float32)
+            # +inf norms on padding rows ARE the fused kernel's mask
+            # (ops/topk_pallas.fused_topk); the XLA path masks via `valid`
+            # anyway, so one array serves both.
+            sq_norms[self.ntotal :] = np.inf
             vecs_dev = jax.device_put(vecs)
             scan_dev = (
                 vecs_dev.astype(jnp.bfloat16)
