@@ -22,6 +22,12 @@ Grid: (B, nprobe), probe ids scalar-prefetched exactly like the IVF-Flat
 scan (ops/ivf_scan_pallas.py); per-query top-k carried in VMEM scratch
 with the adaptive sorted-insertion update. HBM traffic per step is just
 the list's codes (pad x 128 bytes) + ids + constants.
+
+Tie-break note (ADVICE round 1): with refine on (the default), final
+order always comes from the rerank's (distance, id) merge, identical on
+every backend. The PURE-ADC path (refine=False) keeps this kernel's
+insertion order on equal estimates — probe order, not lowest id — which
+can differ from the XLA fallback's merge on exact ties.
 """
 
 from __future__ import annotations
