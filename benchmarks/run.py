@@ -122,6 +122,7 @@ def main() -> int:
         train_kmeans,
         train_kmeans_multi,
     )
+    from c99_vectordb_tpu.models.base import list_pad
 
     if args.quick:
         args.n, args.d, args.b, args.nlist, args.pq_m = 16_384, 128, 16, 64, 16
@@ -333,7 +334,7 @@ def main() -> int:
 
     # Host-side bucketing metadata (small), device-side scatters (big).
     counts = np.bincount(assign, minlength=nlist)
-    pad = next_pow2(max(int(counts.max(initial=1)), 8))
+    pad = list_pad(int(counts.max(initial=1)))
     order = np.argsort(assign, kind="stable").astype(np.int32)
     sorted_lists = assign[order]
     starts = np.zeros((nlist,), np.int64)

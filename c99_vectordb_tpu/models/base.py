@@ -57,3 +57,16 @@ def next_pow2(n: int, floor: int = 8) -> int:
     while cap < n:
         cap *= 2
     return cap
+
+
+def list_pad(max_count: int) -> int:
+    """Inverted-list padded length: pow2 up to 128, then 128-multiples.
+
+    Deep-probe IVF scans are HBM-bound on PADDED rows, so pow2 padding
+    (e.g. 256-row lists inflated to 512) wastes up to ~2x of the scan;
+    128-multiples cap the waste at <1 tile while staying legal for every
+    Mosaic block shape used here (last-dim pad either divides 128 or
+    equals the array dim)."""
+    if max_count <= 128:
+        return next_pow2(max(max_count, 8))
+    return ((max_count + 127) // 128) * 128

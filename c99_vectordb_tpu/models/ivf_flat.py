@@ -31,7 +31,7 @@ from ..constants import DIM
 from ..ops.distances import ranked_program, scores_via_matmul
 from ..ops.kmeans import assign_clusters, train_kmeans
 from ..ops.topk import merge_topk
-from .base import next_pow2
+from .base import list_pad, next_pow2
 from .registry import register
 
 
@@ -139,7 +139,7 @@ class IVFFlatIndex:
         if self._staged is None:
             nlist_eff = self._centroids.shape[0]
             counts = np.bincount(self._assign, minlength=nlist_eff)
-            pad = next_pow2(max(int(counts.max(initial=1)), 1))
+            pad = list_pad(int(counts.max(initial=1)))
             list_vecs = np.zeros((nlist_eff, pad, self.dim), np.float32)
             list_ids = np.full((nlist_eff, pad), -1, np.int32)
             # Vectorized bucketing: stable sort by list keeps ascending-id

@@ -37,7 +37,7 @@ from ..ops.kmeans import (
 )
 from ..ops.rerank import exact_rerank_staged
 from ..ops.topk import merge_topk
-from .base import next_pow2
+from .base import list_pad, next_pow2
 from .registry import register
 
 LANE_K = 128  # shortlists beyond ~a lane tile use the dense ADC variant
@@ -288,7 +288,7 @@ class IVFPQIndex:
         if self._staged is None:
             nlist_eff = self._centroids.shape[0]
             counts = np.bincount(self._assign, minlength=nlist_eff)
-            pad = next_pow2(max(int(counts.max(initial=1)), 1))
+            pad = list_pad(int(counts.max(initial=1)))
             # uint8 on device: the whole padded code table is pad*nlist*m bytes
             list_codes = np.zeros((nlist_eff, pad, self.m), np.uint8)
             list_ids = np.full((nlist_eff, pad), -1, np.int32)

@@ -373,7 +373,7 @@ def _shard_list_layout(centroids: np.ndarray, assign: np.ndarray, shards: int):
     c_sq, nlist, pad, order, sorted_lists, slots, owner, local_of,
     perm).
     """
-    from ..models.base import next_pow2
+    from ..models.base import list_pad  # noqa: F401
 
     nlist0 = centroids.shape[0]
     nlist = ((nlist0 + shards - 1) // shards) * shards
@@ -385,7 +385,7 @@ def _shard_list_layout(centroids: np.ndarray, assign: np.ndarray, shards: int):
 
     n = assign.shape[0]
     counts = np.bincount(assign, minlength=nlist)
-    pad = next_pow2(max(int(counts.max(initial=1)), 8))
+    pad = list_pad(int(counts.max(initial=1)))
     order = np.argsort(assign, kind="stable")
     sorted_lists = assign[order]
     starts = np.zeros((nlist,), np.int64)
