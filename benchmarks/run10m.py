@@ -42,13 +42,22 @@ def main() -> int:
     p.add_argument("--nlist", type=int, default=8192)
     p.add_argument("--chunk", type=int, default=1_048_576)
     p.add_argument("--kmeans-iters", type=int, default=8)
-    p.add_argument("--k-adc", type=int, default=200)
+    p.add_argument("--k-adc", type=str, default="512,1024",
+                   help="comma list of refine shortlist depths")
+    p.add_argument("--nprobes", type=str, default="4,8",
+                   help="comma list of nprobe values")
+    p.add_argument("--opq", action="store_true",
+                   help="learn an OPQ rotation before encoding")
+    p.add_argument("--opq-iters", type=int, default=6)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
     args = p.parse_args()
     if args.quick:
         args.n, args.d, args.b, args.m = 65_536, 128, 16, 16
         args.nlist, args.chunk, args.kmeans_iters = 256, 16_384, 3
+        args.k_adc, args.nprobes = "64", "1,4"
+    k_adcs = [int(s) for s in str(args.k_adc).split(",") if s]
+    nprobes = [int(s) for s in args.nprobes.split(",") if s]
 
     n, d, b, k, m = args.n, args.d, args.b, args.k, args.m
     chunk = args.chunk
@@ -93,8 +102,32 @@ def main() -> int:
     # ---- build: train on chunk 0, then encode every chunk ------------------
     t0 = time.perf_counter()
     first = gen(0, chunk)
-    centroids = train_kmeans(first, nlist, iters=args.kmeans_iters, out_device=True)
-    assign0 = assign_clusters(first, centroids, out_device=True)
+
+    # OPQ: learn the rotation on a 64k host sample of chunk 0; everything
+    # on the QUANTIZATION side (centroids, codebooks, codes, item consts,
+    # query side of the ADC) lives in rotated space. The refine store and
+    # the ground truth stay in the ORIGINAL space — rotation preserves L2,
+    # so the exact rerank needs no rotation at all.
+    rot_dev = None
+    if args.opq:
+        from c99_vectordb_tpu.models.ivf_pq import train_opq_rotation
+
+        sample = np.asarray(first[:: max(1, chunk // 65_536)][:65_536])
+        rot = train_opq_rotation(sample, m, iters=args.opq_iters, seed=3)
+        rot_dev = jnp.asarray(rot)
+        del sample
+        print(f"opq rotation trained ({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    def rotate(x):
+        # NOT jitted standalone: a jit closure over rot_dev would bake it
+        # in as a compile-time constant (CLAUDE.md hazard #4).
+        if rot_dev is None:
+            return x
+        return jnp.dot(x, rot_dev, preferred_element_type=jnp.float32)
+
+    first_r = rotate(first)
+    centroids = train_kmeans(first_r, nlist, iters=args.kmeans_iters, out_device=True)
+    assign0 = assign_clusters(first_r, centroids, out_device=True)
     dsub = d // m
 
     @jax.jit
@@ -102,10 +135,10 @@ def main() -> int:
         return (x - cents[a]).reshape(x.shape[0], m, dsub).transpose(1, 0, 2)
 
     books = train_kmeans_multi(
-        residual_subs(first, centroids, assign0), 256,
+        residual_subs(first_r, centroids, assign0), 256,
         iters=args.kmeans_iters, out_device=True,
     )
-    del first, assign0
+    del first, first_r, assign0
 
     # Per-chunk: regenerate, assign, encode. The big device stores update
     # IN PLACE via donated dynamic_update_slice — a concatenate would
@@ -129,13 +162,14 @@ def main() -> int:
     assigns = []
     for ci in range(n_chunks):
         x = gen(ci, chunk)
-        a = assign_clusters(x, centroids, out_device=True)
-        c = assign_clusters_multi(residual_subs(x, centroids, a), books,
+        xr = rotate(x)                                      # encode space
+        a = assign_clusters(xr, centroids, out_device=True)
+        c = assign_clusters_multi(residual_subs(xr, centroids, a), books,
                                   out_device=True)
         assigns.append(np.asarray(a))                       # host (4B/vec)
         refine_dev = write_refine(refine_dev, x, jnp.int32(ci * chunk))
         codes_dev = write_codes(codes_dev, c, jnp.int32(ci * chunk))
-        del x, a, c
+        del x, xr, a, c
     assign = np.concatenate(assigns)
     float(jnp.sum(refine_dev[0].astype(jnp.float32)))
 
@@ -228,7 +262,6 @@ def main() -> int:
 
     # ---- search: dense ADC + bf16 exact refine ------------------------------
     c_sq = jnp.sum(centroids * centroids, axis=1)
-    k_adc = args.k_adc
 
     def timed_qps(step, ops, iters=6):
         @jax.jit
@@ -256,42 +289,64 @@ def main() -> int:
             hi *= 4
         return b * (hi - lo) / max(t_hi - t_lo, 1e-9)
 
-    for nprobe in (1, 4, 8):
-        if on_tpu:
-            adc = adc_dense_search_program(nlist, pad, d, m, 256, b, nprobe, k_adc)
-            rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
+    def shortlist_recall(ci_np):
+        return sum(
+            len(set(ci_np[q].tolist()) & set(gt_i[q].tolist())) for q in range(b)
+        ) / gt_i.size
 
-            def refined_step(q, cents, csq, bks, c128, icst, lids, ref, ids):
-                cd, ci = adc(cents, csq, bks, c128, icst, lids, q)
-                return rr(ref, ids, ci, q)
+    for nprobe in nprobes:
+        for k_adc in k_adcs:
+            if on_tpu:
+                adc = adc_dense_search_program(
+                    nlist, pad, d, m, 256, b, nprobe, k_adc
+                )
+                rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
+                adc_ops = (
+                    centroids, c_sq, books, codes128, item_const_d, list_ids,
+                )
+            else:
+                from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
 
-            ops = (
-                centroids, c_sq, books, codes128, item_const_d, list_ids,
-                refine_dev, ids_dev,
+                adc = _adc_search_program(nlist, pad, d, m, 256, b, nprobe, k_adc)
+                rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
+                adc_ops = (centroids, c_sq, books, list_codes, list_ids)
+
+            if rot_dev is None:
+
+                def refined_step(q, ref, ids, *ao):
+                    cd, ci = adc(*ao, q)
+                    return rr(ref, ids, ci, q)
+
+                ops = (refine_dev, ids_dev) + adc_ops
+            else:
+                # ADC runs in the rotated (quantization) space; the exact
+                # bf16 rerank stays in the original space (L2-preserving).
+                def refined_step(q, ref, ids, rotm, *ao):
+                    qr = jnp.dot(q, rotm, preferred_element_type=jnp.float32)
+                    cd, ci = adc(*ao, qr)
+                    return rr(ref, ids, ci, q)
+
+                ops = (refine_dev, ids_dev, rot_dev) + adc_ops
+
+            _, ai = jax.jit(refined_step)(queries, *ops)
+            rec = recall(np.asarray(ai))
+            # Diagnostic: is recall shortlist-bound (GT missing from the
+            # ADC candidates) or refine-bound (bf16 rerank reordering)?
+            q_enc = rotate(queries)
+            _, ci_all = jax.jit(lambda q, *ao: adc(*ao, q))(q_enc, *adc_ops)
+            srec = shortlist_recall(np.asarray(ci_all))
+            qps = timed_qps(refined_step, ops)
+            results[f"refined_p{nprobe}_k{k_adc}"] = {
+                "qps": round(qps, 1), "recall": round(rec, 4),
+                "shortlist_recall": round(srec, 4), "k_adc": k_adc,
+                "opq": bool(args.opq),
+            }
+            print(
+                f"ivf_pq+bf16refine p={nprobe} (top{k_adc}"
+                f"{', opq' if args.opq else ''}) "
+                f"qps={qps:,.0f}  recall@{k}={rec:.3f}  shortlist={srec:.3f}",
+                flush=True,
             )
-        else:
-            from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
-
-            adc = _adc_search_program(nlist, pad, d, m, 256, b, nprobe, k_adc)
-            rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
-
-            def refined_step(q, cents, csq, bks, lc, lids, ref, ids):
-                cd, ci = adc(cents, csq, bks, lc, lids, q)
-                return rr(ref, ids, ci, q)
-
-            ops = (centroids, c_sq, books, list_codes, list_ids, refine_dev, ids_dev)
-
-        _, ai = jax.jit(refined_step)(queries, *ops)
-        rec = recall(np.asarray(ai))
-        qps = timed_qps(refined_step, ops)
-        results[f"refined_p{nprobe}"] = {
-            "qps": round(qps, 1), "recall": round(rec, 4), "k_adc": k_adc,
-        }
-        print(
-            f"ivf_pq+bf16refine p={nprobe} (top{k_adc}) "
-            f"qps={qps:,.0f}  recall@{k}={rec:.3f}",
-            flush=True,
-        )
 
     line = json.dumps(results)
     print(line, flush=True)

@@ -43,6 +43,36 @@ from .registry import register
 LANE_K = 128  # shortlists beyond ~a lane tile use the dense ADC variant
 
 
+def train_opq_rotation(
+    data: np.ndarray, m: int, *, ksub: int = 256, iters: int = 8, seed: int = 0
+) -> np.ndarray:
+    """Learn an orthogonal OPQ rotation R (x_rot = x @ R) by alternating
+    minimization (Ge et al., 'Optimized Product Quantization', the
+    non-parametric variant): fix R -> train per-subspace codebooks on X R;
+    fix codebooks -> R = U V^T from svd(X^T Y), Y = decode(encode(X R)) —
+    the orthogonal Procrustes solution. Codebook training reuses the
+    vmapped on-device k-means; the (D, D) SVD runs on host."""
+    n, dim = data.shape
+    sample_cap = 65_536
+    stride = max(1, n // sample_cap)
+    x = np.ascontiguousarray(data[::stride][:sample_cap], dtype=np.float32)
+    ns = x.shape[0]
+    dsub = dim // m
+    ksub_eff = min(ksub, max(1, ns))
+    rot = np.eye(dim, dtype=np.float32)
+    for it in range(max(1, iters)):
+        xr = x @ rot
+        subs = np.ascontiguousarray(xr.reshape(ns, m, dsub).transpose(1, 0, 2))
+        books = train_kmeans_multi(subs, ksub_eff, iters=3, seed=seed + 7 + it)
+        codes = assign_clusters_multi(subs, books)          # (m, ns)
+        recon = np.concatenate(
+            [books[j][codes[j]] for j in range(m)], axis=1
+        )                                                    # (ns, D) ~ x @ rot
+        u, _, vt = np.linalg.svd(x.T @ recon, full_matrices=False)
+        rot = np.ascontiguousarray((u @ vt).astype(np.float32))
+    return rot
+
+
 @functools.lru_cache(maxsize=None)
 def _rotate_program(dim: int, b: int):
     @jax.jit
@@ -180,31 +210,9 @@ class IVFPQIndex:
     # -- training --------------------------------------------------------------
 
     def _train_opq_rotation(self, data: np.ndarray, *, iters: int, seed: int) -> None:
-        """Learn the OPQ rotation by alternating minimization (Ge et al.,
-        'Optimized Product Quantization', the non-parametric variant):
-        fix R -> train per-subspace codebooks on X R; fix codebooks ->
-        R = U V^T from svd(X^T Y), Y = decode(encode(X R)) — the
-        orthogonal Procrustes solution. Codebook training reuses the
-        vmapped on-device k-means; the (D, D) SVD runs on host."""
-        n = data.shape[0]
-        sample_cap = 65_536
-        stride = max(1, n // sample_cap)
-        x = np.ascontiguousarray(data[::stride][:sample_cap])
-        ns = x.shape[0]
-        dsub = self.dim // self.m
-        ksub_eff = min(self.ksub, max(1, ns))
-        rot = np.eye(self.dim, dtype=np.float32)
-        for it in range(max(1, iters)):
-            xr = x @ rot
-            subs = np.ascontiguousarray(xr.reshape(ns, self.m, dsub).transpose(1, 0, 2))
-            books = train_kmeans_multi(subs, ksub_eff, iters=3, seed=seed + 7 + it)
-            codes = assign_clusters_multi(subs, books)          # (m, ns)
-            recon = np.concatenate(
-                [books[j][codes[j]] for j in range(self.m)], axis=1
-            )                                                    # (ns, D) ~ x @ rot
-            u, _, vt = np.linalg.svd(x.T @ recon, full_matrices=False)
-            rot = np.ascontiguousarray((u @ vt).astype(np.float32))
-        self._rotation = rot
+        self._rotation = train_opq_rotation(
+            data, self.m, ksub=self.ksub, iters=iters, seed=seed
+        )
         self._rotation_dev = None
 
     def _rotate(self, data: np.ndarray) -> np.ndarray:

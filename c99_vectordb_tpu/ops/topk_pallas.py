@@ -42,7 +42,8 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
-                  best_d, best_i, *, k: int, k_pad: int, tile_b: int):
+                  best_d, best_i, *, k: int, k_pad: int, tile_b: int,
+                  n_steps: int, sel_mode: str = "adaptive"):
     n_idx = pl.program_id(0)
     b_idx = pl.program_id(1)
     row0 = pl.multiple_of(b_idx * tile_b, 8)
@@ -57,50 +58,64 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
     q = q_ref[pl.ds(row0, tile_b), :]  # (TB, D) slice of the resident batch
     x = db_ref[:]                      # (TN, D); bf16 storage halves HBM traffic
     ip = jax.lax.dot_general(
-        q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+        q, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                  # (TB, TN) on the MXU, f32 accumulate
     tile_ids = ids_ref[:]              # (1, TN)
-    # Selection key: ||x||^2 - 2 q.x. The per-query constant ||q||^2 and
+    # Selection key: ||x||^2 - 2 q.x, with the -2 pre-folded into the
+    # staged queries by the caller (lossless power-of-2 scale) so the
+    # epilogue is ONE add, not mul+sub. The per-query constant ||q||^2 and
     # the max(., 0) clamp are ORDER-PRESERVING, so the caller applies both
     # once on the (B, k) output instead of per tile: the VPU epilogue here
     # serializes with the MXU matmul (no cross-step software pipelining in
     # the kernel body), so every elementwise pass over the (TB, TN) block
     # costs large-batch throughput directly. Padding rows need NO mask
     # pass either — the caller stages their sq_norms as +inf, which makes
-    # this very subtraction produce +inf for them.
-    dist = norms_ref[:] - 2.0 * ip
+    # this very add produce +inf for them.
+    dist = norms_ref[:] + ip
 
-    # Adaptive selection: the scratch top-k is kept SORTED ascending, so
-    # each improving candidate is one roll-shift insertion. The number of
-    # extraction rounds equals the tile's improving-candidate count (maxed
-    # over the query rows, capped at k) — in steady state almost every
-    # tile needs 0 rounds (one count-reduce to prove it) and the per-tile
-    # cost collapses to the MXU matmul + a couple of VPU passes.
+    # Adaptive two-speed selection. The scratch top-k is kept SORTED
+    # ascending, so each improving candidate is one roll-shift insertion,
+    # and the number of extraction rounds equals the tile's improving-
+    # candidate count (maxed over the query rows, capped at k — extraction
+    # is in ascending distance order, so k rounds always suffice).
+    #
+    # Round cost is the kernel's critical path at large resident batches
+    # (the scan floor itself hides under the MXU — measured 8.9 ms/batch
+    # at B=1024, exactly the matmul roofline), so rounds run NARROW: the
+    # tile is pre-reduced to a 128-lane slate (per-lane group-min with its
+    # id), and extraction scans 128 lanes instead of tile_n columns. The
+    # slate drops a candidate only if two improving candidates share a
+    # lane; that is exactly detectable from per-lane improving counts, and
+    # such tiles (always the first few, rarely any other) take the wide
+    # full-width path instead — results stay exact.
     tb, tn = dist.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (tb, tn), 1)
+    groups = tn // LANE
     out_col = jax.lax.broadcasted_iota(jnp.int32, (tb, k_pad), 1)
-    tile_ids_b = jnp.broadcast_to(tile_ids, dist.shape)
+    int_max = jnp.iinfo(jnp.int32).max
 
     worst = best_d[pl.ds(row0, tile_b), k - 1][:, None]          # (TB, 1) kth best
-    counts = jnp.sum((dist < worst).astype(jnp.int32), axis=1)   # (TB,)
+    d3 = dist.reshape(tb, groups, LANE)
+    lane_cnt = jnp.sum(
+        (d3 < worst[:, :, None]).astype(jnp.int32), axis=1
+    )                                                            # (TB, LANE)
+    counts = jnp.sum(lane_cnt, axis=1)                           # (TB,)
     rounds = jnp.minimum(jnp.max(counts), k)                     # scalar, traced
+    collide = jnp.max(lane_cnt) >= 2                             # slate lossy?
+    if sel_mode == "none":      # diagnostic: scan-only floor (WRONG results)
+        rounds = jnp.minimum(rounds, 0)
+    elif sel_mode == "full":    # diagnostic: k wide rounds, no adaptivity
+        rounds = jnp.full((), k, jnp.int32)
+        collide = rounds > 0
 
-    def extract_and_insert(_, remaining):
-        # -- extract the tile's current minimum (first position = lowest id)
-        m = jnp.min(remaining, axis=1, keepdims=True)            # (TB, 1)
-        first = jnp.min(
-            jnp.where(remaining == m, col, tn), axis=1, keepdims=True
-        )
-        hit = col == first
-        vid = jnp.sum(jnp.where(hit, tile_ids_b, 0), axis=1, keepdims=True)
-
-        # -- insert (m, vid) into the sorted scratch via a shift
+    def insert(m, vid):
+        # -- insert (m, vid) into the sorted scratch via a shift; inserts
+        # past position k fall into the >=k waste lanes and are sliced off.
         bd = best_d[pl.ds(row0, tile_b), :]
         bi = best_i[pl.ds(row0, tile_b), :]
         pos = jnp.sum((bd <= m).astype(jnp.int32), axis=1, keepdims=True)
-        before = out_col < pos          # unchanged prefix
-        at = out_col == pos             # insertion lane (>=k lanes are waste, sliced off)
+        before = out_col < pos
+        at = out_col == pos
         shifted_d = pltpu.roll(bd, 1, axis=1)
         shifted_i = pltpu.roll(bi, 1, axis=1)
         best_d[pl.ds(row0, tile_b), :] = jnp.where(
@@ -109,24 +124,76 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
         best_i[pl.ds(row0, tile_b), :] = jnp.where(
             before, bi, jnp.where(at, vid, shifted_i)
         )
-        return jnp.where(hit, jnp.inf, remaining)
 
-    jax.lax.fori_loop(0, rounds, extract_and_insert, dist)
+    @pl.when(collide)
+    def _wide_rounds():
+        col = jax.lax.broadcasted_iota(jnp.int32, (tb, tn), 1)
+        tile_ids_b = jnp.broadcast_to(tile_ids, dist.shape)
 
-    out_d_ref[pl.ds(row0, tile_b), :] = best_d[pl.ds(row0, tile_b), :]
-    out_i_ref[pl.ds(row0, tile_b), :] = best_i[pl.ds(row0, tile_b), :]
+        def extract_and_insert(_, remaining):
+            # extract the tile minimum (first position = lowest id: tile
+            # rows are stored in ascending-id order)
+            m = jnp.min(remaining, axis=1, keepdims=True)        # (TB, 1)
+            first = jnp.min(
+                jnp.where(remaining == m, col, tn), axis=1, keepdims=True
+            )
+            hit = col == first
+            vid = jnp.sum(jnp.where(hit, tile_ids_b, 0), axis=1, keepdims=True)
+            insert(m, vid)
+            return jnp.where(hit, jnp.inf, remaining)
+
+        jax.lax.fori_loop(0, rounds, extract_and_insert, dist)
+
+    @pl.when(jnp.logical_not(collide) & (rounds > 0))
+    def _narrow_rounds():
+        # Build the 128-lane slate: per-lane min over the column groups,
+        # with the contributing id (lowest group on in-lane ties = lowest
+        # id, since ids ascend along tile columns).
+        g_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, groups, LANE), 1)
+        ids3 = tile_ids.reshape(1, groups, LANE)
+        slate_d = jnp.min(d3, axis=1)                            # (TB, LANE)
+        first_g = jnp.min(
+            jnp.where(d3 == slate_d[:, None, :], g_iota, groups), axis=1
+        )                                                        # (TB, LANE)
+        slate_i = jnp.sum(
+            jnp.where(g_iota == first_g[:, None, :], ids3, 0), axis=1
+        )                                                        # (TB, LANE)
+
+        def extract_and_insert(_, carry):
+            rem_d, rem_i = carry
+            m = jnp.min(rem_d, axis=1, keepdims=True)            # (TB, 1)
+            # lowest id among lanes at the minimum (exact tie-break)
+            vid = jnp.min(
+                jnp.where(rem_d == m, rem_i, int_max), axis=1, keepdims=True
+            )
+            hit = (rem_d == m) & (rem_i == vid)
+            insert(m, vid)
+            return jnp.where(hit, jnp.inf, rem_d), rem_i
+
+        jax.lax.fori_loop(0, rounds, extract_and_insert, (slate_d, slate_i))
+
+    # The output block has a constant index map (written back to HBM once,
+    # at grid end); copying scratch->out on every db tile is pure waste, so
+    # only the final pass over the corpus publishes the result.
+    @pl.when(n_idx == n_steps - 1)
+    def _publish():
+        out_d_ref[pl.ds(row0, tile_b), :] = best_d[pl.ds(row0, tile_b), :]
+        out_i_ref[pl.ds(row0, tile_b), :] = best_i[pl.ds(row0, tile_b), :]
 
 
 @functools.lru_cache(maxsize=None)
 def _fused_call(n: int, dim: int, b: int, k: int, k_pad: int, tile_b: int,
-                tile_n: int, db_dtype=jnp.float32):
+                tile_n: int, db_dtype=jnp.float32, sel_mode: str = "adaptive"):
     # Grid order: database tiles OUTER, query tiles INNER, with the whole
     # query batch + top-k scratch VMEM-resident. Consecutive inner steps
     # reuse the same db block (pallas skips the refetch), so ONE streaming
     # pass over the corpus serves the entire batch — HBM traffic is
     # n*dim*itemsize + b*dim*4, independent of b/tile_b.
     grid = (n // tile_n, b // tile_b)
-    kernel = functools.partial(_fused_kernel, k=k, k_pad=k_pad, tile_b=tile_b)
+    kernel = functools.partial(
+        _fused_kernel, k=k, k_pad=k_pad, tile_b=tile_b, n_steps=grid[0],
+        sel_mode=sel_mode,
+    )
     # Off-TPU (CPU CI) the Mosaic kernel runs in interpreter mode.
     interpret = jax.default_backend() != "tpu"
     call = pl.pallas_call(
@@ -175,6 +242,7 @@ def fused_topk(
     tile_b: int = 256,  # measured best at B>=256 (59.6k vs 52.6k QPS at
     tile_n: int = 1024,  # B=1024); clamps to the batch size below 256.
     max_resident_b: int = 1024,
+    _sel_mode: str = "adaptive",  # perf diagnostics only ("none"/"full")
 ) -> tuple[jax.Array, jax.Array]:
     """Exact batched top-k via the fused kernel.
 
@@ -213,8 +281,13 @@ def fused_topk(
     if b_pad != b:
         queries = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
 
-    out_d, out_i = _fused_call(n, dim, b_pad, k, k_pad, tb, tile_n, db.dtype)(
-        queries,
+    # Stage queries pre-scaled by -2 (lossless exponent shift) and in the
+    # db dtype, so the kernel's epilogue is a single add and the MXU runs
+    # with both operands in the storage dtype (2x rate for bf16).
+    q_staged = (queries.astype(jnp.float32) * -2.0).astype(db.dtype)
+    out_d, out_i = _fused_call(n, dim, b_pad, k, k_pad, tb, tile_n, db.dtype,
+                               _sel_mode)(
+        q_staged,
         db,
         sq_norms.reshape(1, n),
         ids.reshape(1, n).astype(jnp.int32),

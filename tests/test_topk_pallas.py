@@ -81,6 +81,62 @@ class TestFusedTopK:
         )
         assert overlap / 40 >= 0.9  # bf16 storage keeps near-exact recall
 
+    def test_narrow_slate_lane_distinct(self, rng):
+        # Later-tile improvements in DISTINCT lanes exercise the narrow
+        # (128-lane slate) selection path: tile 2 holds exactly three rows
+        # closer than anything in tile 1, at columns 5, 140, 200 (lanes
+        # 5, 12, 72 — no collision).
+        db = rng.standard_normal((512, 16)).astype(np.float32) + 8.0
+        for col, scale in ((5, 0.1), (140, 0.2), (200, 0.3)):
+            db[256 + col] = scale
+        ids = np.arange(512)
+        q = np.zeros((1, 16), np.float32)
+        d, i = fused_topk_numpy(db, ids, q, k=5, tile_n=256)
+        want_d, want_i = oracle(db, ids, q, 5)
+        np.testing.assert_array_equal(i[0, :3], [261, 396, 456])
+        np.testing.assert_allclose(d, want_d, rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(i, want_i)
+
+    def test_collision_fallback_same_lane(self, rng):
+        # Two improving rows in the SAME lane of a later tile (columns 7
+        # and 135 -> both lane 7): the slate alone would lose one; the
+        # collision detector must route the tile to the wide path.
+        db = rng.standard_normal((512, 16)).astype(np.float32) + 8.0
+        db[256 + 7] = 0.1
+        db[256 + 135] = 0.2
+        ids = np.arange(512)
+        q = np.zeros((1, 16), np.float32)
+        d, i = fused_topk_numpy(db, ids, q, k=4, tile_n=256)
+        assert i[0, :2].tolist() == [263, 391]
+        want_d, want_i = oracle(db, ids, q, 4)
+        np.testing.assert_array_equal(i, want_i)
+
+    def test_narrow_cross_lane_tie_lowest_id(self):
+        # Equal improving distances in DIFFERENT lanes of a later tile:
+        # the narrow extraction must pick the lowest id first.
+        db = np.full((512, 16), 8.0, np.float32)
+        db[256 + 10] = 0.5
+        db[256 + 140] = 0.5  # identical row, higher id, different lane
+        ids = np.arange(512)
+        q = np.zeros((1, 16), np.float32)
+        d, i = fused_topk_numpy(db, ids, q, k=3, tile_n=256)
+        assert i[0, :2].tolist() == [266, 396]
+        assert d[0, 0] == d[0, 1]
+
+    def test_randomized_ties_vs_oracle(self):
+        # Integer-valued vectors force frequent exact distance ties and a
+        # mix of narrow/wide/collision tiles; distances stay exactly
+        # representable so the comparison against the f64 oracle is exact.
+        rng = np.random.default_rng(123)
+        for trial in range(4):
+            db = rng.integers(0, 3, (1024, 16)).astype(np.float32)
+            ids = np.arange(1024)
+            q = rng.integers(0, 3, (4, 16)).astype(np.float32)
+            d, i = fused_topk_numpy(db, ids, q, k=7, tile_n=256)
+            want_d, want_i = oracle(db, ids, q, 7)
+            np.testing.assert_array_equal(i, want_i, err_msg=f"trial {trial}")
+            np.testing.assert_allclose(d, want_d, atol=1e-5)
+
     def test_batch_padding(self, rng):
         # B=3 padded to the 8-row sublane multiple
         db = rng.standard_normal((1024, 64)).astype(np.float32)
