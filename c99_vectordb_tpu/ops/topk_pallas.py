@@ -41,7 +41,7 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
+def _fused_kernel(q_ref, db_ref, norms_ref, out_d_ref, out_i_ref,
                   best_d, best_i, *, k: int, k_pad: int, tile_b: int,
                   n_steps: int, sel_mode: str = "adaptive"):
     n_idx = pl.program_id(0)
@@ -61,7 +61,6 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
         q, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                  # (TB, TN) on the MXU, f32 accumulate
-    tile_ids = ids_ref[:]              # (1, TN)
     # Selection key: ||x||^2 - 2 q.x, with the -2 pre-folded into the
     # staged queries by the caller (lossless power-of-2 scale) so the
     # epilogue is ONE add, not mul+sub. The per-query constant ||q||^2 and
@@ -83,22 +82,42 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
     # Round cost is the kernel's critical path at large resident batches
     # (the scan floor itself hides under the MXU — measured 8.9 ms/batch
     # at B=1024, exactly the matmul roofline), so rounds run NARROW: the
-    # tile is pre-reduced to a 128-lane slate (per-lane group-min with its
-    # id), and extraction scans 128 lanes instead of tile_n columns. The
-    # slate drops a candidate only if two improving candidates share a
-    # lane; that is exactly detectable from per-lane improving counts, and
-    # such tiles (always the first few, rarely any other) take the wide
+    # tile is pre-reduced to a 128-lane slate (per-lane group-min), and
+    # extraction scans 128 lanes instead of tile_n columns. The slate
+    # drops a candidate only if two improving candidates share a lane;
+    # that is exactly detectable from per-lane improving counts, and such
+    # tiles (always the first few, rarely any other) take the wide
     # full-width path instead — results stay exact.
+    #
+    # The kernel selects POSITIONS (db row indices), not ids: positions
+    # are pure arithmetic on (step, group, lane) — id data inside the
+    # kernel would need (1, LANE)->(TB, LANE) sublane broadcasts, which
+    # Mosaic cannot lower — and the caller translates the (B, k) winners
+    # with one tiny XLA gather. Rows are stored ascending by id, so
+    # lowest-position tie-breaks equal the contract's lowest-id order.
     tb, tn = dist.shape
     groups = tn // LANE
     out_col = jax.lax.broadcasted_iota(jnp.int32, (tb, k_pad), 1)
     int_max = jnp.iinfo(jnp.int32).max
+    pos0 = n_idx * tn                                            # tile base row
 
     worst = best_d[pl.ds(row0, tile_b), k - 1][:, None]          # (TB, 1) kth best
-    d3 = dist.reshape(tb, groups, LANE)
-    lane_cnt = jnp.sum(
-        (d3 < worst[:, :, None]).astype(jnp.int32), axis=1
-    )                                                            # (TB, LANE)
+    # Slate build: per-lane min over the lane-aligned column groups
+    # (columns g*128+lane share a lane across vector registers, so the
+    # static slices below are relayout-free — a (tb, G, 128) reshape is
+    # NOT: it moves the group axis onto sublanes). Strict < with g
+    # ascending keeps the lowest position on in-lane ties.
+    slate_d = dist[:, 0:LANE]
+    slate_g = jnp.zeros((tb, LANE), jnp.int32)   # winning group per lane
+    lane_cnt = (slate_d < worst).astype(jnp.int32)
+    for g in range(1, groups):
+        dg = dist[:, g * LANE:(g + 1) * LANE]
+        upd = dg < slate_d
+        slate_d = jnp.where(upd, dg, slate_d)
+        slate_g = jnp.where(upd, g, slate_g)
+        lane_cnt = lane_cnt + (dg < worst).astype(jnp.int32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, LANE), 1)
+    slate_i = pos0 + slate_g * LANE + lane_iota                  # positions
     counts = jnp.sum(lane_cnt, axis=1)                           # (TB,)
     rounds = jnp.minimum(jnp.max(counts), k)                     # scalar, traced
     collide = jnp.max(lane_cnt) >= 2                             # slate lossy?
@@ -107,6 +126,8 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
     elif sel_mode == "full":    # diagnostic: k wide rounds, no adaptivity
         rounds = jnp.full((), k, jnp.int32)
         collide = rounds > 0
+    rounds_wide = jnp.where(collide, rounds, 0)
+    rounds_narrow = jnp.where(collide, 0, rounds)
 
     def insert(m, vid):
         # -- insert (m, vid) into the sorted scratch via a shift; inserts
@@ -125,52 +146,35 @@ def _fused_kernel(q_ref, db_ref, norms_ref, ids_ref, out_d_ref, out_i_ref,
             before, bi, jnp.where(at, vid, shifted_i)
         )
 
-    @pl.when(collide)
-    def _wide_rounds():
-        col = jax.lax.broadcasted_iota(jnp.int32, (tb, tn), 1)
-        tile_ids_b = jnp.broadcast_to(tile_ids, dist.shape)
+    # Two unconditional loops with complementary trip counts (a 0-trip
+    # fori_loop is ~free; pl.when around traced-bound loops is what the
+    # Mosaic compiler chokes on). Exactly one of them runs per tile.
+    col = jax.lax.broadcasted_iota(jnp.int32, (tb, tn), 1)
 
-        def extract_and_insert(_, remaining):
-            # extract the tile minimum (first position = lowest id: tile
-            # rows are stored in ascending-id order)
-            m = jnp.min(remaining, axis=1, keepdims=True)        # (TB, 1)
-            first = jnp.min(
-                jnp.where(remaining == m, col, tn), axis=1, keepdims=True
-            )
-            hit = col == first
-            vid = jnp.sum(jnp.where(hit, tile_ids_b, 0), axis=1, keepdims=True)
-            insert(m, vid)
-            return jnp.where(hit, jnp.inf, remaining)
+    def wide_round(_, remaining):
+        # extract the tile minimum (first column = lowest position)
+        m = jnp.min(remaining, axis=1, keepdims=True)            # (TB, 1)
+        first = jnp.min(
+            jnp.where(remaining == m, col, tn), axis=1, keepdims=True
+        )
+        hit = col == first
+        insert(m, pos0 + first)
+        return jnp.where(hit, jnp.inf, remaining)
 
-        jax.lax.fori_loop(0, rounds, extract_and_insert, dist)
+    jax.lax.fori_loop(0, rounds_wide, wide_round, dist)
 
-    @pl.when(jnp.logical_not(collide) & (rounds > 0))
-    def _narrow_rounds():
-        # Build the 128-lane slate: per-lane min over the column groups,
-        # with the contributing id (lowest group on in-lane ties = lowest
-        # id, since ids ascend along tile columns).
-        g_iota = jax.lax.broadcasted_iota(jnp.int32, (tb, groups, LANE), 1)
-        ids3 = tile_ids.reshape(1, groups, LANE)
-        slate_d = jnp.min(d3, axis=1)                            # (TB, LANE)
-        first_g = jnp.min(
-            jnp.where(d3 == slate_d[:, None, :], g_iota, groups), axis=1
-        )                                                        # (TB, LANE)
-        slate_i = jnp.sum(
-            jnp.where(g_iota == first_g[:, None, :], ids3, 0), axis=1
-        )                                                        # (TB, LANE)
+    def narrow_round(_, carry):
+        rem_d, rem_i = carry
+        m = jnp.min(rem_d, axis=1, keepdims=True)                # (TB, 1)
+        # lowest id among lanes at the minimum (exact tie-break)
+        vid = jnp.min(
+            jnp.where(rem_d == m, rem_i, int_max), axis=1, keepdims=True
+        )
+        hit = (rem_d == m) & (rem_i == vid)
+        insert(m, vid)
+        return jnp.where(hit, jnp.inf, rem_d), rem_i
 
-        def extract_and_insert(_, carry):
-            rem_d, rem_i = carry
-            m = jnp.min(rem_d, axis=1, keepdims=True)            # (TB, 1)
-            # lowest id among lanes at the minimum (exact tie-break)
-            vid = jnp.min(
-                jnp.where(rem_d == m, rem_i, int_max), axis=1, keepdims=True
-            )
-            hit = (rem_d == m) & (rem_i == vid)
-            insert(m, vid)
-            return jnp.where(hit, jnp.inf, rem_d), rem_i
-
-        jax.lax.fori_loop(0, rounds, extract_and_insert, (slate_d, slate_i))
+    jax.lax.fori_loop(0, rounds_narrow, narrow_round, (slate_d, slate_i))
 
     # The output block has a constant index map (written back to HBM once,
     # at grid end); copying scratch->out on every db tile is pure waste, so
@@ -203,7 +207,6 @@ def _fused_call(n: int, dim: int, b: int, k: int, k_pad: int, tile_b: int,
             pl.BlockSpec((b, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((b, k_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -222,8 +225,8 @@ def _fused_call(n: int, dim: int, b: int, k: int, k_pad: int, tile_b: int,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * dim,
-            bytes_accessed=n * dim * jnp.dtype(db_dtype).itemsize
-            + b * dim * 4
+            bytes_accessed=n * (dim * jnp.dtype(db_dtype).itemsize + 4)
+            + b * dim * jnp.dtype(db_dtype).itemsize
             + b * k_pad * 8,
             transcendentals=0,
         ),
@@ -285,15 +288,14 @@ def fused_topk(
     # db dtype, so the kernel's epilogue is a single add and the MXU runs
     # with both operands in the storage dtype (2x rate for bf16).
     q_staged = (queries.astype(jnp.float32) * -2.0).astype(db.dtype)
-    out_d, out_i = _fused_call(n, dim, b_pad, k, k_pad, tb, tile_n, db.dtype,
-                               _sel_mode)(
+    out_d, out_pos = _fused_call(n, dim, b_pad, k, k_pad, tb, tile_n, db.dtype,
+                                 _sel_mode)(
         q_staged,
         db,
         sq_norms.reshape(1, n),
-        ids.reshape(1, n).astype(jnp.int32),
     )
     out_d = out_d[:b, :k]
-    out_i = out_i[:b, :k]
+    out_pos = out_pos[:b, :k]
     # The kernel selects on ||x||^2 - 2 q.x; restore true squared-L2 here
     # (add ||q||^2, clamp cancellation) — order-preserving, so doing it
     # once on (B, k) instead of per tile removes serial VPU passes.
@@ -302,7 +304,14 @@ def fused_topk(
         axis=1, keepdims=True,
     )
     out_d = jnp.maximum(out_d + q_sq, 0.0)
-    return out_d, jnp.where(jnp.isinf(out_d), -1, out_i)
+    # Translate winning POSITIONS to external ids: one (B, k) XLA gather.
+    # Unfilled slots carry int32-max positions and +inf distances; db
+    # padding rows carry -1 in `ids`, so both map to -1 below.
+    rows = jnp.clip(out_pos, 0, n - 1)
+    out_i = jnp.where(
+        jnp.isinf(out_d), -1, ids.astype(jnp.int32)[rows]
+    )
+    return out_d, out_i
 
 
 def fused_topk_numpy(
