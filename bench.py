@@ -33,11 +33,16 @@ def _env_int(name: str, default: int) -> int:
     return int(os.environ.get(name, default))
 
 
-def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
+def bench_tpu(n: int, d: int, b: int, k: int, iters: int,
+              scan_bf16: bool = False) -> float:
     """QPS of the PRODUCT exact path: fused scan kernel over a slacked
     shortlist + exact f32 rerank (strict recall 1.0 vs a HIGHEST-precision
     ground truth — measured in benchmarks/run.py; the raw kernel alone is
-    0.978 because DEFAULT TPU matmuls multiply in bf16)."""
+    0.978 because DEFAULT TPU matmuls multiply in bf16).
+
+    scan_bf16=True measures FlatIndex(scan_dtype="bfloat16"): the scan
+    reads a bf16 copy (half the HBM traffic) while the rerank still reads
+    the f32 store — exact results at 1.5x corpus memory."""
     import functools
 
     import jax
@@ -46,12 +51,11 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
     from c99_vectordb_tpu.ops.rerank import rerank_program, shortlist_depth
     from c99_vectordb_tpu.ops.topk_pallas import fused_topk
 
-    dtype = dtype or jnp.float32
     kd = jax.random.key(0)
     # Generate the corpus directly on device: no host->device transfer.
     db = jax.random.normal(kd, (n, d), dtype=jnp.float32)
     sq_norms = jnp.sum(db * db, axis=1)
-    db = db.astype(dtype)
+    scan_db = db.astype(jnp.bfloat16) if scan_bf16 else db
     ids = jnp.arange(n, dtype=jnp.int32)
     float(jnp.sum(sq_norms))  # materialize inputs
 
@@ -59,10 +63,10 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
 
     if jax.default_backend() == "tpu":
 
-        def search_step(db, ids, sq_norms, q):
-            _, ci = fused_topk(db, ids, sq_norms, q, k_scan)
+        def search_step(db, scan_db, ids, sq_norms, q):
+            _, ci = fused_topk(scan_db, ids, sq_norms, q, k_scan)
             # ids are iota here, so the id->row table IS the id array.
-            return rerank_program(n, d, n, b, k_scan, k, str(db.dtype))(
+            return rerank_program(n, d, n, b, k_scan, k, "float32")(
                 db, ids, ci, q
             )
 
@@ -72,7 +76,7 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
         # (XLA CPU matmuls are true f32 — no rerank needed).
         from c99_vectordb_tpu.ops.distances import scores_via_matmul
 
-        def search_step(db, ids, sq_norms, q):
+        def search_step(db, scan_db, ids, sq_norms, q):
             dists = scores_via_matmul(q, db.astype(jnp.float32), sq_norms)
             neg, rows = jax.lax.top_k(-dists, k)
             return -neg, ids[rows]
@@ -81,9 +85,9 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
     # RPC latency (large on remote-dispatch backends) is paid once per
     # measurement, not once per iteration; two scan lengths cancel it.
     @functools.partial(jax.jit, static_argnums=())
-    def chain(db, ids, sq_norms, qstack):
+    def chain(db, scan_db, ids, sq_norms, qstack):
         def body(s, q):
-            out_d, _ = search_step(db, ids, sq_norms, q + s * 0.0)
+            out_d, _ = search_step(db, scan_db, ids, sq_norms, q + s * 0.0)
             return s + out_d[0, 0] * 0.0 + 1.0, None
 
         s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), qstack)
@@ -93,9 +97,9 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int, dtype=None) -> float:
         qstack = jax.random.normal(
             jax.random.key(7), (n_steps, b, d), dtype=jnp.float32
         )
-        float(chain(db, ids, sq_norms, qstack))  # compile + warm
+        float(chain(db, scan_db, ids, sq_norms, qstack))  # compile + warm
         t0 = time.perf_counter()
-        float(chain(db, ids, sq_norms, qstack))
+        float(chain(db, scan_db, ids, sq_norms, qstack))
         return time.perf_counter() - t0
 
     lo, hi = 2, 2 + iters
@@ -149,6 +153,13 @@ def main() -> int:
     # whole resident batch with ONE HBM scan (VERDICT round 1, item 8).
     big_b = _env_int("C99VDB_BENCH_BIG_B", 1024)
     qps_big = bench_tpu(n, d, big_b, k, max(iters // 2, 2)) if on_tpu else None
+    # FlatIndex(scan_dtype="bfloat16"): bf16 scan + f32 rerank, still
+    # exact (recall 1.0) at 1.5x corpus memory — the exact-search headline.
+    qps_bf16 = bench_tpu(n, d, b, k, iters, scan_bf16=True) if on_tpu else None
+    qps_bf16_big = (
+        bench_tpu(n, d, big_b, k, max(iters // 2, 2), scan_bf16=True)
+        if on_tpu else None
+    )
     # Baseline on a capped corpus, scaled linearly (brute force is O(n)).
     base_n = min(n, 262_144)
     cpu_qps = bench_cpu_baseline(base_n, d, b, k) * (base_n / n)
@@ -163,8 +174,11 @@ def main() -> int:
         result["extra"] = {
             f"b{big_b}_qps": round(qps_big, 2),
             f"b{big_b}_vs_baseline": round(qps_big / cpu_qps, 2),
+            f"bf16_scan_b{b}_qps": round(qps_bf16, 2),
+            f"bf16_scan_b{big_b}_qps": round(qps_bf16_big, 2),
             "recall_note": "strict recall@10 = 1.0 vs HIGHEST-precision GT "
-            "(kernel shortlist + exact f32 rerank; see BASELINE.md)",
+            "for every row incl. bf16 scans (kernel shortlist + exact f32 "
+            "rerank; see BASELINE.md)",
         }
     print(json.dumps(result))
     return 0

@@ -316,9 +316,43 @@ def main() -> int:
         print(
             f"flat bf16+rr16  qps={bqps:,.0f}  recall@{k}={brec:.3f}", flush=True
         )
+
+        # -- int8 SQ8 scan + f32 rerank (FlatIndex scan_dtype="int8"):
+        #    symmetric per-dim scalar quantization; 4x less scan HBM than
+        #    f32 at 1.25x total memory; exact after the f32 rerank.
+        @jax.jit
+        def sq8_stage(_db):
+            scale = jnp.max(jnp.abs(_db), axis=0) / 127.0
+            codes = jnp.clip(jnp.round(_db / scale), -127, 127).astype(jnp.int8)
+            dec_sq = jnp.sum(
+                (codes.astype(jnp.float32) * scale) ** 2, axis=1
+            )
+            return scale, codes, dec_sq
+
+        sq8_scale, sq8_codes, sq8_norms = sq8_stage(db)
+
+        def sq8_scan_f32_rerank(q, _codes, _scale, _db32, _ids, _dsq):
+            _, ci = _ft(_codes, _ids, _dsq, q * _scale, k_slack)
+            return rerank_program(n, d, n, b, k_slack, k, "float32")(
+                _db32, _ids, ci, q
+            )
+
+        sq8_ops = (sq8_codes, sq8_scale, db, ids_dev, sq8_norms)
+        _, si = jax.jit(sq8_scan_f32_rerank)(eval_q_dev, *sq8_ops)
+        srec = recall_at_k(np.asarray(si), gt_i)
+        sqps = timed_scan_qps(
+            sq8_scan_f32_rerank, sq8_ops, make_qstack, b, args.iters
+        )
+        results["flat_int8_scan_f32_rerank"] = {
+            "qps": round(sqps, 1), "recall": round(srec, 4)
+        }
+        print(
+            f"flat sq8+rr32   qps={sqps:,.0f}  recall@{k}={srec:.3f}", flush=True
+        )
         # Free EVERYTHING holding a corpus reference (the operand TUPLES
         # keep arrays alive — deleting only the names leaks 3GB+ each).
         del db16, bf16_ops, mixed_ops, flat_ops, headline_step
+        del sq8_codes, sq8_ops
 
     # ---- coarse quantizer (shared by IVF-Flat and IVF-PQ) -----------------
     nlist = min(args.nlist, n)

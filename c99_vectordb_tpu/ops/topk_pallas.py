@@ -56,7 +56,12 @@ def _fused_kernel(q_ref, db_ref, norms_ref, out_d_ref, out_i_ref,
         )
 
     q = q_ref[pl.ds(row0, tile_b), :]  # (TB, D) slice of the resident batch
-    x = db_ref[:]                      # (TN, D); bf16 storage halves HBM traffic
+    x = db_ref[:]                      # (TN, D); bf16/int8 storage cuts HBM
+    if x.dtype == jnp.int8:
+        # SQ8 codes: decode to bf16 for the MXU (the caller folded the
+        # per-dimension scale into the staged queries, so the codes ARE
+        # the operand; one VPU cast pass per tile).
+        x = x.astype(jnp.bfloat16)
     ip = jax.lax.dot_general(
         q, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -242,8 +247,10 @@ def fused_topk(
     queries: jax.Array,
     k: int,
     *,
-    tile_b: int = 256,  # measured best at B>=256 (59.6k vs 52.6k QPS at
-    tile_n: int = 1024,  # B=1024); clamps to the batch size below 256.
+    tile_b: int = 256,  # best at B>=256 (rounds are maxed over a row
+    # tile, so bigger tiles pay more selection); clamps to the batch.
+    tile_n: int | None = None,  # auto: 2048 for bf16 stores (fits VMEM,
+    # fewer steps — measured best at both B=128 and B=1024), 1024 f32.
     max_resident_b: int = 1024,
     _sel_mode: str = "adaptive",  # perf diagnostics only ("none"/"full")
 ) -> tuple[jax.Array, jax.Array]:
@@ -260,6 +267,9 @@ def fused_topk(
     """
     n, dim = db.shape
     b = queries.shape[0]
+    if tile_n is None:
+        narrow_store = db.dtype in (jnp.bfloat16, jnp.int8)
+        tile_n = 2048 if narrow_store and n % 2048 == 0 else 1024
     if n % tile_n != 0:
         raise ValueError(f"db rows ({n}) must be a multiple of tile_n ({tile_n})")
     k_pad = _round_up(max(k, 1), LANE)
@@ -286,8 +296,12 @@ def fused_topk(
 
     # Stage queries pre-scaled by -2 (lossless exponent shift) and in the
     # db dtype, so the kernel's epilogue is a single add and the MXU runs
-    # with both operands in the storage dtype (2x rate for bf16).
-    q_staged = (queries.astype(jnp.float32) * -2.0).astype(db.dtype)
+    # with both operands in the storage dtype (2x rate for bf16). int8
+    # stores matmul as bf16 (codes decoded in-kernel); the caller is
+    # responsible for folding the SQ8 per-dimension scale into `queries`
+    # and passing decoded-space sq_norms.
+    q_dtype = jnp.bfloat16 if db.dtype == jnp.int8 else db.dtype
+    q_staged = (queries.astype(jnp.float32) * -2.0).astype(q_dtype)
     out_d, out_pos = _fused_call(n, dim, b_pad, k, k_pad, tb, tile_n, db.dtype,
                                  _sel_mode)(
         q_staged,

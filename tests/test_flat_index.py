@@ -150,6 +150,70 @@ class TestScanDtype:
         loaded = read_index(path)
         assert loaded.scan_dtype == "bfloat16"
 
+    def test_int8_scan_option_exact_on_cpu(self):
+        import numpy as np
+
+        from c99_vectordb_tpu.models.flat import FlatIndex
+
+        rng = np.random.default_rng(6)
+        vectors = rng.standard_normal((300, 32)).astype(np.float32)
+        ids = np.arange(300, dtype=np.int64)
+        f32 = FlatIndex(dim=32)
+        sq8 = FlatIndex(dim=32, scan_dtype="int8")
+        f32.add(vectors, ids)
+        sq8.add(vectors, ids)
+        q = vectors[:4] + 0.01
+        d1, i1 = f32.search(q, 7)
+        d2, i2 = sq8.search(q, 7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-6)
+
+    def test_int8_staging_codes_and_norms(self):
+        import numpy as np
+
+        from c99_vectordb_tpu.models.flat import FlatIndex
+
+        rng = np.random.default_rng(7)
+        vectors = rng.standard_normal((100, 16)).astype(np.float32)
+        index = FlatIndex(dim=16, scan_dtype="int8")
+        index.add(vectors, np.arange(100, dtype=np.int64))
+        staged = index._staged()
+        codes, scan_norms, scale = staged[5], staged[6], staged[7]
+        codes = np.asarray(codes)
+        scale = np.asarray(scale)
+        assert codes.dtype == np.int8 and codes.shape[1] == 16
+        decoded = codes[:100].astype(np.float32) * scale
+        # symmetric per-dim SQ8: max abs error is half a step per dim
+        step = scale
+        assert np.all(np.abs(decoded - vectors) <= step / 2 + 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(scan_norms)[:100],
+            np.einsum("nd,nd->n", decoded, decoded),
+            rtol=1e-5,
+        )
+        assert np.isinf(np.asarray(scan_norms)[100:]).all()
+
+    def test_int8_fused_kernel_interpret(self):
+        # Integer-valued vectors quantize losslessly (scale folds out),
+        # so the int8 kernel path must return the exact oracle ids.
+        import numpy as np
+
+        from c99_vectordb_tpu.ops.topk_pallas import fused_topk
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(8)
+        db = rng.integers(-40, 40, (2048, 16)).astype(np.float32)
+        codes = db.astype(np.int8)  # scale == 1 per dim
+        sq = np.einsum("nd,nd->n", db, db).astype(np.float32)
+        q = rng.integers(-40, 40, (3, 16)).astype(np.float32)
+        d, i = fused_topk(
+            jnp.asarray(codes), jnp.arange(2048, dtype=jnp.int32),
+            jnp.asarray(sq), jnp.asarray(q), 5, tile_n=1024,
+        )
+        full = ((q[:, None, :] - db[None]) ** 2).sum(-1)
+        want = np.argsort(full, axis=1, kind="stable")[:, :5]
+        np.testing.assert_array_equal(np.asarray(i), want)
+
     def test_invalid_scan_dtype_rejected(self):
         import pytest
 
