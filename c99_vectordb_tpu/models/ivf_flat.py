@@ -188,22 +188,19 @@ class IVFFlatIndex:
         if jax.default_backend() == "tpu":
             # Pallas scalar-prefetch scan: streams probed lists HBM->VMEM
             # at full bandwidth (XLA's probe gather runs far below it).
-            # Its MXU scoring multiplies in bf16, so take a slacked
-            # shortlist and restore exact f32 order with a rerank over the
-            # bucketed store (ops/rerank.py).
+            # The step is DMA-bound, so exact=True scores at
+            # Precision.HIGHEST for free: true-f32 distances straight from
+            # the kernel (lists are stored f32) with in-kernel lowest-id
+            # tie-breaks — no rerank stage, which removes its latency
+            # (measured: ivf p=1 composite 131k -> ~raw-scan QPS).
             from ..ops.ivf_scan_pallas import ivf_full_search_program
-            from ..ops.rerank import exact_rerank_staged, shortlist_depth
 
-            k_scan = shortlist_depth(k, self.ntotal)
             program = ivf_full_search_program(
-                nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k_scan
+                nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k,
+                exact=True,
             )
             dists, out_ids = program(
                 centroids, c_sq, list_vecs, list_sqn, list_ids, queries
-            )
-            dists, out_ids = exact_rerank_staged(
-                list_vecs.reshape(-1, self.dim), id_lookup,
-                out_ids, jnp.asarray(queries), k,
             )
         else:
             program = _ivf_search_program(

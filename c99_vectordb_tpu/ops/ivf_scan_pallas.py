@@ -49,6 +49,7 @@ def _ivf_scan_kernel(
     *,
     k: int,
     k_pad: int,
+    exact: bool,
 ):
     q_idx = pl.program_id(0)
     p_idx = pl.program_id(1)
@@ -60,9 +61,14 @@ def _ivf_scan_kernel(
 
     q = q_ref[pl.ds(q_idx, 1), :]                  # (1, D)
     x = vecs_ref[0]                                # (pad, D)
+    # The step is DMA-bound (the (pad, D) list copy dwarfs the (1, D) x
+    # (D, pad) matvec), so exact=True scores at Precision.HIGHEST — true
+    # f32 products — for FREE, which removes the need for any downstream
+    # rerank when the lists are stored f32.
     ip = jax.lax.dot_general(
         q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if exact else None,
     )                                              # (1, pad)
     qf = q.astype(jnp.float32)
     dist = jnp.sum(qf * qf) + sqn_ref[0] - 2.0 * ip
@@ -85,7 +91,14 @@ def _ivf_scan_kernel(
 
         bd = best_d[:]
         bi = best_i[:]
-        pos = jnp.sum((bd <= m).astype(jnp.int32), axis=1, keepdims=True)
+        # Insertion point: after strictly-better entries and after equal-
+        # distance entries with a SMALLER id — candidates from different
+        # probes then tie-break by lowest id exactly like the XLA merge
+        # (ADVICE round 1, #2), including at the k-th boundary.
+        pos = jnp.sum(
+            ((bd < m) | ((bd == m) & (bi < vid))).astype(jnp.int32),
+            axis=1, keepdims=True,
+        )
         before = out_col < pos
         at = out_col == pos
         best_d[:] = jnp.where(before, bd, jnp.where(at, m, pltpu.roll(bd, 1, axis=1)))
@@ -101,14 +114,16 @@ def _ivf_scan_kernel(
 @functools.lru_cache(maxsize=None)
 def ivf_scan_program(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int,
-    db_dtype=jnp.float32,
+    db_dtype=jnp.float32, exact: bool = False,
 ):
     """Returns jitted (lists, queries, list_vecs, list_sqn, list_ids) ->
     (dists (b, k), ids (b, k)) ascending per query.
 
-    list_vecs: (nlist, pad, dim); list_sqn/list_ids: (nlist, pad)."""
+    list_vecs: (nlist, pad, dim); list_sqn/list_ids: (nlist, pad).
+    exact=True scores at Precision.HIGHEST (free — the step is DMA-bound):
+    for f32 lists the results are exact f32, no rerank stage needed."""
     k_pad = _round_up(max(k, 1), LANE)
-    kernel = functools.partial(_ivf_scan_kernel, k=k, k_pad=k_pad)
+    kernel = functools.partial(_ivf_scan_kernel, k=k, k_pad=k_pad, exact=exact)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -168,10 +183,10 @@ def ivf_scan_program(
 @functools.lru_cache(maxsize=None)
 def ivf_full_search_program(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int,
-    db_dtype=jnp.float32,
+    db_dtype=jnp.float32, exact: bool = False,
 ):
     """Coarse ranking (XLA matmul + top_k) then the Pallas list scan."""
-    scan = ivf_scan_program(nlist, pad, dim, b, nprobe, k, db_dtype)
+    scan = ivf_scan_program(nlist, pad, dim, b, nprobe, k, db_dtype, exact)
 
     @jax.jit
     def run(centroids, c_sq, list_vecs, list_sqn, list_ids, queries):

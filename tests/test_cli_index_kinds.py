@@ -60,6 +60,27 @@ def test_save_recall_reindex_cycle(run, monkeypatch, kind):
     assert out.splitlines()[1].startswith("  [1] Score: ")
 
 
+@pytest.mark.parametrize("scan_dtype", ["bfloat16", "int8"])
+def test_flat_scan_dtype_cycle(run, monkeypatch, scan_dtype):
+    # scan_dtype variants keep the identical CLI contract and round-trip
+    # through reindex (state()/from_state() preserves the option).
+    monkeypatch.setenv("C99VDB_INDEX", "flat")
+    monkeypatch.setenv("C99VDB_SCAN_DTYPE", scan_dtype)
+
+    rc, out, _ = run("-f", "db", "save", "in.yaml")
+    assert rc == 0
+
+    rc, out, _ = run("-f", "db", "reindex")
+    assert rc == 0
+
+    rc, out, _ = run("-f", "db", "recall", "-k", "1", "cat sat mat")
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0] == "Top 1 results:"
+    assert lines[1].startswith("  [0] Score: ")
+    assert lines[2] == "      the cat sat on the mat"
+
+
 @pytest.mark.parametrize(
     "kind", ["ivf_flat", "ivf_pq", "sharded_flat", "sharded_ivf", "sharded_ivf_pq"]
 )

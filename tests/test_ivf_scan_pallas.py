@@ -57,6 +57,54 @@ class TestPallasIVFScan:
         np.testing.assert_array_equal(np.asarray(i_p), i_x)
         np.testing.assert_allclose(np.asarray(d_p), d_x, rtol=1e-3, atol=1e-3)
 
+    def test_cross_probe_tie_breaks_lowest_id(self):
+        # Identical vectors land in DIFFERENT lists (each duplicated
+        # cluster has its own centroid), so equal distances arrive from
+        # different probes: the kernel's id-aware insertion must order
+        # them lowest-id first, exactly like the XLA merge (ADVICE #2).
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((4, 32)).astype(np.float32) * 5.0
+        # clusters 0/1 share one point value; clusters 2/3 another
+        pts = []
+        for c in range(4):
+            blob = base[c] + rng.standard_normal((64, 32)).astype(np.float32)
+            pts.append(blob)
+        points = np.concatenate(pts)
+        dup = rng.standard_normal((32,)).astype(np.float32)
+        points[10] = dup + base[0] * 0  # keep absolute positions simple
+        points[70] = points[10]         # same vector, different cluster
+        ids = np.arange(points.shape[0], dtype=np.int64)
+        ivf = IVFFlatIndex(dim=32, nlist=4, nprobe=4)
+        ivf.train(np.concatenate([base[c] + np.zeros((1, 32), np.float32) for c in range(4)] + [points]))
+        ivf.add(points, ids)
+        centroids, c_sq, list_vecs, list_ids, list_sqn, _, pad = ivf._stage()
+        nlist_eff = centroids.shape[0]
+        q = points[10:11]
+        program = ivf_full_search_program(
+            nlist_eff, pad, 32, 1, nlist_eff, 4, exact=True
+        )
+        d, i = program(
+            centroids, c_sq, list_vecs, list_sqn, list_ids, jnp.asarray(q)
+        )
+        d, i = np.asarray(d), np.asarray(i)
+        assert i[0, 0] == 10 and i[0, 1] == 70  # tie -> lowest id first
+        assert d[0, 0] == d[0, 1]
+
+    def test_exact_scan_matches_oracle_ranking(self, staged_ivf):
+        # exact=True (HIGHEST-precision in-kernel scoring) must reproduce
+        # the f64 oracle's id ranking with full probing — no rerank stage.
+        points, ids, staged, _ = staged_ivf
+        centroids, c_sq, list_vecs, list_sqn, list_ids, pad = staged
+        rng = np.random.default_rng(6)
+        queries = (points[rng.choice(len(points), 6)] + 0.03).astype(np.float32)
+        program = ivf_full_search_program(16, pad, 64, 6, 16, 10, exact=True)
+        d, i = program(
+            centroids, c_sq, list_vecs, list_sqn, list_ids, jnp.asarray(queries)
+        )
+        full = ((queries[:, None, :].astype(np.float64) - points[None]) ** 2).sum(-1)
+        want = np.argsort(full, axis=1, kind="stable")[:, :10]
+        np.testing.assert_array_equal(np.asarray(i), want)
+
     def test_k_exceeding_list_content(self, staged_ivf):
         points, ids, staged, _ = staged_ivf
         centroids, c_sq, list_vecs, list_sqn, list_ids, pad = staged
