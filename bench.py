@@ -15,8 +15,10 @@ overhead cancels via two-point measurement:
     per_iter = (T(iters_hi) - T(iters_lo)) / (iters_hi - iters_lo)
 
 Prints ONE JSON line:
-  {"metric": "flat_qps_1M_768d", "value": <TPU QPS>, "unit": "qps",
-   "vs_baseline": <TPU QPS / CPU brute-force QPS>}
+  {"metric": "flat_exact_sq8_qps_1000k_768d_k10_b128", "value": <TPU QPS>,
+   "unit": "qps", "vs_baseline": <TPU QPS / CPU brute-force QPS>}
+(headline = the SQ8-scan exact composite, the fastest recall-1.0 flat
+path; f32/bf16 variants ride along in "extra".)
 
 Environment overrides: C99VDB_BENCH_N / _D / _B / _K / _ITERS.
 """
@@ -34,15 +36,17 @@ def _env_int(name: str, default: int) -> int:
 
 
 def bench_tpu(n: int, d: int, b: int, k: int, iters: int,
-              scan_bf16: bool = False) -> float:
+              scan_dtype: str = "float32") -> float:
     """QPS of the PRODUCT exact path: fused scan kernel over a slacked
     shortlist + exact f32 rerank (strict recall 1.0 vs a HIGHEST-precision
     ground truth — measured in benchmarks/run.py; the raw kernel alone is
     0.978 because DEFAULT TPU matmuls multiply in bf16).
 
-    scan_bf16=True measures FlatIndex(scan_dtype="bfloat16"): the scan
-    reads a bf16 copy (half the HBM traffic) while the rerank still reads
-    the f32 store — exact results at 1.5x corpus memory."""
+    scan_dtype selects the FlatIndex scan-store variant: "bfloat16" scans
+    a bf16 copy (half the HBM traffic, 1.5x corpus memory), "int8" scans
+    symmetric per-dim SQ8 codes (quarter traffic, 1.25x memory). The
+    rerank always reads the f32 store, so every variant is exact
+    (models/flat.py:99-116 is the product staging this mirrors)."""
     import functools
 
     import jax
@@ -55,7 +59,19 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int,
     # Generate the corpus directly on device: no host->device transfer.
     db = jax.random.normal(kd, (n, d), dtype=jnp.float32)
     sq_norms = jnp.sum(db * db, axis=1)
-    scan_db = db.astype(jnp.bfloat16) if scan_bf16 else db
+    q_scale = None
+    if scan_dtype == "bfloat16":
+        scan_db, scan_norms = db.astype(jnp.bfloat16), sq_norms
+    elif scan_dtype == "int8":
+        # Symmetric per-dim SQ8 staging, all on device (flat.py:102-116).
+        scale = jnp.max(jnp.abs(db), axis=0) / 127.0
+        codes = jnp.clip(jnp.rint(db / scale), -127, 127)
+        scan_db = codes.astype(jnp.int8)
+        decoded = codes * scale
+        scan_norms = jnp.sum(decoded * decoded, axis=1)
+        q_scale = scale
+    else:
+        scan_db, scan_norms = db, sq_norms
     ids = jnp.arange(n, dtype=jnp.int32)
     float(jnp.sum(sq_norms))  # materialize inputs
 
@@ -64,7 +80,8 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int,
     if jax.default_backend() == "tpu":
 
         def search_step(db, scan_db, ids, sq_norms, q):
-            _, ci = fused_topk(scan_db, ids, sq_norms, q, k_scan)
+            q_scan = q if q_scale is None else q * q_scale
+            _, ci = fused_topk(scan_db, ids, scan_norms, q_scan, k_scan)
             # ids are iota here, so the id->row table IS the id array.
             return rerank_program(n, d, n, b, k_scan, k, "float32")(
                 db, ids, ci, q
@@ -148,16 +165,23 @@ def main() -> int:
     tile_n = 1024
     n = ((n + tile_n - 1) // tile_n) * tile_n
 
-    qps = bench_tpu(n, d, b, k, iters)
+    # Headline: FlatIndex(scan_dtype="int8") — SQ8 scan + exact f32
+    # rerank, the fastest exact product path (recall 1.0, 1.25x memory).
+    # Off-TPU there is no scan/rerank split; measure the plain XLA path.
+    qps = bench_tpu(n, d, b, k, iters, scan_dtype="int8" if on_tpu else "float32")
     # Large-batch operating point: the corpus-outer kernel grid serves the
     # whole resident batch with ONE HBM scan (VERDICT round 1, item 8).
     big_b = _env_int("C99VDB_BENCH_BIG_B", 1024)
-    qps_big = bench_tpu(n, d, big_b, k, max(iters // 2, 2)) if on_tpu else None
-    # FlatIndex(scan_dtype="bfloat16"): bf16 scan + f32 rerank, still
-    # exact (recall 1.0) at 1.5x corpus memory — the exact-search headline.
-    qps_bf16 = bench_tpu(n, d, b, k, iters, scan_bf16=True) if on_tpu else None
+    half = max(iters // 2, 2)
+    qps_f32 = bench_tpu(n, d, b, k, iters) if on_tpu else None
+    qps_bf16 = (
+        bench_tpu(n, d, b, k, iters, scan_dtype="bfloat16") if on_tpu else None
+    )
+    qps_big = (
+        bench_tpu(n, d, big_b, k, half, scan_dtype="int8") if on_tpu else None
+    )
     qps_bf16_big = (
-        bench_tpu(n, d, big_b, k, max(iters // 2, 2), scan_bf16=True)
+        bench_tpu(n, d, big_b, k, half, scan_dtype="bfloat16")
         if on_tpu else None
     )
     # Baseline on a capped corpus, scaled linearly (brute force is O(n)).
@@ -165,20 +189,20 @@ def main() -> int:
     cpu_qps = bench_cpu_baseline(base_n, d, b, k) * (base_n / n)
 
     result = {
-        "metric": f"flat_exact_qps_{n // 1000}k_{d}d_k{k}_b{b}",
+        "metric": f"flat_exact_sq8_qps_{n // 1000}k_{d}d_k{k}_b{b}",
         "value": round(qps, 2),
         "unit": "qps",
         "vs_baseline": round(qps / cpu_qps, 2),
     }
     if qps_big is not None:
         result["extra"] = {
-            f"b{big_b}_qps": round(qps_big, 2),
-            f"b{big_b}_vs_baseline": round(qps_big / cpu_qps, 2),
+            f"f32_scan_b{b}_qps": round(qps_f32, 2),
             f"bf16_scan_b{b}_qps": round(qps_bf16, 2),
+            f"sq8_scan_b{big_b}_qps": round(qps_big, 2),
             f"bf16_scan_b{big_b}_qps": round(qps_bf16_big, 2),
             "recall_note": "strict recall@10 = 1.0 vs HIGHEST-precision GT "
-            "for every row incl. bf16 scans (kernel shortlist + exact f32 "
-            "rerank; see BASELINE.md)",
+            "for every row incl. bf16/sq8 scans (kernel shortlist + exact "
+            "f32 rerank; see BASELINE.md)",
         }
     print(json.dumps(result))
     return 0

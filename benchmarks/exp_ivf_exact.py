@@ -152,28 +152,31 @@ def main():
         (sorted_lists.astype(np.int64) * pad + slots).astype(np.int32),
     )
 
-    for p in (1, 4):
-        exact_prog = ivf_full_search_program(NLIST, pad, D, B, p, K, exact=True)
+    for p in (1, 4, 16, 64):
+        exact_prog = ivf_full_search_program(
+            NLIST, pad, D, B, p, K, exact=True,
+            qps_step=4 if p > 1 else 1,
+        )
+        dense_prog = ivf_full_search_program(
+            NLIST, pad, D, B, p, K, exact=True, dense=True
+        )
 
         def exact_step(q, c, csq, _lv, _ln, _li):
             return exact_prog(c, csq, _lv, _ln, _li, q)
 
-        ks = shortlist_depth(K, N)
-        old_prog = ivf_full_search_program(NLIST, pad, D, B, p, ks, exact=False)
-
-        def old_step(q, c, csq, _lv, _ln, _li):
-            d0, i0 = old_prog(c, csq, _lv, _ln, _li, q)
-            return exact_rerank_staged(_lv.reshape(-1, D), lookup, i0, q, K)
+        def dense_step(q, c, csq, _lv, _ln, _li):
+            return dense_prog(c, csq, _lv, _ln, _li, q)
 
         ops = (centroids, c_sq, lv, ln, li)
         _, ei = jax.jit(exact_step)(eval_q, *ops)
-        _, oi = jax.jit(old_step)(eval_q, *ops)
-        r_new, r_old = rec(np.asarray(ei), p), rec(np.asarray(oi), p)
+        _, di = jax.jit(dense_step)(eval_q, *ops)
+        np.testing.assert_array_equal(np.asarray(ei), np.asarray(di))
+        r_new = rec(np.asarray(ei), p)
         q_new = timed_qps(exact_step, ops, B)
-        q_old = timed_qps(old_step, ops, B)
+        q_dense = timed_qps(dense_step, ops, B)
         print(
-            f"p={p}: exact-scan {q_new:,.0f} QPS recall={r_new:.4f} | "
-            f"scan+rerank {q_old:,.0f} QPS recall={r_old:.4f}",
+            f"p={p}: select-scan {q_new:,.0f} QPS | dense "
+            f"{q_dense:,.0f} QPS (recall={r_new:.4f})",
             flush=True,
         )
 

@@ -111,6 +111,260 @@ def _ivf_scan_kernel(
     out_i_ref[0] = best_i[:]
 
 
+def _ivf_scan_kernel_multi(
+    lists_ref,      # scalar-prefetch: (B, nprobe) int32 probed list ids
+    q_ref,          # (B, D) all queries, VMEM-resident
+    *refs,          # QPS x (vecs, sqn, ids) blocks, then outs, then scratch
+    k: int,
+    k_pad: int,
+    exact: bool,
+    qps_step: int,  # queries per grid step
+):
+    """Multi-query variant: each grid step DMAs the probed lists of
+    `qps_step` consecutive queries (one scalar-prefetched BlockSpec per
+    query slot), amortizing the fixed per-step cost — the single-query
+    kernel measured ~5.9us/step against a ~1.7us list-DMA floor."""
+    vecs_refs = refs[0::3][:qps_step]
+    sqn_refs = refs[1::3][:qps_step]
+    ids_refs = refs[2::3][:qps_step]
+    out_d_ref, out_i_ref, best_d, best_i = refs[3 * qps_step:]
+
+    g_idx = pl.program_id(0)
+    p_idx = pl.program_id(1)
+
+    @pl.when(p_idx == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d[:], jnp.inf)
+        best_i[:] = jnp.full_like(best_i[:], jnp.iinfo(jnp.int32).max)
+
+    k_col = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
+
+    for j in range(qps_step):
+        q = q_ref[pl.ds(g_idx * qps_step + j, 1), :]       # (1, D)
+        x = vecs_refs[j][0]                                # (pad, D)
+        ip = jax.lax.dot_general(
+            q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST if exact else None,
+        )
+        qf = q.astype(jnp.float32)
+        dist = jnp.sum(qf * qf) + sqn_refs[j][0] - 2.0 * ip
+        dist = jnp.maximum(dist, 0.0)
+        ids = ids_refs[j][0]                               # (1, pad)
+        dist = jnp.where(ids >= 0, dist, jnp.inf)
+
+        pad = dist.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, pad), 1)
+        worst = best_d[j, k - 1]
+        rounds = jnp.minimum(jnp.sum((dist < worst).astype(jnp.int32)), k)
+
+        def extract_and_insert(_, remaining, j=j, ids=ids, col=col, pad=pad):
+            m = jnp.min(remaining, axis=1, keepdims=True)
+            first = jnp.min(
+                jnp.where(remaining == m, col, pad), axis=1, keepdims=True
+            )
+            hit = col == first
+            vid = jnp.sum(jnp.where(hit, ids, 0), axis=1, keepdims=True)
+            bd = best_d[pl.ds(j, 1), :]
+            bi = best_i[pl.ds(j, 1), :]
+            pos = jnp.sum(
+                ((bd < m) | ((bd == m) & (bi < vid))).astype(jnp.int32),
+                axis=1, keepdims=True,
+            )
+            before = k_col < pos
+            at = k_col == pos
+            best_d[pl.ds(j, 1), :] = jnp.where(
+                before, bd, jnp.where(at, m, pltpu.roll(bd, 1, axis=1))
+            )
+            best_i[pl.ds(j, 1), :] = jnp.where(
+                before, bi, jnp.where(at, vid, pltpu.roll(bi, 1, axis=1))
+            )
+            return jnp.where(hit, jnp.inf, remaining)
+
+        jax.lax.fori_loop(0, rounds, extract_and_insert, dist)
+
+    out_d_ref[0] = best_d[:]
+    out_i_ref[0] = best_i[:]
+
+
+@functools.lru_cache(maxsize=None)
+def ivf_scan_program_multi(
+    nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int,
+    db_dtype=jnp.float32, exact: bool = False, qps_step: int = 4,
+):
+    """Multi-query-per-step scan (see _ivf_scan_kernel_multi). b must be
+    padded to a qps_step multiple by the caller."""
+    assert b % qps_step == 0
+    k_pad = _round_up(max(k, 1), LANE)
+    kernel = functools.partial(
+        _ivf_scan_kernel_multi, k=k, k_pad=k_pad, exact=exact,
+        qps_step=qps_step,
+    )
+
+    def vec_spec(j):
+        return pl.BlockSpec(
+            (1, pad, dim),
+            lambda g, p, lists, j=j: (lists[g * qps_step + j, p], 0, 0),
+        )
+
+    def aux_spec(j):
+        return pl.BlockSpec(
+            (1, 1, pad),
+            lambda g, p, lists, j=j: (lists[g * qps_step + j, p], 0, 0),
+        )
+
+    in_specs = [pl.BlockSpec((b, dim), lambda g, p, lists: (0, 0))]
+    for j in range(qps_step):
+        in_specs += [vec_spec(j), aux_spec(j), aux_spec(j)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // qps_step, nprobe),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, qps_step, k_pad), lambda g, p, lists: (g, 0, 0)),
+            pl.BlockSpec((1, qps_step, k_pad), lambda g, p, lists: (g, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qps_step, k_pad), jnp.float32),
+            pltpu.VMEM((qps_step, k_pad), jnp.int32),
+        ],
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b // qps_step, qps_step, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b // qps_step, qps_step, k_pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nprobe * pad * dim,
+            bytes_accessed=b * nprobe * pad * dim * jnp.dtype(db_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(lists, queries, list_vecs, list_sqn, list_ids):
+        sqn3 = list_sqn.reshape(nlist, 1, pad)
+        ids3 = list_ids.reshape(nlist, 1, pad)
+        args = []
+        for _ in range(qps_step):
+            args += [list_vecs, sqn3, ids3]
+        out_d, out_i = call(lists, queries, *args)
+        out_d = out_d.reshape(b, k_pad)[:, :k]
+        out_i = out_i.reshape(b, k_pad)[:, :k]
+        big = jnp.iinfo(jnp.int32).max
+        return out_d, jnp.where(out_i == big, -1, out_i)
+
+    return run
+
+
+def _ivf_scan_kernel_dense(
+    lists_ref,      # scalar-prefetch: (B, nprobe) int32 probed list ids
+    q_ref,          # (B, D) all queries, VMEM-resident
+    vecs_ref,       # (1, pad, D) the probed list's vectors
+    sqn_ref,        # (1, 1, pad) the list's row norms
+    ids_ref,        # (1, 1, pad) the list's external ids (-1 padding)
+    out_d_ref,      # (1, 1, pad) raw distances, dense
+    out_i_ref,      # (1, 1, pad) ids pass-through
+    *,
+    exact: bool,
+):
+    """Dense-output variant: NO in-kernel selection. Measured on v5e the
+    insertion rounds dominate the scan step (q4 amortization of the fixed
+    step cost gained only +1-12%), so for small nprobe*pad emit every
+    masked distance and let XLA lex-sort outside — the same shape that
+    took the refined-PQ path 13k -> 99k QPS (ops/adc_pallas.py dense
+    variant). Both grid axes are parallel: no carried scratch."""
+    q_idx = pl.program_id(0)
+    q = q_ref[pl.ds(q_idx, 1), :]                  # (1, D)
+    x = vecs_ref[0]                                # (pad, D)
+    ip = jax.lax.dot_general(
+        q.astype(x.dtype), x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if exact else None,
+    )                                              # (1, pad)
+    qf = q.astype(jnp.float32)
+    dist = jnp.sum(qf * qf) + sqn_ref[0] - 2.0 * ip
+    dist = jnp.maximum(dist, 0.0)
+    ids = ids_ref[0]                               # (1, pad)
+    out_d_ref[0] = jnp.where(ids >= 0, dist, jnp.inf)
+    out_i_ref[0] = ids
+
+
+@functools.lru_cache(maxsize=None)
+def ivf_scan_program_dense(
+    nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int,
+    db_dtype=jnp.float32, exact: bool = False,
+):
+    """Dense scan + XLA (dist, id)-lexicographic sort: bit-identical
+    results to ivf_scan_program (same scoring, same lowest-id tie rule).
+    Intended for nprobe * pad small enough that the sort is cheap."""
+    kernel = functools.partial(_ivf_scan_kernel_dense, exact=exact)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((b, dim), lambda i, p, lists: (0, 0)),
+            pl.BlockSpec((1, pad, dim), lambda i, p, lists: (lists[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (lists[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (lists[i, p], 0, 0)),
+        ],
+        # (b*nprobe, 1, pad) with a unit middle dim: (1, pad) last-two
+        # block dims are legal only when they equal the array dims.
+        out_specs=[
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (i * nprobe + p, 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (i * nprobe + p, 0, 0)),
+        ],
+        scratch_shapes=[],
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nprobe * pad * dim,
+            bytes_accessed=b * nprobe * pad * dim * jnp.dtype(db_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(lists, queries, list_vecs, list_sqn, list_ids):
+        out_d, out_i = call(
+            lists,
+            queries,
+            list_vecs,
+            list_sqn.reshape(nlist, 1, pad),
+            list_ids.reshape(nlist, 1, pad),
+        )
+        d2 = out_d.reshape(b, nprobe * pad)
+        i2 = out_i.reshape(b, nprobe * pad)
+        # Ascending lexicographic (dist, id): equal distances resolve to
+        # the LOWEST id, exactly the in-kernel insertion rule.
+        sd, si = jax.lax.sort((d2, i2), dimension=1, num_keys=2)
+        return sd[:, :k], si[:, :k]
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def ivf_scan_program(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int,
@@ -183,10 +437,24 @@ def ivf_scan_program(
 @functools.lru_cache(maxsize=None)
 def ivf_full_search_program(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int,
-    db_dtype=jnp.float32, exact: bool = False,
+    db_dtype=jnp.float32, exact: bool = False, qps_step: int = 1,
+    dense: bool = False,
 ):
-    """Coarse ranking (XLA matmul + top_k) then the Pallas list scan."""
-    scan = ivf_scan_program(nlist, pad, dim, b, nprobe, k, db_dtype, exact)
+    """Coarse ranking (XLA matmul + top_k) then the Pallas list scan.
+
+    dense=True routes through ivf_scan_program_dense (no in-kernel
+    selection; XLA lex-sort outside) — bit-identical results, faster
+    when nprobe * pad is small. qps_step>1 amortizes the fixed grid-step
+    cost in the selection kernel (requires b % qps_step == 0)."""
+    if dense:
+        scan = ivf_scan_program_dense(nlist, pad, dim, b, nprobe, k,
+                                      db_dtype, exact)
+    elif qps_step > 1 and b % qps_step == 0:
+        scan = ivf_scan_program_multi(
+            nlist, pad, dim, b, nprobe, k, db_dtype, exact, qps_step
+        )
+    else:
+        scan = ivf_scan_program(nlist, pad, dim, b, nprobe, k, db_dtype, exact)
 
     @jax.jit
     def run(centroids, c_sq, list_vecs, list_sqn, list_ids, queries):

@@ -105,6 +105,44 @@ class TestPallasIVFScan:
         want = np.argsort(full, axis=1, kind="stable")[:, :10]
         np.testing.assert_array_equal(np.asarray(i), want)
 
+    def test_multi_query_step_matches_single(self, staged_ivf):
+        # The 4-queries-per-step kernel must be bit-identical to the
+        # single-query kernel (same scoring, same tie rules).
+        points, ids, staged, _ = staged_ivf
+        centroids, c_sq, list_vecs, list_sqn, list_ids, pad = staged
+        rng = np.random.default_rng(11)
+        queries = (points[rng.choice(len(points), 8)] + 0.02).astype(np.float32)
+        for exact in (False, True):
+            p1 = ivf_full_search_program(16, pad, 64, 8, 3, 10, exact=exact)
+            p4 = ivf_full_search_program(
+                16, pad, 64, 8, 3, 10, exact=exact, qps_step=4
+            )
+            d1, i1 = p1(centroids, c_sq, list_vecs, list_sqn, list_ids,
+                        jnp.asarray(queries))
+            d4, i4 = p4(centroids, c_sq, list_vecs, list_sqn, list_ids,
+                        jnp.asarray(queries))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+            np.testing.assert_array_equal(np.asarray(d1), np.asarray(d4))
+
+    def test_dense_matches_single(self, staged_ivf):
+        # Dense-output scan + XLA lex-sort must be bit-identical to the
+        # in-kernel selection path (same scoring, same lowest-id ties).
+        points, ids, staged, _ = staged_ivf
+        centroids, c_sq, list_vecs, list_sqn, list_ids, pad = staged
+        rng = np.random.default_rng(12)
+        queries = (points[rng.choice(len(points), 8)] + 0.02).astype(np.float32)
+        for exact in (False, True):
+            p1 = ivf_full_search_program(16, pad, 64, 8, 3, 10, exact=exact)
+            pd = ivf_full_search_program(
+                16, pad, 64, 8, 3, 10, exact=exact, dense=True
+            )
+            d1, i1 = p1(centroids, c_sq, list_vecs, list_sqn, list_ids,
+                        jnp.asarray(queries))
+            dd, di = pd(centroids, c_sq, list_vecs, list_sqn, list_ids,
+                        jnp.asarray(queries))
+            np.testing.assert_array_equal(np.asarray(i1), np.asarray(di))
+            np.testing.assert_array_equal(np.asarray(d1), np.asarray(dd))
+
     def test_k_exceeding_list_content(self, staged_ivf):
         points, ids, staged, _ = staged_ivf
         centroids, c_sq, list_vecs, list_sqn, list_ids, pad = staged
