@@ -195,24 +195,20 @@ class IVFFlatIndex:
             # (measured: ivf p=1 composite 131k -> ~raw-scan QPS).
             from ..ops.ivf_scan_pallas import ivf_full_search_program
 
-            # 4 queries per grid step when their list blocks fit VMEM
-            # (4 x pad x D x 4B, double-buffered, against ~12 MB): the
-            # single-query kernel pays ~3x its DMA floor in fixed
-            # per-step cost.
-            qps_step = 4 if 8 * pad * self.dim * 4 <= 12 * 2**20 else 1
-            b = queries.shape[0]
-            b_pad = -(-b // qps_step) * qps_step
-            q_in = queries
-            if b_pad != b:
-                q_in = np.pad(queries, ((0, b_pad - b), (0, 0)))
+            # Scan-width gate (measured at 1M x 768, pad=384): below
+            # ~4096 candidates/query the dense variant (no in-kernel
+            # selection, XLA lex-sort outside) is 1.4-2.9x faster
+            # (p=1: 485k vs 169k QPS); above it the sort cost crosses
+            # over and the in-kernel selection kernel wins (p=16: 31k
+            # vs 28k). Both are bit-identical.
+            dense = nprobe_eff * pad <= 4096
             program = ivf_full_search_program(
-                nlist_eff, pad, self.dim, b_pad, nprobe_eff, k,
-                exact=True, qps_step=qps_step,
+                nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k,
+                exact=True, dense=dense,
             )
             dists, out_ids = program(
-                centroids, c_sq, list_vecs, list_sqn, list_ids, q_in
+                centroids, c_sq, list_vecs, list_sqn, list_ids, queries
             )
-            dists, out_ids = dists[:b], out_ids[:b]
         else:
             program = _ivf_search_program(
                 nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k
