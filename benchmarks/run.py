@@ -425,8 +425,12 @@ def main() -> int:
         from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_full_search_program
 
         ivf_ops = (centroids_d, c_sq_d, list_vecs_d, list_sqn_d, list_ids_d)
+        # The PRODUCT path (models/ivf_flat.py): exact Precision.HIGHEST
+        # scoring, dense variant below the measured ~4096-candidate
+        # crossover, in-kernel selection above it.
         make_ivf_program = lambda nprobe: ivf_full_search_program(  # noqa: E731
-            nlist, pad, d, b, nprobe, k
+            nlist, pad, d, b, nprobe, k, exact=True,
+            dense=nprobe * pad <= 4096,
         )
     else:
         ivf_ops = (centroids_d, c_sq_d, list_vecs_d, list_ids_d)
