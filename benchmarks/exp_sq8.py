@@ -135,13 +135,18 @@ def main():
             return rerank_program(N, D, N, b, ks, K, "float32")(_db, _ids, ci, q)
         return fn
 
-    def comp_sq8(b):
+    def comp_sq8(b, q_int8=False):
         def fn(q, _codes, _scale, _db, _ids, _dsq):
-            _, ci = fused_topk(_codes, _ids, _dsq, q * _scale, ks)
+            _, ci = fused_topk(_codes, _ids, _dsq, q * _scale, ks,
+                               q_int8=q_int8)
             return rerank_program(N, D, N, b, ks, K, "float32")(_db, _ids, ci, q)
         return fn
 
+    import functools
+
     cases = [
+        ("sq8i8+rr32", functools.partial(comp_sq8, q_int8=True),
+         (codes, scale, db, ids, dec_sq)),
         ("sq8+rr32", comp_sq8, (codes, scale, db, ids, dec_sq)),
         ("bf16+rr32", comp_bf16, (db16, db, ids, sq)),
         ("f32+rr32", comp_f32, (db, ids, sq)),

@@ -41,9 +41,13 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _fused_kernel(q_ref, db_ref, norms_ref, out_d_ref, out_i_ref,
-                  best_d, best_i, *, k: int, k_pad: int, tile_b: int,
-                  n_steps: int, sel_mode: str = "adaptive"):
+def _fused_kernel(q_ref, db_ref, norms_ref, *rest, k: int, k_pad: int,
+                  tile_b: int, n_steps: int, sel_mode: str = "adaptive",
+                  int8_q: bool = False):
+    if int8_q:
+        qscale_ref, out_d_ref, out_i_ref, best_d, best_i = rest
+    else:
+        out_d_ref, out_i_ref, best_d, best_i = rest
     n_idx = pl.program_id(0)
     b_idx = pl.program_id(1)
     row0 = pl.multiple_of(b_idx * tile_b, 8)
@@ -57,26 +61,39 @@ def _fused_kernel(q_ref, db_ref, norms_ref, out_d_ref, out_i_ref,
 
     q = q_ref[pl.ds(row0, tile_b), :]  # (TB, D) slice of the resident batch
     x = db_ref[:]                      # (TN, D); bf16/int8 storage cuts HBM
-    if x.dtype == jnp.int8:
-        # SQ8 codes: decode to bf16 for the MXU (the caller folded the
-        # per-dimension scale into the staged queries, so the codes ARE
-        # the operand; one VPU cast pass per tile).
-        x = x.astype(jnp.bfloat16)
-    ip = jax.lax.dot_general(
-        q, x, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                  # (TB, TN) on the MXU, f32 accumulate
-    # Selection key: ||x||^2 - 2 q.x, with the -2 pre-folded into the
-    # staged queries by the caller (lossless power-of-2 scale) so the
-    # epilogue is ONE add, not mul+sub. The per-query constant ||q||^2 and
-    # the max(., 0) clamp are ORDER-PRESERVING, so the caller applies both
-    # once on the (B, k) output instead of per tile: the VPU epilogue here
-    # serializes with the MXU matmul (no cross-step software pipelining in
-    # the kernel body), so every elementwise pass over the (TB, TN) block
-    # costs large-batch throughput directly. Padding rows need NO mask
-    # pass either — the caller stages their sq_norms as +inf, which makes
-    # this very add produce +inf for them.
-    dist = norms_ref[:] + ip
+    if int8_q:
+        # int8 x int8 -> int32 runs the MXU's double-rate int8 path
+        # (measured v5e: 349 TFLOP/s vs 167 bf16 at the production tile).
+        # The caller quantized the staged queries per ROW (scale in
+        # qscale_ref), so the epilogue rescales with one (TB, 1) fma.
+        ip = jax.lax.dot_general(
+            q, x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        rs = qscale_ref[pl.ds(row0, tile_b), :]          # (TB, 1) f32
+        dist = ip.astype(jnp.float32) * rs + norms_ref[:]
+    else:
+        if x.dtype == jnp.int8:
+            # SQ8 codes with full-precision queries: decode to bf16 for
+            # the MXU (the caller folded the per-dimension scale into
+            # the staged queries; one VPU cast pass per tile).
+            x = x.astype(jnp.bfloat16)
+        ip = jax.lax.dot_general(
+            q, x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                              # (TB, TN) on the MXU, f32 accumulate
+        # Selection key: ||x||^2 - 2 q.x, with the -2 pre-folded into the
+        # staged queries by the caller (lossless power-of-2 scale) so the
+        # epilogue is ONE add, not mul+sub. The per-query constant ||q||^2
+        # and the max(., 0) clamp are ORDER-PRESERVING, so the caller
+        # applies both once on the (B, k) output instead of per tile: the
+        # VPU epilogue here serializes with the MXU matmul (no cross-step
+        # software pipelining in the kernel body), so every elementwise
+        # pass over the (TB, TN) block costs large-batch throughput
+        # directly. Padding rows need NO mask pass either — the caller
+        # stages their sq_norms as +inf, which makes this very add
+        # produce +inf for them.
+        dist = norms_ref[:] + ip
 
     # Adaptive two-speed selection. The scratch top-k is kept SORTED
     # ascending, so each improving candidate is one roll-shift insertion,
@@ -192,7 +209,8 @@ def _fused_kernel(q_ref, db_ref, norms_ref, out_d_ref, out_i_ref,
 
 @functools.lru_cache(maxsize=None)
 def _fused_call(n: int, dim: int, b: int, k: int, k_pad: int, tile_b: int,
-                tile_n: int, db_dtype=jnp.float32, sel_mode: str = "adaptive"):
+                tile_n: int, db_dtype=jnp.float32, sel_mode: str = "adaptive",
+                int8_q: bool = False):
     # Grid order: database tiles OUTER, query tiles INNER, with the whole
     # query batch + top-k scratch VMEM-resident. Consecutive inner steps
     # reuse the same db block (pallas skips the refetch), so ONE streaming
@@ -201,18 +219,23 @@ def _fused_call(n: int, dim: int, b: int, k: int, k_pad: int, tile_b: int,
     grid = (n // tile_n, b // tile_b)
     kernel = functools.partial(
         _fused_kernel, k=k, k_pad=k_pad, tile_b=tile_b, n_steps=grid[0],
-        sel_mode=sel_mode,
+        sel_mode=sel_mode, int8_q=int8_q,
     )
     # Off-TPU (CPU CI) the Mosaic kernel runs in interpreter mode.
     interpret = jax.default_backend() != "tpu"
+    in_specs = [
+        pl.BlockSpec((b, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+    ]
+    if int8_q:  # per-row quantization scales of the staged queries
+        in_specs.append(
+            pl.BlockSpec((b, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, dim), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((b, k_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, k_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -253,6 +276,9 @@ def fused_topk(
     # fewer steps — measured best at both B=128 and B=1024), 1024 f32.
     max_resident_b: int = 1024,
     _sel_mode: str = "adaptive",  # perf diagnostics only ("none"/"full")
+    q_int8: bool | None = None,  # int8 stores: quantize queries per row
+    # and run the MXU's double-rate int8 path (None = auto/on for int8
+    # stores; False forces the bf16-decode scan for A/B comparison)
 ) -> tuple[jax.Array, jax.Array]:
     """Exact batched top-k via the fused kernel.
 
@@ -281,6 +307,7 @@ def fused_topk(
             fused_topk(
                 db, ids, sq_norms, queries[s0 : s0 + max_resident_b], k,
                 tile_b=tile_b, tile_n=tile_n, max_resident_b=max_resident_b,
+                q_int8=q_int8,
             )
             for s0 in range(0, b, max_resident_b)
         ]
@@ -296,17 +323,32 @@ def fused_topk(
 
     # Stage queries pre-scaled by -2 (lossless exponent shift) and in the
     # db dtype, so the kernel's epilogue is a single add and the MXU runs
-    # with both operands in the storage dtype (2x rate for bf16). int8
-    # stores matmul as bf16 (codes decoded in-kernel); the caller is
-    # responsible for folding the SQ8 per-dimension scale into `queries`
-    # and passing decoded-space sq_norms.
-    q_dtype = jnp.bfloat16 if db.dtype == jnp.int8 else db.dtype
-    q_staged = (queries.astype(jnp.float32) * -2.0).astype(q_dtype)
+    # with both operands in the storage dtype (2x rate for bf16). For
+    # int8 stores the staged queries are additionally quantized per ROW
+    # (symmetric, scale passed to the kernel) so both operands are int8
+    # and the MXU runs its double-rate int8 path; the rerank stage
+    # absorbs the quantization noise exactly like bf16-multiply noise.
+    # The caller is responsible for folding the SQ8 per-dimension scale
+    # into `queries` and passing decoded-space sq_norms.
+    int8_q = db.dtype == jnp.int8 and (q_int8 is None or bool(q_int8))
+    if int8_q:
+        q_m2 = queries.astype(jnp.float32) * -2.0
+        rs = (
+            jnp.maximum(jnp.max(jnp.abs(q_m2), axis=1, keepdims=True), 1e-30)
+            / 127.0
+        )
+        q_staged = jnp.clip(jnp.rint(q_m2 / rs), -127, 127).astype(jnp.int8)
+        extra = (rs,)
+    else:
+        q_dtype = jnp.bfloat16 if db.dtype == jnp.int8 else db.dtype
+        q_staged = (queries.astype(jnp.float32) * -2.0).astype(q_dtype)
+        extra = ()
     out_d, out_pos = _fused_call(n, dim, b_pad, k, k_pad, tb, tile_n, db.dtype,
-                                 _sel_mode)(
+                                 _sel_mode, int8_q)(
         q_staged,
         db,
         sq_norms.reshape(1, n),
+        *extra,
     )
     out_d = out_d[:b, :k]
     out_pos = out_pos[:b, :k]
