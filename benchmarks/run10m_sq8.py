@@ -1,0 +1,284 @@
+"""10M x 384 single-chip SQ8-IVF benchmark: int8 lists + bf16 exact rerank.
+
+The compressed IVF-FLAT deployment shape (vs run10m.py's IVF-PQ): SQ8
+inverted lists (1 byte/dim, scanned with both MXU operands int8 on the
+double-rate systolic path) + a flat (n, d) bf16 rerank store. Memory at
+10M x 384: ~5-7 GB codes (padding-dependent) + 7.7 GB bf16 refine —
+fits one v5e where the 15.4 GB f32 corpus cannot.
+
+Everything is generated and kept on device (host<->device is ~MB/s
+here). Ground truth runs FIRST (chunk regeneration at Precision.HIGHEST)
+while the chip is empty. Build is two passes over regenerable chunks:
+pass 1 trains/assigns and accumulates the per-dimension SQ8 scale while
+writing the bf16 refine store; pass 2 re-generates, quantizes, and
+scatters codes into the padded lists.
+
+Usage:  python benchmarks/run10m_sq8.py           # 10M x 384 on TPU
+        python benchmarks/run10m_sq8.py --quick   # small smoke config
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools as _ft
+import json
+import time
+from pathlib import Path
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from c99_vectordb_tpu.utils.runtime import configure_jax_cache
+
+configure_jax_cache()
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=10_485_760)
+    p.add_argument("--d", type=int, default=384)
+    p.add_argument("--b", type=int, default=128)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--nlist", type=int, default=8192)
+    p.add_argument("--chunk", type=int, default=1_048_576)
+    p.add_argument("--gt-chunk", type=int, default=524_288)
+    p.add_argument("--kmeans-iters", type=int, default=8)
+    p.add_argument("--ks", type=str, default="20,64",
+                   help="comma list of rerank shortlist depths")
+    p.add_argument("--nprobes", type=str, default="4,8")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--json-out", type=str, default=None)
+    args = p.parse_args()
+    if args.quick:
+        args.n, args.d, args.b = 65_536, 128, 16
+        args.nlist, args.chunk, args.gt_chunk = 256, 16_384, 16_384
+        args.kmeans_iters, args.ks, args.nprobes = 3, "20", "1,4"
+    ks_list = [int(s) for s in args.ks.split(",") if s]
+    nprobes = [int(s) for s in args.nprobes.split(",") if s]
+
+    n, d, b, k = args.n, args.d, args.b, args.k
+    chunk, nlist = args.chunk, args.nlist
+    n_chunks = n // chunk
+    assert n % chunk == 0 and n % args.gt_chunk == 0
+    n_gen_clusters = 4096
+
+    from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program
+    from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
+    from c99_vectordb_tpu.ops.rerank import rerank_program
+
+    print(
+        f"# corpus {n} x {d} ({n_chunks} x {chunk} chunks), nlist {nlist}, "
+        f"batch {b}, k {k} on {jax.default_backend()}",
+        flush=True,
+    )
+    results: dict = {"config": vars(args)}
+
+    def gen(key_idx, count):
+        @jax.jit
+        def _gen(marker):
+            kc, kn = jax.random.split(jax.random.key(key_idx))
+            centers = jax.random.normal(
+                jax.random.key(1), (n_gen_clusters, d), dtype=jnp.float32
+            )
+            cid = jax.random.randint(kc, (marker.shape[0],), 0, n_gen_clusters)
+            return centers[cid] * 3.0 + jax.random.normal(
+                kn, (marker.shape[0], d), dtype=jnp.float32
+            )
+
+        return _gen(jnp.zeros((count,), jnp.int8))
+
+    queries = gen(9999, b)
+    q_sq = jnp.sum(queries * queries, axis=1)
+
+    # ---- ground truth FIRST (empty chip): chunk regen, HIGHEST ----------
+    t0 = time.perf_counter()
+    gt_c = args.gt_chunk
+
+    @jax.jit
+    def gt_chunk_step(best_d, best_i, x, base, queries, q_sq):
+        # queries ride as ARGUMENTS: a jit closure over device arrays
+        # bakes them in as compile-time constants (CLAUDE.md hazard #4).
+        ip = jax.lax.dot_general(
+            queries, x.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        dist = jnp.sum(x * x, axis=1)[None, :] - 2.0 * ip + q_sq[:, None]
+        bids = base + jnp.arange(gt_c, dtype=jnp.int32)
+        alld = jnp.concatenate([best_d, dist], axis=1)
+        alli = jnp.concatenate([best_i, jnp.broadcast_to(bids, (b, gt_c))], axis=1)
+        neg, pos = jax.lax.top_k(-alld, k)
+        return -neg, jnp.take_along_axis(alli, pos, axis=1)
+
+    # gt chunks are sub-slices of gen chunks: regenerate gen chunks and
+    # slice (gen is keyed per GEN chunk, so the key math must match build)
+    per = chunk // gt_c
+    best_d = jnp.full((b, k), jnp.inf, jnp.float32)
+    best_i = jnp.full((b, k), -1, jnp.int32)
+    for ci in range(n_chunks):
+        x_full = gen(ci, chunk)
+        for si in range(per):
+            x = jax.lax.dynamic_slice(x_full, (si * gt_c, 0), (gt_c, d))
+            best_d, best_i = gt_chunk_step(
+                best_d, best_i, x, jnp.int32(ci * chunk + si * gt_c),
+                queries, q_sq,
+            )
+        del x_full
+    gt_i = np.asarray(best_i)
+    print(f"ground truth done ({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    # ---- build pass 1: train, assign, maxabs, write refine --------------
+    t0 = time.perf_counter()
+    first = gen(0, chunk)
+    centroids = train_kmeans(first, nlist, iters=args.kmeans_iters,
+                             out_device=True)
+    del first
+    c_sq = jnp.sum(centroids * centroids, axis=1)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def write_refine(store, x, start):
+        return jax.lax.dynamic_update_slice(
+            store, x.astype(jnp.bfloat16), (start, 0)
+        )
+
+    refine_dev = jnp.zeros((n, d), jnp.bfloat16)
+    maxabs = jnp.zeros((d,), jnp.float32)
+
+    @jax.jit
+    def chunk_stats(x, maxabs):
+        return jnp.maximum(maxabs, jnp.max(jnp.abs(x), axis=0))
+
+    assigns = []
+    for ci in range(n_chunks):
+        x = gen(ci, chunk)
+        a = assign_clusters(x, centroids, out_device=True)
+        assigns.append(np.asarray(a))
+        maxabs = chunk_stats(x, maxabs)
+        refine_dev = write_refine(refine_dev, x, jnp.int32(ci * chunk))
+        del x, a
+    assign = np.concatenate(assigns)
+    dim_scale = jnp.maximum(maxabs, 1e-30) / 127.0
+    float(jnp.sum(dim_scale))
+    print(f"pass1 (train/assign/refine) done ({time.perf_counter() - t0:.1f}s)",
+          flush=True)
+
+    # ---- bucket layout (host metadata) ----------------------------------
+    counts = np.bincount(assign, minlength=nlist)
+    pad = int(-(-max(int(counts.max(initial=1)), 8) // 128) * 128)
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    sorted_lists = assign[order]
+    starts = np.zeros((nlist,), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    slots = (np.arange(n) - starts[sorted_lists]).astype(np.int32)
+    code_gb = nlist * pad * d / 2**30
+    print(f"pad={pad} (max list {int(counts.max())}, avg {n / nlist:.0f}) "
+          f"-> codes {code_gb:.1f} GiB", flush=True)
+
+    # slot of row r in the bucketed store = sorted position - list start
+    slot_of_row = np.zeros((n,), np.int32)
+    slot_of_row[order] = slots
+    list_of_row = assign.astype(np.int32)
+
+    # ---- build pass 2: quantize + scatter codes -------------------------
+    t0 = time.perf_counter()
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def scatter_codes(store, x, lists, slots):
+        c = jnp.clip(jnp.rint(x / dim_scale), -127, 127).astype(jnp.int8)
+        return store.at[lists, slots].set(c)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def scatter_ids(store, ids, lists, slots):
+        return store.at[lists, slots].set(ids)
+
+    codes_dev = jnp.zeros((nlist, pad, d), jnp.int8)
+    li_dev = jnp.full((nlist, pad), -1, jnp.int32)
+    for ci in range(n_chunks):
+        x = gen(ci, chunk)
+        rows = np.arange(ci * chunk, (ci + 1) * chunk, dtype=np.int32)
+        l_np = jnp.asarray(list_of_row[rows])
+        s_np = jnp.asarray(slot_of_row[rows])
+        codes_dev = scatter_codes(codes_dev, x, l_np, s_np)
+        li_dev = scatter_ids(li_dev, jnp.asarray(rows), l_np, s_np)
+        del x, l_np, s_np
+
+    @jax.jit
+    def dec_norms(codes):
+        dec = codes.astype(jnp.float32) * dim_scale
+        return jnp.sum(dec * dec, axis=-1)
+
+    dec_sqn = dec_norms(codes_dev)
+    float(jnp.sum(dec_sqn[0]))
+    build_s = time.perf_counter() - t0
+    print(f"pass2 (quantize/scatter) done ({build_s:.1f}s)", flush=True)
+    results["pad"] = pad
+    results["code_gb"] = round(code_gb, 2)
+    results["refine_gb"] = round(n * d * 2 / 2**30, 2)
+
+    def rec(ai):
+        return sum(
+            len(set(ai[q].tolist()) & set(gt_i[q].tolist())) for q in range(b)
+        ) / gt_i.size
+
+    def timed_qps(step, ops, iters=4):
+        @jax.jit
+        def chain(qstack, *ops):
+            def body(s, q):
+                out_d, _ = step(q + s * 0.0, *ops)
+                return s + out_d[0, 0] * 0.0 + 1.0, None
+
+            s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), qstack)
+            return s
+
+        def run(steps):
+            qstack = gen(7, steps * b).reshape(steps, b, d)
+            float(chain(qstack, *ops))
+            t0 = time.perf_counter()
+            float(chain(qstack, *ops))
+            return time.perf_counter() - t0
+
+        lo, hi = 2, 2 + iters
+        t_lo = run(lo)
+        while True:
+            t_hi = run(hi)
+            if t_hi > 1.5 * t_lo or hi >= 128:
+                break
+            hi *= 4
+        return b * (hi - lo) / max(t_hi - t_lo, 1e-9)
+
+    # rerank lookup is identity (ids ARE rows in the flat refine store)
+    row_of_id = jnp.arange(n, dtype=jnp.int32)
+
+    for nprobe in nprobes:
+        for ks in ks_list:
+            prog = ivf_sq8_search_program(nlist, pad, d, b, nprobe, ks)
+            rr = rerank_program(n, d, n, b, ks, k, "bfloat16")
+
+            def step(q, cents, csq, codes, scale, dsq, li, refine, rid):
+                _, si = prog(cents, csq, codes, scale, dsq, li, q)
+                return rr(refine, rid, si, q)
+
+            ops = (centroids, c_sq, codes_dev, dim_scale, dec_sqn, li_dev,
+                   refine_dev, row_of_id)
+            _, ai = jax.jit(step)(queries, *ops)
+            r = rec(np.asarray(ai))
+            qps = timed_qps(step, ops)
+            key = f"sq8_p{nprobe}_ks{ks}"
+            results[key] = {"qps": round(qps, 1), "recall": round(r, 4)}
+            print(f"p={nprobe} ks={ks}: {qps:,.0f} QPS  recall@{k}={r:.4f}",
+                  flush=True)
+            del ops
+
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(results))
+    print(json.dumps(results), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -85,7 +85,12 @@ def make_index():
     if kind == "ivf_flat":
         from .models.ivf_flat import IVFFlatIndex
 
-        return IVFFlatIndex(dim=DIM, nlist=nlist, nprobe=nprobe)
+        scan_dtype = os.environ.get("C99VDB_SCAN_DTYPE", "float32").strip() or "float32"
+        rerank_dtype = (
+            os.environ.get("C99VDB_RERANK_DTYPE", "float32").strip() or "float32"
+        )
+        return IVFFlatIndex(dim=DIM, nlist=nlist, nprobe=nprobe,
+                            scan_dtype=scan_dtype, rerank_dtype=rerank_dtype)
     if kind == "ivf_pq":
         from .models.ivf_pq import IVFPQIndex
 

@@ -78,10 +78,23 @@ def _ivf_search_program(nlist: int, pad: int, dim: int, b: int, nprobe: int, k: 
 class IVFFlatIndex:
     kind = "ivf_flat"
 
-    def __init__(self, dim: int = DIM, nlist: int = 64, nprobe: int = 8):
+    def __init__(self, dim: int = DIM, nlist: int = 64, nprobe: int = 8,
+                 scan_dtype: str = "float32", rerank_dtype: str = "float32"):
+        """scan_dtype="int8" stages SQ8 inverted lists (4x less scan HBM
+        traffic + the double-rate int8 MXU; shortlist + exact rerank
+        restores correctness) or "bfloat16" (2x). rerank_dtype="bfloat16"
+        halves the rerank store for deployments where the f32 corpus
+        does not fit next to the lists (e.g. 10M x 384 on one v5e);
+        recall then caps at the bf16 rounding ceiling (~0.99)."""
+        if scan_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"unsupported scan_dtype: {scan_dtype}")
+        if rerank_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported rerank_dtype: {rerank_dtype}")
         self.dim = int(dim)
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
+        self.scan_dtype = scan_dtype
+        self.rerank_dtype = rerank_dtype
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
         self._centroids: np.ndarray | None = None   # (nlist_eff, D)
@@ -160,14 +173,54 @@ class IVFFlatIndex:
             n = self.ntotal
             bucket_row = np.zeros((n,), np.int32)
             bucket_row[order] = (sorted_lists * pad + slots).astype(np.int32)
+            # Quantized scan stores. The bucketed store doubles as the
+            # rerank candidate store; with a non-f32 scan it is staged in
+            # rerank_dtype so a bf16 deployment holds NO f32 copy on
+            # device. (The CPU search path ignores scan_extra and scans
+            # the store directly.)
+            if self.scan_dtype == "float32":
+                store = jax.device_put(list_vecs)
+                scan_extra = None
+            elif self.scan_dtype == "bfloat16":
+                store = jax.device_put(
+                    list_vecs.astype(
+                        np.float32 if self.rerank_dtype == "float32"
+                        else jnp.bfloat16
+                    )
+                )
+                scan_extra = ("bfloat16", jax.device_put(
+                    list_vecs.astype(jnp.bfloat16)
+                ))
+            else:  # int8 SQ8, symmetric per-dimension (models/flat.py)
+                live = list_ids >= 0
+                maxabs = np.abs(
+                    np.where(live[:, :, None], list_vecs, 0.0)
+                ).max(axis=(0, 1), initial=1e-30)
+                dim_scale = (maxabs / 127.0).astype(np.float32)
+                codes = np.clip(np.rint(list_vecs / dim_scale), -127, 127)
+                decoded = codes * dim_scale
+                dec_sqn = np.einsum("lpd,lpd->lp", decoded, decoded)
+                store = jax.device_put(
+                    list_vecs.astype(
+                        np.float32 if self.rerank_dtype == "float32"
+                        else jnp.bfloat16
+                    )
+                )
+                scan_extra = (
+                    "int8",
+                    jax.device_put(codes.astype(np.int8)),
+                    jax.device_put(dim_scale),
+                    jax.device_put(dec_sqn.astype(np.float32)),
+                )
             self._staged = (
                 jax.device_put(self._centroids.astype(np.float32)),
                 jax.device_put(c_sq.astype(np.float32)),
-                jax.device_put(list_vecs),
+                store,
                 jax.device_put(list_ids),
                 jax.device_put(list_sqn.astype(np.float32)),
                 build_id_lookup(self._ids, bucket_row),
                 pad,
+                scan_extra,
             )
         return self._staged
 
@@ -182,10 +235,46 @@ class IVFFlatIndex:
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
         (
             centroids, c_sq, list_vecs, list_ids, list_sqn, id_lookup, pad,
+            scan_extra,
         ) = self._stage()
         nlist_eff = centroids.shape[0]
         nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() == "tpu" and scan_extra is not None:
+            # Quantized scan store: approximate shortlist from the dense
+            # scan (int8 runs both MXU operands int8 — double rate, 4x
+            # less DMA), then an exact rerank against the bucketed store
+            # restores correctness (exact f32, or the bf16 rounding
+            # ceiling when rerank_dtype="bfloat16").
+            from ..ops.ivf_scan_pallas import (
+                ivf_full_search_program, ivf_sq8_search_program,
+            )
+            from ..ops.rerank import exact_rerank_staged, shortlist_depth
+
+            b = queries.shape[0]
+            ks = min(shortlist_depth(k, self.ntotal), nprobe_eff * pad)
+            if scan_extra[0] == "int8":
+                _, codes, dim_scale, dec_sqn = scan_extra
+                prog = ivf_sq8_search_program(
+                    nlist_eff, pad, self.dim, b, nprobe_eff, ks
+                )
+                _, si = prog(
+                    centroids, c_sq, codes, dim_scale, dec_sqn, list_ids,
+                    jnp.asarray(queries),
+                )
+            else:  # bfloat16 scan store
+                prog = ivf_full_search_program(
+                    nlist_eff, pad, self.dim, b, nprobe_eff, ks,
+                    db_dtype=jnp.bfloat16, dense=nprobe_eff * pad <= 4096,
+                )
+                _, si = prog(
+                    centroids, c_sq, scan_extra[1], list_sqn, list_ids,
+                    jnp.asarray(queries),
+                )
+            dists, out_ids = exact_rerank_staged(
+                list_vecs.reshape(-1, self.dim), id_lookup, si,
+                jnp.asarray(queries), k,
+            )
+        elif jax.default_backend() == "tpu":
             # Pallas scalar-prefetch scan: streams probed lists HBM->VMEM
             # at full bandwidth (XLA's probe gather runs far below it).
             # The step is DMA-bound, so exact=True scores at
@@ -235,7 +324,9 @@ class IVFFlatIndex:
     # -- serialization ----------------------------------------------------------------
 
     def state(self) -> tuple[dict[str, Any], dict[str, np.ndarray]]:
-        params = {"dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe}
+        params = {"dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe,
+                  "scan_dtype": self.scan_dtype,
+                  "rerank_dtype": self.rerank_dtype}
         arrays = {
             "vectors": self._vectors,
             "ids": self._ids,
@@ -246,7 +337,12 @@ class IVFFlatIndex:
 
     @classmethod
     def from_state(cls, params: dict[str, Any], arrays: dict[str, np.ndarray]) -> "IVFFlatIndex":
-        index = cls(dim=int(params["dim"]), nlist=int(params["nlist"]), nprobe=int(params["nprobe"]))
+        index = cls(
+            dim=int(params["dim"]), nlist=int(params["nlist"]),
+            nprobe=int(params["nprobe"]),
+            scan_dtype=str(params.get("scan_dtype", "float32")),
+            rerank_dtype=str(params.get("rerank_dtype", "float32")),
+        )
         if arrays["centroids"].size:
             index._centroids = np.ascontiguousarray(arrays["centroids"], dtype=np.float32)
         if arrays["vectors"].size:

@@ -365,6 +365,134 @@ def ivf_scan_program_dense(
     return run
 
 
+def _ivf_scan_kernel_dense_int8(
+    lists_ref,      # scalar-prefetch: (B, nprobe) int32 probed list ids
+    q_ref,          # (1, 1, D) THIS query, int8 (blocked per grid step)
+    qscale_ref,     # (1, 1, 1) f32 its quantization scale
+    vecs_ref,       # (1, pad, D) the probed list's SQ8 codes, int8
+    sqn_ref,        # (1, 1, pad) DECODED-space row norms, f32
+    ids_ref,        # (1, 1, pad) external ids (-1 padding)
+    out_d_ref,      # (1, 1, pad) dense scan keys (decoded dist - ||q||^2)
+    out_i_ref,      # (1, 1, pad) ids pass-through
+):
+    """SQ8 dense scan: both MXU operands int8 (the double-rate systolic
+    path — see ops/topk_pallas.py int8_q and CLAUDE.md). The caller folds
+    the per-dimension SQ8 scale AND the -2 into the queries before row-
+    quantizing, so the epilogue is one (1, pad) fma. The emitted key
+    omits the per-query ||q||^2 constant (order-preserving); the caller's
+    rerank stage re-scores the shortlist exactly in f32.
+
+    Unlike the f32 dense kernel, the query arrives as a per-step (1, 1,
+    D) BLOCK, not a dynamic row read of a resident (B, D) array: Mosaic
+    cannot prove sublane alignment for a traced single-row int8 load
+    ("index in dimension 0 is a multiple of 8", v5e)."""
+    q = q_ref[0]                                   # (1, D) int8
+    x = vecs_ref[0]                                # (pad, D) int8
+    ip = jax.lax.dot_general(
+        q, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                              # (1, pad) int32
+    rs = qscale_ref[0]                             # (1, 1) f32
+    key = ip.astype(jnp.float32) * rs + sqn_ref[0]
+    ids = ids_ref[0]                               # (1, pad)
+    out_d_ref[0] = jnp.where(ids >= 0, key, jnp.inf)
+    out_i_ref[0] = ids
+
+
+@functools.lru_cache(maxsize=None)
+def ivf_scan_program_dense_int8(
+    nlist: int, pad: int, dim: int, b: int, nprobe: int, ks: int,
+):
+    """Dense SQ8 scan -> (keys (b, ks), ids (b, ks)) shortlist, ascending
+    by (approximate key, id). Queries must be pre-folded (x scale, x -2)
+    and row-quantized by the caller (see ivf_sq8_search_program)."""
+    kernel = _ivf_scan_kernel_dense_int8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nprobe),
+        in_specs=[
+            pl.BlockSpec((1, 1, dim), lambda i, p, lists: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, p, lists: (i, 0, 0)),
+            pl.BlockSpec((1, pad, dim), lambda i, p, lists: (lists[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (lists[i, p], 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (lists[i, p], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (i * nprobe + p, 0, 0)),
+            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (i * nprobe + p, 0, 0)),
+        ],
+        scratch_shapes=[],
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nprobe * pad * dim,
+            bytes_accessed=b * nprobe * pad * dim,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(lists, q_int8, q_scale, codes, dec_sqn, list_ids):
+        out_d, out_i = call(
+            lists,
+            q_int8.reshape(b, 1, dim),
+            q_scale.reshape(b, 1, 1),
+            codes,
+            dec_sqn.reshape(nlist, 1, pad),
+            list_ids.reshape(nlist, 1, pad),
+        )
+        d2 = out_d.reshape(b, nprobe * pad)
+        i2 = out_i.reshape(b, nprobe * pad)
+        sd, si = jax.lax.sort((d2, i2), dimension=1, num_keys=2)
+        return sd[:, :ks], si[:, :ks]
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def ivf_sq8_search_program(
+    nlist: int, pad: int, dim: int, b: int, nprobe: int, ks: int,
+):
+    """Coarse ranking + SQ8 dense scan -> (keys, ids) shortlist (b, ks).
+
+    The caller holds the per-dimension SQ8 scale (dim_scale, (D,) f32)
+    and decoded-space row norms; queries are folded (x dim_scale x -2)
+    and row-quantized here, on device. The shortlist feeds an exact f32
+    rerank (ops/rerank.py) that restores exactness — same contract as
+    the flat int8 path (ops/topk_pallas.py)."""
+    scan = ivf_scan_program_dense_int8(nlist, pad, dim, b, nprobe, ks)
+
+    @jax.jit
+    def run(centroids, c_sq, codes, dim_scale, dec_sqn, list_ids, queries):
+        coarse = (
+            c_sq[None, :]
+            - 2.0 * jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+        )
+        _, probes = jax.lax.top_k(-coarse, nprobe)
+        qs = queries.astype(jnp.float32) * dim_scale * -2.0
+        rs = (
+            jnp.maximum(jnp.max(jnp.abs(qs), axis=1, keepdims=True), 1e-30)
+            / 127.0
+        )
+        qi = jnp.clip(jnp.rint(qs / rs), -127, 127).astype(jnp.int8)
+        return scan(probes.astype(jnp.int32), qi, rs, codes, dec_sqn, list_ids)
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def ivf_scan_program(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int,

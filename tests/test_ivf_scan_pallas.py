@@ -21,7 +21,7 @@ def staged_ivf():
     ivf = IVFFlatIndex(dim=64, nlist=16, nprobe=16)
     ivf.train(points)
     ivf.add(points, ids)
-    centroids, c_sq, list_vecs, list_ids, list_sqn, _, pad = ivf._stage()
+    centroids, c_sq, list_vecs, list_ids, list_sqn, _, pad, _extra = ivf._stage()
     return points, ids, (centroids, c_sq, list_vecs, list_sqn, list_ids, pad), ivf
 
 
@@ -77,7 +77,7 @@ class TestPallasIVFScan:
         ivf = IVFFlatIndex(dim=32, nlist=4, nprobe=4)
         ivf.train(np.concatenate([base[c] + np.zeros((1, 32), np.float32) for c in range(4)] + [points]))
         ivf.add(points, ids)
-        centroids, c_sq, list_vecs, list_ids, list_sqn, _, pad = ivf._stage()
+        centroids, c_sq, list_vecs, list_ids, list_sqn, _, pad, _x = ivf._stage()
         nlist_eff = centroids.shape[0]
         q = points[10:11]
         program = ivf_full_search_program(
@@ -142,6 +142,75 @@ class TestPallasIVFScan:
                         jnp.asarray(queries))
             np.testing.assert_array_equal(np.asarray(i1), np.asarray(di))
             np.testing.assert_array_equal(np.asarray(d1), np.asarray(dd))
+
+    def test_sq8_scan_plus_rerank_matches_exact(self, staged_ivf):
+        # SQ8 dense scan shortlist + exact f32 rerank must reproduce the
+        # exact path's results (the quantization noise stays inside the
+        # shortlist slack on this well-separated fixture).
+        from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program
+        from c99_vectordb_tpu.ops.rerank import build_id_lookup, exact_rerank_staged
+
+        points, ids, staged, ivf = staged_ivf
+        centroids, c_sq, list_vecs, list_sqn, list_ids, pad = staged
+        lv = np.asarray(list_vecs)
+        li = np.asarray(list_ids)
+        live = li >= 0
+        maxabs = np.abs(np.where(live[:, :, None], lv, 0.0)).max(
+            axis=(0, 1), initial=1e-30
+        )
+        dim_scale = (maxabs / 127.0).astype(np.float32)
+        codes = np.clip(np.rint(lv / dim_scale), -127, 127)
+        dec_sqn = np.einsum("lpd,lpd->lp", codes * dim_scale, codes * dim_scale)
+
+        rng = np.random.default_rng(13)
+        queries = (points[rng.choice(len(points), 8)] + 0.03).astype(np.float32)
+        ks = 20
+        prog = ivf_sq8_search_program(16, pad, 64, 8, 3, ks)
+        _, si = prog(
+            centroids, c_sq, jnp.asarray(codes.astype(np.int8)),
+            jnp.asarray(dim_scale), jnp.asarray(dec_sqn.astype(np.float32)),
+            list_ids, jnp.asarray(queries),
+        )
+        assert np.asarray(si).shape == (8, ks)
+        lookup = ivf._stage()[5]  # the model's own id -> bucket-row table
+        d_q, i_q = exact_rerank_staged(
+            list_vecs.reshape(-1, 64), lookup, si, jnp.asarray(queries), 10
+        )
+        exact = ivf_full_search_program(16, pad, 64, 8, 3, 10, exact=True)
+        d_e, i_e = exact(
+            centroids, c_sq, list_vecs, list_sqn, list_ids, jnp.asarray(queries)
+        )
+        np.testing.assert_array_equal(np.asarray(i_q), np.asarray(i_e))
+        # elementwise-f32 (rerank) vs expanded-HIGHEST (kernel): same
+        # value up to f32 cancellation
+        np.testing.assert_allclose(
+            np.asarray(d_q), np.asarray(d_e), rtol=1e-3, atol=5e-3
+        )
+
+    def test_ivf_model_scan_dtype_roundtrip(self):
+        # scan_dtype/rerank_dtype survive serialization; CPU search stays
+        # exact regardless of the scan store option.
+        from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+        rng = np.random.default_rng(21)
+        pts = rng.standard_normal((256, 32)).astype(np.float32)
+        ids = np.arange(256, dtype=np.int64)
+        ivf = IVFFlatIndex(dim=32, nlist=4, nprobe=4, scan_dtype="int8")
+        ivf.train(pts)
+        ivf.add(pts, ids)
+        d0, i0 = ivf.search(pts[:5] + 0.01, 5)
+        import pathlib
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            p = pathlib.Path(td) / "x.memo"
+            write_index(ivf, p)
+            ivf2 = read_index(p)
+        assert ivf2.scan_dtype == "int8"
+        assert ivf2.rerank_dtype == "float32"
+        d1, i1 = ivf2.search(pts[:5] + 0.01, 5)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
 
     def test_k_exceeding_list_content(self, staged_ivf):
         points, ids, staged, _ = staged_ivf
