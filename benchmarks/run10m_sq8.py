@@ -51,6 +51,12 @@ def main() -> int:
     p.add_argument("--ks", type=str, default="20,64",
                    help="comma list of rerank shortlist depths")
     p.add_argument("--nprobes", type=str, default="4,8")
+    p.add_argument("--pad-cap", type=int, default=2048,
+                   help="max inverted-list length; overflow rows spill to "
+                   "their next-nearest centroid with room (0 = uncapped). "
+                   "Bounds the codes store: uncapped cluster skew at 10M "
+                   "(max 2724 vs avg 1280) OOMs one v5e next to the bf16 "
+                   "refine store")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
     args = p.parse_args()
@@ -167,8 +173,60 @@ def main() -> int:
     print(f"pass1 (train/assign/refine) done ({time.perf_counter() - t0:.1f}s)",
           flush=True)
 
-    # ---- bucket layout (host metadata) ----------------------------------
+    # ---- balanced bucketing: spill overflow rows --------------------------
     counts = np.bincount(assign, minlength=nlist)
+    cap = args.pad_cap
+    if cap and int(counts.max(initial=0)) > cap:
+        t_sp = time.perf_counter()
+        over = np.where(counts > cap)[0]
+
+        @jax.jit
+        def gather_f32(refine, rows):
+            return refine[rows].astype(jnp.float32)
+
+        @jax.jit
+        def rank_centroids(x, cents, csq):
+            d_ = csq[None, :] - 2.0 * jnp.dot(
+                x, cents.T, preferred_element_type=jnp.float32
+            )
+            _, idx = jax.lax.top_k(-d_, 16)
+            return idx
+
+        cents_host = np.asarray(centroids)
+        spill_rows = []
+        rows_all = np.where(np.isin(assign, over))[0]
+        vecs_all = np.asarray(
+            gather_f32(refine_dev, jnp.asarray(rows_all.astype(np.int32)))
+        )
+        pos_of = {r: i for i, r in enumerate(rows_all)}
+        for li_ in over:
+            rows = np.where(assign == li_)[0]
+            v = vecs_all[[pos_of[r] for r in rows]]
+            dd = ((v - cents_host[li_]) ** 2).sum(1)
+            keep = np.argpartition(dd, cap - 1)[:cap]
+            mask = np.ones(len(rows), bool)
+            mask[keep] = False
+            spill_rows.append(rows[mask])
+        spill = np.concatenate(spill_rows)
+        ranked = np.asarray(rank_centroids(
+            gather_f32(refine_dev, jnp.asarray(spill.astype(np.int32))),
+            centroids, c_sq,
+        ))
+        counts = np.minimum(counts, cap)
+        for r_i, row in enumerate(spill):
+            for c_ in ranked[r_i]:
+                if counts[c_] < cap:
+                    assign[row] = c_
+                    counts[c_] += 1
+                    break
+            else:  # all 16 nearest full: put it in the emptiest list
+                c_ = int(np.argmin(counts))
+                assign[row] = c_
+                counts[c_] += 1
+        print(f"spilled {len(spill)} rows from {len(over)} over-cap lists "
+              f"({time.perf_counter() - t_sp:.1f}s)", flush=True)
+        results["spilled"] = int(len(spill))
+
     pad = int(-(-max(int(counts.max(initial=1)), 8) // 128) * 128)
     order = np.argsort(assign, kind="stable").astype(np.int32)
     sorted_lists = assign[order]
@@ -209,8 +267,13 @@ def main() -> int:
 
     @jax.jit
     def dec_norms(codes):
-        dec = codes.astype(jnp.float32) * dim_scale
-        return jnp.sum(dec * dec, axis=-1)
+        # per-list map: a whole-array astype would materialize an f32
+        # copy 4x the 6 GiB codes store
+        def body(c):
+            dec = c.astype(jnp.float32) * dim_scale
+            return jnp.sum(dec * dec, axis=-1)
+
+        return jax.lax.map(body, codes)
 
     dec_sqn = dec_norms(codes_dev)
     float(jnp.sum(dec_sqn[0]))
