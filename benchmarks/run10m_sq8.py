@@ -159,15 +159,29 @@ def main() -> int:
     def chunk_stats(x, maxabs):
         return jnp.maximum(maxabs, jnp.max(jnp.abs(x), axis=0))
 
-    assigns = []
+    @jax.jit
+    def assign_with_dist(x, cents, csq):
+        # also emit each row's distance to its assigned centroid (used by
+        # the spill pass to keep the CLOSEST cap rows; ||x||^2 added so
+        # values compare across rows)
+        d_ = csq[None, :] - 2.0 * jnp.dot(
+            x, cents.T, preferred_element_type=jnp.float32
+        )
+        a = jnp.argmin(d_, axis=1).astype(jnp.int32)
+        return a, jnp.min(d_, axis=1) + jnp.sum(x * x, axis=1)
+
+    assigns, dists = [], []
     for ci in range(n_chunks):
         x = gen(ci, chunk)
-        a = assign_clusters(x, centroids, out_device=True)
+        a, d2 = assign_with_dist(x, centroids, c_sq)
         assigns.append(np.asarray(a))
+        dists.append(np.asarray(d2))
         maxabs = chunk_stats(x, maxabs)
         refine_dev = write_refine(refine_dev, x, jnp.int32(ci * chunk))
-        del x, a
+        del x, a, d2
     assign = np.concatenate(assigns)
+    d2_host = np.concatenate(dists)
+    del dists
     dim_scale = jnp.maximum(maxabs, 1e-30) / 127.0
     float(jnp.sum(dim_scale))
     print(f"pass1 (train/assign/refine) done ({time.perf_counter() - t0:.1f}s)",
@@ -178,40 +192,42 @@ def main() -> int:
     cap = args.pad_cap
     if cap and int(counts.max(initial=0)) > cap:
         t_sp = time.perf_counter()
-        over = np.where(counts > cap)[0]
+        over = int(np.sum(counts > cap))
+
+        # One lexsort by (list, dist-to-centroid): within each list the
+        # rows beyond rank `cap` — the FARTHEST from the centroid — spill.
+        order2 = np.lexsort((d2_host, assign))
+        lists2 = assign[order2]
+        starts2 = np.zeros((nlist,), np.int64)
+        np.cumsum(counts[:-1], out=starts2[1:])
+        rank_in_list = np.arange(n) - starts2[lists2]
+        spill = order2[rank_in_list >= cap]
 
         @jax.jit
-        def gather_f32(refine, rows):
-            return refine[rows].astype(jnp.float32)
-
-        @jax.jit
-        def rank_centroids(x, cents, csq):
+        def rank_centroids(refine, rows, cents, csq):
+            x = refine[rows].astype(jnp.float32)
             d_ = csq[None, :] - 2.0 * jnp.dot(
                 x, cents.T, preferred_element_type=jnp.float32
             )
             _, idx = jax.lax.top_k(-d_, 16)
             return idx
 
-        cents_host = np.asarray(centroids)
-        spill_rows = []
-        rows_all = np.where(np.isin(assign, over))[0]
-        vecs_all = np.asarray(
-            gather_f32(refine_dev, jnp.asarray(rows_all.astype(np.int32)))
+        # rows gathered ON device, ranked in fixed-size slices (the
+        # (slice, nlist) distance block is the transient); only the
+        # (spill, 16) i32 ranking crosses to host
+        rk = 16384
+        spill_pad = int(-(-len(spill) // rk) * rk)
+        spill_padded = np.concatenate(
+            [spill, np.zeros((spill_pad - len(spill),), spill.dtype)]
         )
-        pos_of = {r: i for i, r in enumerate(rows_all)}
-        for li_ in over:
-            rows = np.where(assign == li_)[0]
-            v = vecs_all[[pos_of[r] for r in rows]]
-            dd = ((v - cents_host[li_]) ** 2).sum(1)
-            keep = np.argpartition(dd, cap - 1)[:cap]
-            mask = np.ones(len(rows), bool)
-            mask[keep] = False
-            spill_rows.append(rows[mask])
-        spill = np.concatenate(spill_rows)
-        ranked = np.asarray(rank_centroids(
-            gather_f32(refine_dev, jnp.asarray(spill.astype(np.int32))),
-            centroids, c_sq,
-        ))
+        ranked = np.concatenate([
+            np.asarray(rank_centroids(
+                refine_dev,
+                jnp.asarray(spill_padded[s0 : s0 + rk].astype(np.int32)),
+                centroids, c_sq,
+            ))
+            for s0 in range(0, spill_pad, rk)
+        ])[: len(spill)]
         counts = np.minimum(counts, cap)
         for r_i, row in enumerate(spill):
             for c_ in ranked[r_i]:
@@ -223,7 +239,7 @@ def main() -> int:
                 c_ = int(np.argmin(counts))
                 assign[row] = c_
                 counts[c_] += 1
-        print(f"spilled {len(spill)} rows from {len(over)} over-cap lists "
+        print(f"spilled {len(spill)} rows from {over} over-cap lists "
               f"({time.perf_counter() - t_sp:.1f}s)", flush=True)
         results["spilled"] = int(len(spill))
 
