@@ -84,6 +84,15 @@ def main() -> int:
     )
     results: dict = {"config": vars(args)}
 
+    def mem(tag):
+        try:
+            live = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                       for a in jax.live_arrays())
+            print(f"[mem] {tag}: live device arrays "
+                  f"{live / 2**30:.2f} GiB", flush=True)
+        except Exception as e:  # live_arrays availability varies
+            print(f"[mem] {tag}: unavailable ({e})", flush=True)
+
     def gen(key_idx, count):
         @jax.jit
         def _gen(marker):
@@ -137,6 +146,7 @@ def main() -> int:
         del x_full
     gt_i = np.asarray(best_i)
     print(f"ground truth done ({time.perf_counter() - t0:.1f}s)", flush=True)
+    mem("after GT")
 
     # ---- build pass 1: train, assign, maxabs, write refine --------------
     t0 = time.perf_counter()
@@ -184,8 +194,10 @@ def main() -> int:
     del dists
     dim_scale = jnp.maximum(maxabs, 1e-30) / 127.0
     float(jnp.sum(dim_scale))
+    jax.block_until_ready(refine_dev)
     print(f"pass1 (train/assign/refine) done ({time.perf_counter() - t0:.1f}s)",
           flush=True)
+    mem("after pass1")
 
     # ---- balanced bucketing: spill overflow rows --------------------------
     counts = np.bincount(assign, minlength=nlist)
@@ -270,7 +282,10 @@ def main() -> int:
     def scatter_ids(store, ids, lists, slots):
         return store.at[lists, slots].set(ids)
 
+    mem("before codes alloc")
     codes_dev = jnp.zeros((nlist, pad, d), jnp.int8)
+    jax.block_until_ready(codes_dev)
+    mem("after codes alloc")
     li_dev = jnp.full((nlist, pad), -1, jnp.int32)
     for ci in range(n_chunks):
         x = gen(ci, chunk)
