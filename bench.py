@@ -293,8 +293,9 @@ def main() -> int:
     base_n = min(n, 262_144)
     cpu_qps = bench_cpu_baseline(base_n, d, b, k) * (base_n / n)
 
+    variant = "sq8" if on_tpu else "f32"  # off-TPU there is no sq8 path
     result = {
-        "metric": f"flat_exact_sq8_qps_{n // 1000}k_{d}d_k{k}_b{b}",
+        "metric": f"flat_exact_{variant}_qps_{n // 1000}k_{d}d_k{k}_b{b}",
         "value": round(qps, 2),
         "unit": "qps",
         "vs_baseline": round(qps / cpu_qps, 2),

@@ -70,7 +70,9 @@ def main() -> int:
     n, d, b, k = args.n, args.d, args.b, args.k
     chunk, nlist = args.chunk, args.nlist
     n_chunks = n // chunk
-    assert n % chunk == 0 and n % args.gt_chunk == 0
+    # gt chunks are carved out of regenerated gen chunks, so they must
+    # tile them exactly — n % gt_chunk alone would silently skip rows
+    assert n % chunk == 0 and chunk % args.gt_chunk == 0
     n_gen_clusters = 4096
 
     from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program

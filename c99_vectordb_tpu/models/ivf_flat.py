@@ -74,6 +74,22 @@ def _ivf_search_program(nlist: int, pad: int, dim: int, b: int, nprobe: int, k: 
     return run
 
 
+@jax.jit
+def _to_bf16(v):
+    return v.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _sq8_stage(lv, li):
+    """Symmetric per-dimension SQ8 of the bucketed lists, on device."""
+    live = (li >= 0)[:, :, None]
+    maxabs = jnp.max(jnp.abs(jnp.where(live, lv, 0.0)), axis=(0, 1))
+    scale = jnp.maximum(maxabs, 1e-30) / 127.0
+    codes = jnp.clip(jnp.rint(lv / scale), -127, 127)
+    dec = codes * scale
+    return codes.astype(jnp.int8), scale, jnp.sum(dec * dec, axis=-1)
+
+
 @register
 class IVFFlatIndex:
     kind = "ivf_flat"
@@ -173,50 +189,36 @@ class IVFFlatIndex:
             n = self.ntotal
             bucket_row = np.zeros((n,), np.int32)
             bucket_row[order] = (sorted_lists * pad + slots).astype(np.int32)
-            # Quantized scan stores. The bucketed store doubles as the
-            # rerank candidate store; with a non-f32 scan it is staged in
-            # rerank_dtype so a bf16 deployment holds NO f32 copy on
+            # Quantized scan stores. The f32 lists cross the (slow,
+            # hazard #3) host->device link exactly ONCE; every derived
+            # store — bf16 scan/rerank copy, SQ8 codes — is computed on
+            # device. The bucketed store doubles as the rerank candidate
+            # store; with a non-f32 scan and rerank_dtype="bfloat16" the
+            # single bf16 copy is shared and NO f32 copy stays on
             # device. (The CPU search path ignores scan_extra and scans
             # the store directly.)
+            li_dev = jax.device_put(list_ids)
+            lv_dev = jax.device_put(list_vecs)
             if self.scan_dtype == "float32":
-                store = jax.device_put(list_vecs)
+                store = lv_dev
                 scan_extra = None
             elif self.scan_dtype == "bfloat16":
-                store = jax.device_put(
-                    list_vecs.astype(
-                        np.float32 if self.rerank_dtype == "float32"
-                        else jnp.bfloat16
-                    )
-                )
-                scan_extra = ("bfloat16", jax.device_put(
-                    list_vecs.astype(jnp.bfloat16)
-                ))
+                scan_store = _to_bf16(lv_dev)
+                scan_extra = ("bfloat16", scan_store)
+                store = lv_dev if self.rerank_dtype == "float32" else scan_store
             else:  # int8 SQ8, symmetric per-dimension (models/flat.py)
-                live = list_ids >= 0
-                maxabs = np.abs(
-                    np.where(live[:, :, None], list_vecs, 0.0)
-                ).max(axis=(0, 1), initial=1e-30)
-                dim_scale = (maxabs / 127.0).astype(np.float32)
-                codes = np.clip(np.rint(list_vecs / dim_scale), -127, 127)
-                decoded = codes * dim_scale
-                dec_sqn = np.einsum("lpd,lpd->lp", decoded, decoded)
-                store = jax.device_put(
-                    list_vecs.astype(
-                        np.float32 if self.rerank_dtype == "float32"
-                        else jnp.bfloat16
-                    )
+                codes, dim_scale, dec_sqn = _sq8_stage(lv_dev, li_dev)
+                scan_extra = ("int8", codes, dim_scale, dec_sqn)
+                store = (
+                    lv_dev if self.rerank_dtype == "float32"
+                    else _to_bf16(lv_dev)
                 )
-                scan_extra = (
-                    "int8",
-                    jax.device_put(codes.astype(np.int8)),
-                    jax.device_put(dim_scale),
-                    jax.device_put(dec_sqn.astype(np.float32)),
-                )
+            del lv_dev
             self._staged = (
                 jax.device_put(self._centroids.astype(np.float32)),
                 jax.device_put(c_sq.astype(np.float32)),
                 store,
-                jax.device_put(list_ids),
+                li_dev,
                 jax.device_put(list_sqn.astype(np.float32)),
                 build_id_lookup(self._ids, bucket_row),
                 pad,

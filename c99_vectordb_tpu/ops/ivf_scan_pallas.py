@@ -81,7 +81,14 @@ def _ivf_scan_kernel(
     out_col = jax.lax.broadcasted_iota(jnp.int32, (1, k_pad), 1)
 
     worst = best_d[0, k - 1]
-    rounds = jnp.minimum(jnp.sum((dist < worst).astype(jnp.int32)), k)
+    worst_i = best_i[0, k - 1]
+    # A candidate improves the top-k if it strictly beats the k-th best
+    # OR ties it with a LOWER id (the k-th boundary obeys the same
+    # lowest-id tie rule as every other position — strict < alone would
+    # silently drop an equal-distance lower-id candidate and diverge
+    # from the dense lex-sort / XLA merge on exact ties).
+    improving = (dist < worst) | ((dist == worst) & (ids < worst_i))
+    rounds = jnp.minimum(jnp.sum(improving.astype(jnp.int32)), k)
 
     def extract_and_insert(_, remaining):
         m = jnp.min(remaining, axis=1, keepdims=True)            # (1, 1)
@@ -156,7 +163,10 @@ def _ivf_scan_kernel_multi(
         pad = dist.shape[1]
         col = jax.lax.broadcasted_iota(jnp.int32, (1, pad), 1)
         worst = best_d[j, k - 1]
-        rounds = jnp.minimum(jnp.sum((dist < worst).astype(jnp.int32)), k)
+        worst_i = best_i[j, k - 1]
+        # boundary ties with a lower id improve too (see _ivf_scan_kernel)
+        improving = (dist < worst) | ((dist == worst) & (ids < worst_i))
+        rounds = jnp.minimum(jnp.sum(improving.astype(jnp.int32)), k)
 
         def extract_and_insert(_, remaining, j=j, ids=ids, col=col, pad=pad):
             m = jnp.min(remaining, axis=1, keepdims=True)
@@ -404,8 +414,10 @@ def ivf_scan_program_dense_int8(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, ks: int,
 ):
     """Dense SQ8 scan -> (keys (b, ks), ids (b, ks)) shortlist, ascending
-    by (approximate key, id). Queries must be pre-folded (x scale, x -2)
-    and row-quantized by the caller (see ivf_sq8_search_program)."""
+    by the approximate key (key ties break by scan position, NOT id —
+    the shortlist feeds an exact id-aware rerank, so top_k is used over
+    the much costlier lex-sort). Queries must be pre-folded (x scale,
+    x -2) and row-quantized by the caller (see ivf_sq8_search_program)."""
     kernel = _ivf_scan_kernel_dense_int8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -456,8 +468,13 @@ def ivf_scan_program_dense_int8(
         )
         d2 = out_d.reshape(b, nprobe * pad)
         i2 = out_i.reshape(b, nprobe * pad)
-        sd, si = jax.lax.sort((d2, i2), dimension=1, num_keys=2)
-        return sd[:, :ks], si[:, :ks]
+        # The shortlist feeds an exact rerank, so selection by the
+        # APPROXIMATE key alone suffices — top_k is far cheaper than the
+        # (key, id) lex-sort at wide scans (nprobe * pad is 7680 at the
+        # 10M operating point), and boundary ties among quantization-
+        # equal candidates are harmless either way.
+        neg, pos = jax.lax.top_k(-d2, ks)
+        return -neg, jnp.take_along_axis(i2, pos, axis=1)
 
     return run
 
@@ -470,9 +487,11 @@ def ivf_sq8_search_program(
 
     The caller holds the per-dimension SQ8 scale (dim_scale, (D,) f32)
     and decoded-space row norms; queries are folded (x dim_scale x -2)
-    and row-quantized here, on device. The shortlist feeds an exact f32
-    rerank (ops/rerank.py) that restores exactness — same contract as
-    the flat int8 path (ops/topk_pallas.py)."""
+    and row-quantized here, on device. The shortlist is ordered by the
+    approximate key only (position-order ties); the exact id-aware
+    rerank (ops/rerank.py) downstream restores both exactness and the
+    lowest-id tie contract — same composite as the flat int8 path
+    (ops/topk_pallas.py)."""
     scan = ivf_scan_program_dense_int8(nlist, pad, dim, b, nprobe, ks)
 
     @jax.jit

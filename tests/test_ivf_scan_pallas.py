@@ -143,6 +143,33 @@ class TestPallasIVFScan:
             np.testing.assert_array_equal(np.asarray(i1), np.asarray(di))
             np.testing.assert_array_equal(np.asarray(d1), np.asarray(dd))
 
+    def test_kth_boundary_tie_lowest_id_wins(self):
+        # A duplicate vector (ids 70 then 10) split across two lists,
+        # k=1: probe order fills the top-1 with id 70 first; when id 10
+        # arrives with an EXACTLY equal distance it must replace it
+        # (lowest-id rule holds at the k-th boundary too — a strict
+        # dist<worst improving-count silently dropped it).
+        D, pad = 32, 128
+        rng = np.random.default_rng(8)
+        dup = rng.standard_normal((D,)).astype(np.float32)
+        lv = np.zeros((2, pad, D), np.float32)
+        li = np.full((2, pad), -1, np.int32)
+        lv[0, 0], li[0, 0] = dup, 70
+        lv[1, 0], li[1, 0] = dup, 10
+        ln = np.einsum("lpd,lpd->lp", lv, lv).astype(np.float32)
+        cents = np.stack([dup + 0.01, dup + 0.5]).astype(np.float32)
+        c_sq = np.einsum("nd,nd->n", cents, cents).astype(np.float32)
+        q = dup[None, :]
+        for dense in (False, True):
+            prog = ivf_full_search_program(
+                2, pad, D, 1, 2, 1, exact=True, dense=dense
+            )
+            _, i = prog(
+                jnp.asarray(cents), jnp.asarray(c_sq), jnp.asarray(lv),
+                jnp.asarray(ln), jnp.asarray(li), jnp.asarray(q),
+            )
+            assert int(np.asarray(i)[0, 0]) == 10, (dense, np.asarray(i))
+
     def test_sq8_scan_plus_rerank_matches_exact(self, staged_ivf):
         # SQ8 dense scan shortlist + exact f32 rerank must reproduce the
         # exact path's results (the quantization noise stays inside the
