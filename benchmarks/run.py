@@ -483,7 +483,50 @@ def main() -> int:
                 flush=True,
             )
             del ops2
-        del rr_ops
+
+        # -- SQ8 inverted lists: int8 MXU dense scan + exact f32 rerank
+        #    (IVFFlatIndex(scan_dtype="int8") — the overall QPS headline)
+        from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program
+        from c99_vectordb_tpu.ops.rerank import shortlist_depth
+
+        @jax.jit
+        def _sq8_stage_lists(lv, lids):
+            live = (lids >= 0)[:, :, None]
+            maxabs = jnp.max(jnp.abs(jnp.where(live, lv, 0.0)), axis=(0, 1))
+            scale = jnp.maximum(maxabs, 1e-30) / 127.0
+            codes = jnp.clip(jnp.rint(lv / scale), -127, 127)
+            dec = codes * scale
+            return codes.astype(jnp.int8), scale, jnp.sum(dec * dec, axis=-1)
+
+        sq8_codes, sq8_scale, sq8_dsq = _sq8_stage_lists(
+            list_vecs_d, list_ids_d
+        )
+        float(jnp.sum(sq8_scale))
+        ks_sq8 = shortlist_depth(k, n)
+        results["ivf_sq8_rerank"] = {"sweep": {}}
+        for nprobe in [args.nprobe_sweep[0], min(4, nlist)]:
+            nprobe = min(nprobe, nlist)
+            sq8_p = ivf_sq8_search_program(nlist, pad, d, b, nprobe, ks_sq8)
+            rr_p = rerank_program(nlist * pad, d, n, b, ks_sq8, k, "float32")
+
+            def ivf_sq8_step(q, cents, csq, lv, lsq, lids, cod, sc, dsq, rop,
+                             _s=sq8_p, _r=rr_p):
+                _, ci = _s(cents, csq, cod, sc, dsq, lids, q)
+                return _r(lv.reshape(nlist * pad, d), rop, ci, q)
+
+            ops3 = ivf_ops + (sq8_codes, sq8_scale, sq8_dsq, rr_ops[0])
+            _, ai = jax.jit(ivf_sq8_step)(eval_q_dev, *ops3)
+            rec = recall_at_k(np.asarray(ai), gt_i)
+            qps = timed_scan_qps(ivf_sq8_step, ops3, make_qstack, b, args.iters)
+            results["ivf_sq8_rerank"]["sweep"][nprobe] = {
+                "qps": round(qps, 1), "recall": round(rec, 4)
+            }
+            print(
+                f"ivf_sq8+rr p={nprobe:<2d} qps={qps:,.0f}  recall@{k}={rec:.3f}",
+                flush=True,
+            )
+            del ops3
+        del rr_ops, sq8_codes, sq8_scale, sq8_dsq
 
     # ---- bf16 inverted lists: halves the scan's HBM traffic ----------------
     if on_tpu:

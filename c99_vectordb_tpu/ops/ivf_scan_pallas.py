@@ -409,41 +409,154 @@ def _ivf_scan_kernel_dense_int8(
     out_i_ref[0] = ids
 
 
+def _ivf_scan_kernel_dense_int8_multi(
+    lists_ref, *refs, qps_step: int,
+):
+    """qps_step-query variant of _ivf_scan_kernel_dense_int8: one grid
+    step carries the blocks of several consecutive queries, amortizing
+    the fixed per-step cost (the dense kernel IS step-cost-bound — its
+    epilogue is one fma, so unlike the selection kernel the multi-query
+    trick pays here). Outputs land in a (g, p, slot, pad) layout — the
+    per-slot rows of one (1, 1, qps_step, pad) block (qps_step=8 keeps
+    the sublane dim 8-divisible) — untangled by the caller."""
+    qref = refs[0::5][:qps_step]
+    sref = refs[1::5][:qps_step]
+    vref = refs[2::5][:qps_step]
+    nref = refs[3::5][:qps_step]
+    iref = refs[4::5][:qps_step]
+    out_d_ref, out_i_ref = refs[5 * qps_step:]
+    for j in range(qps_step):
+        q = qref[j][0]                                 # (1, D) int8
+        x = vref[j][0]                                 # (pad, D) int8
+        ip = jax.lax.dot_general(
+            q, x, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        rs = sref[j][0]                                # (1, 1) f32
+        key = ip.astype(jnp.float32) * rs + nref[j][0]
+        ids = iref[j][0]
+        out_d_ref[0, 0, pl.ds(j, 1), :] = jnp.where(ids >= 0, key, jnp.inf)
+        out_i_ref[0, 0, pl.ds(j, 1), :] = ids
+
+
 @functools.lru_cache(maxsize=None)
 def ivf_scan_program_dense_int8(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, ks: int,
+    qps_step: int = 1,
 ):
     """Dense SQ8 scan -> (keys (b, ks), ids (b, ks)) shortlist, ascending
     by the approximate key (key ties break by scan position, NOT id —
     the shortlist feeds an exact id-aware rerank, so top_k is used over
     the much costlier lex-sort). Queries must be pre-folded (x scale,
-    x -2) and row-quantized by the caller (see ivf_sq8_search_program)."""
-    kernel = _ivf_scan_kernel_dense_int8
+    x -2) and row-quantized by the caller (see ivf_sq8_search_program).
+    qps_step > 1 processes that many queries per grid step (b must be a
+    multiple; 8 keeps the shared output block's sublane dim legal)."""
+    assert b % qps_step == 0
+    assert qps_step in (1, 8)
 
+    interpret = jax.default_backend() != "tpu"
+    if qps_step == 1:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nprobe),
+            in_specs=[
+                pl.BlockSpec((1, 1, dim), lambda i, p, lists: (i, 0, 0)),
+                pl.BlockSpec((1, 1, 1), lambda i, p, lists: (i, 0, 0)),
+                pl.BlockSpec((1, pad, dim),
+                             lambda i, p, lists: (lists[i, p], 0, 0)),
+                pl.BlockSpec((1, 1, pad),
+                             lambda i, p, lists: (lists[i, p], 0, 0)),
+                pl.BlockSpec((1, 1, pad),
+                             lambda i, p, lists: (lists[i, p], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, pad),
+                             lambda i, p, lists: (i * nprobe + p, 0, 0)),
+                pl.BlockSpec((1, 1, pad),
+                             lambda i, p, lists: (i * nprobe + p, 0, 0)),
+            ],
+            scratch_shapes=[],
+        )
+        call = pl.pallas_call(
+            _ivf_scan_kernel_dense_int8,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.float32),
+                jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * nprobe * pad * dim,
+                bytes_accessed=b * nprobe * pad * dim,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )
+
+        @jax.jit
+        def run(lists, q_int8, q_scale, codes, dec_sqn, list_ids):
+            out_d, out_i = call(
+                lists,
+                q_int8.reshape(b, 1, dim),
+                q_scale.reshape(b, 1, 1),
+                codes,
+                dec_sqn.reshape(nlist, 1, pad),
+                list_ids.reshape(nlist, 1, pad),
+            )
+            d2 = out_d.reshape(b, nprobe * pad)
+            i2 = out_i.reshape(b, nprobe * pad)
+            # The shortlist feeds an exact rerank, so selection by the
+            # APPROXIMATE key alone suffices — top_k is far cheaper than
+            # the (key, id) lex-sort at wide scans, and boundary ties
+            # among quantization-equal candidates are harmless.
+            neg, pos = jax.lax.top_k(-d2, ks)
+            return -neg, jnp.take_along_axis(i2, pos, axis=1)
+
+        return run
+
+    g = b // qps_step
+
+    def q_spec(j, shape):
+        return pl.BlockSpec(
+            shape, lambda gi, p, lists, j=j: (gi * qps_step + j, 0, 0)
+        )
+
+    def l_spec(j, shape):
+        return pl.BlockSpec(
+            shape,
+            lambda gi, p, lists, j=j: (lists[gi * qps_step + j, p], 0, 0),
+        )
+
+    in_specs = []
+    for j in range(qps_step):
+        in_specs += [
+            q_spec(j, (1, 1, dim)),
+            q_spec(j, (1, 1, 1)),
+            l_spec(j, (1, pad, dim)),
+            l_spec(j, (1, 1, pad)),
+            l_spec(j, (1, 1, pad)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nprobe),
-        in_specs=[
-            pl.BlockSpec((1, 1, dim), lambda i, p, lists: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i, p, lists: (i, 0, 0)),
-            pl.BlockSpec((1, pad, dim), lambda i, p, lists: (lists[i, p], 0, 0)),
-            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (lists[i, p], 0, 0)),
-            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (lists[i, p], 0, 0)),
-        ],
+        grid=(g, nprobe),
+        in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (i * nprobe + p, 0, 0)),
-            pl.BlockSpec((1, 1, pad), lambda i, p, lists: (i * nprobe + p, 0, 0)),
+            pl.BlockSpec((1, 1, qps_step, pad),
+                         lambda gi, p, lists: (gi, p, 0, 0)),
+            pl.BlockSpec((1, 1, qps_step, pad),
+                         lambda gi, p, lists: (gi, p, 0, 0)),
         ],
         scratch_shapes=[],
     )
-
-    interpret = jax.default_backend() != "tpu"
     call = pl.pallas_call(
-        kernel,
+        functools.partial(_ivf_scan_kernel_dense_int8_multi,
+                          qps_step=qps_step),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.float32),
-            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.int32),
+            jax.ShapeDtypeStruct((g, nprobe, qps_step, pad), jnp.float32),
+            jax.ShapeDtypeStruct((g, nprobe, qps_step, pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -458,21 +571,18 @@ def ivf_scan_program_dense_int8(
 
     @jax.jit
     def run(lists, q_int8, q_scale, codes, dec_sqn, list_ids):
-        out_d, out_i = call(
-            lists,
-            q_int8.reshape(b, 1, dim),
-            q_scale.reshape(b, 1, 1),
-            codes,
-            dec_sqn.reshape(nlist, 1, pad),
-            list_ids.reshape(nlist, 1, pad),
-        )
-        d2 = out_d.reshape(b, nprobe * pad)
-        i2 = out_i.reshape(b, nprobe * pad)
-        # The shortlist feeds an exact rerank, so selection by the
-        # APPROXIMATE key alone suffices — top_k is far cheaper than the
-        # (key, id) lex-sort at wide scans (nprobe * pad is 7680 at the
-        # 10M operating point), and boundary ties among quantization-
-        # equal candidates are harmless either way.
+        q3 = q_int8.reshape(b, 1, dim)
+        s3 = q_scale.reshape(b, 1, 1)
+        dsq3 = dec_sqn.reshape(nlist, 1, pad)
+        ids3 = list_ids.reshape(nlist, 1, pad)
+        args = []
+        for _ in range(qps_step):  # one spec set per slot, same arrays
+            args += [q3, s3, codes, dsq3, ids3]
+        out_d, out_i = call(lists, *args)
+        # (g, p, slot, pad) -> (g, slot, p, pad) -> (b, nprobe * pad);
+        # the transpose is one cheap pass over the small dense output
+        d2 = out_d.transpose(0, 2, 1, 3).reshape(b, nprobe * pad)
+        i2 = out_i.transpose(0, 2, 1, 3).reshape(b, nprobe * pad)
         neg, pos = jax.lax.top_k(-d2, ks)
         return -neg, jnp.take_along_axis(i2, pos, axis=1)
 
@@ -482,6 +592,7 @@ def ivf_scan_program_dense_int8(
 @functools.lru_cache(maxsize=None)
 def ivf_sq8_search_program(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, ks: int,
+    qps_step: int | None = None,
 ):
     """Coarse ranking + SQ8 dense scan -> (keys, ids) shortlist (b, ks).
 
@@ -492,7 +603,12 @@ def ivf_sq8_search_program(
     rerank (ops/rerank.py) downstream restores both exactness and the
     lowest-id tie contract — same composite as the flat int8 path
     (ops/topk_pallas.py)."""
-    scan = ivf_scan_program_dense_int8(nlist, pad, dim, b, nprobe, ks)
+    if qps_step is None:  # 8-slot steps when the batch and VMEM allow
+        fits = 16 * pad * dim + 2 * 8 * pad * 8 <= 13 * 2**20
+        qps_step = 8 if b % 8 == 0 and fits else 1
+    scan = ivf_scan_program_dense_int8(
+        nlist, pad, dim, b, nprobe, ks, qps_step
+    )
 
     @jax.jit
     def run(centroids, c_sq, codes, dim_scale, dec_sqn, list_ids, queries):

@@ -199,6 +199,15 @@ class TestPallasIVFScan:
             list_ids, jnp.asarray(queries),
         )
         assert np.asarray(si).shape == (8, ks)
+        # the single-query kernel must produce the identical shortlist
+        # as the default 8-slot multi-query variant
+        prog1 = ivf_sq8_search_program(16, pad, 64, 8, 3, ks, qps_step=1)
+        _, si1 = prog1(
+            centroids, c_sq, jnp.asarray(codes.astype(np.int8)),
+            jnp.asarray(dim_scale), jnp.asarray(dec_sqn.astype(np.float32)),
+            list_ids, jnp.asarray(queries),
+        )
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(si1))
         lookup = ivf._stage()[5]  # the model's own id -> bucket-row table
         d_q, i_q = exact_rerank_staged(
             list_vecs.reshape(-1, 64), lookup, si, jnp.asarray(queries), 10
