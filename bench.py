@@ -261,8 +261,10 @@ def main() -> int:
     b = _env_int("C99VDB_BENCH_B", 128)
     k = _env_int("C99VDB_BENCH_K", 10)
     iters = _env_int("C99VDB_BENCH_ITERS", 10 if on_tpu else 2)
-    # pad n to the kernel's tile multiple
-    tile_n = 1024
+    # pad n to the kernel's LARGEST auto tile (2048): narrow stores
+    # (bf16/int8) pick tile_n=2048 when n divides, and the int8 B=1024
+    # point measured +16% for it (benchmarks/exp_int8_tiles.py)
+    tile_n = 2048
     n = ((n + tile_n - 1) // tile_n) * tile_n
 
     # Headline: FlatIndex(scan_dtype="int8") — SQ8 scan + exact f32

@@ -248,6 +248,35 @@ class TestPallasIVFScan:
         np.testing.assert_array_equal(i0, i1)
         np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
 
+    def test_ivf_model_bf16_options_roundtrip(self):
+        # bf16 scan + bf16 rerank: ONE shared device copy serves both
+        # stores; params survive serialization; CPU search still returns
+        # sane neighbors (scanning the bf16 store).
+        from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+        rng = np.random.default_rng(22)
+        pts = (rng.standard_normal((256, 32)) * 3).astype(np.float32)
+        ids = np.arange(256, dtype=np.int64)
+        ivf = IVFFlatIndex(dim=32, nlist=4, nprobe=4,
+                           scan_dtype="bfloat16", rerank_dtype="bfloat16")
+        ivf.train(pts)
+        ivf.add(pts, ids)
+        staged = ivf._stage()
+        assert staged[7][0] == "bfloat16"
+        assert staged[2] is staged[7][1]  # shared single bf16 copy
+        d0, i0 = ivf.search(pts[:5], 1)
+        np.testing.assert_array_equal(i0[:, 0], ids[:5])  # self-NN
+        import pathlib
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            p = pathlib.Path(td) / "x.memo"
+            write_index(ivf, p)
+            ivf2 = read_index(p)
+        assert (ivf2.scan_dtype, ivf2.rerank_dtype) == ("bfloat16", "bfloat16")
+        d1, i1 = ivf2.search(pts[:5], 1)
+        np.testing.assert_array_equal(i0, i1)
+
     def test_k_exceeding_list_content(self, staged_ivf):
         points, ids, staged, _ = staged_ivf
         centroids, c_sq, list_vecs, list_sqn, list_ids, pad = staged
