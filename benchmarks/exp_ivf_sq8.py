@@ -101,18 +101,10 @@ def main():
     lv, ln, li = scatter(db, sq, o_dev, jnp.asarray(sorted_lists), jnp.asarray(slots))
     print(f"staged pad={pad}", flush=True)
 
-    # SQ8 staging, on device (host round-trip would take minutes at 3 GB)
-    @jax.jit
-    def sq8_stage(lv, li):
-        live = (li >= 0)[:, :, None]
-        maxabs = jnp.max(jnp.abs(jnp.where(live, lv, 0.0)), axis=(0, 1))
-        dim_scale = jnp.maximum(maxabs, 1e-30) / 127.0
-        codes = jnp.clip(jnp.rint(lv / dim_scale), -127, 127)
-        dec = codes * dim_scale
-        dec_sqn = jnp.sum(dec * dec, axis=-1)
-        return codes.astype(jnp.int8), dim_scale, dec_sqn
+    # SQ8 staging, on device — the PRODUCT quantizer (models/ivf_flat.py)
+    from c99_vectordb_tpu.models.ivf_flat import _sq8_stage
 
-    codes, dim_scale, dec_sqn = sq8_stage(lv, li)
+    codes, dim_scale, dec_sqn = _sq8_stage(lv, li)
     float(jnp.sum(dim_scale))
 
     # id -> bucket row table (ids are iota; row = where order placed them)

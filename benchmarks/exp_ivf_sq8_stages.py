@@ -100,16 +100,9 @@ def main():
                      jnp.asarray(slots))
     del db, sq
 
-    @jax.jit
-    def sq8_stage(lv, li):
-        live = (li >= 0)[:, :, None]
-        maxabs = jnp.max(jnp.abs(jnp.where(live, lv, 0.0)), axis=(0, 1))
-        scale = jnp.maximum(maxabs, 1e-30) / 127.0
-        codes = jnp.clip(jnp.rint(lv / scale), -127, 127)
-        dec = codes * scale
-        return codes.astype(jnp.int8), scale, jnp.sum(dec * dec, axis=-1)
+    from c99_vectordb_tpu.models.ivf_flat import _sq8_stage  # the product quantizer
 
-    codes, dim_scale, dec_sqn = sq8_stage(lv, li)
+    codes, dim_scale, dec_sqn = _sq8_stage(lv, li)
     float(jnp.sum(dim_scale))
     bucket_row = np.zeros((N,), np.int32)
     bucket_row[order] = (sorted_lists.astype(np.int64) * pad + slots).astype(

@@ -486,26 +486,18 @@ def main() -> int:
 
         # -- SQ8 inverted lists: int8 MXU dense scan + exact f32 rerank
         #    (IVFFlatIndex(scan_dtype="int8") — the overall QPS headline)
+        from c99_vectordb_tpu.models.ivf_flat import _sq8_stage
         from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program
         from c99_vectordb_tpu.ops.rerank import shortlist_depth
 
-        @jax.jit
-        def _sq8_stage_lists(lv, lids):
-            live = (lids >= 0)[:, :, None]
-            maxabs = jnp.max(jnp.abs(jnp.where(live, lv, 0.0)), axis=(0, 1))
-            scale = jnp.maximum(maxabs, 1e-30) / 127.0
-            codes = jnp.clip(jnp.rint(lv / scale), -127, 127)
-            dec = codes * scale
-            return codes.astype(jnp.int8), scale, jnp.sum(dec * dec, axis=-1)
-
-        sq8_codes, sq8_scale, sq8_dsq = _sq8_stage_lists(
-            list_vecs_d, list_ids_d
-        )
+        # the PRODUCT quantizer (models/ivf_flat.py), not a local copy
+        sq8_codes, sq8_scale, sq8_dsq = _sq8_stage(list_vecs_d, list_ids_d)
         float(jnp.sum(sq8_scale))
         ks_sq8 = shortlist_depth(k, n)
         results["ivf_sq8_rerank"] = {"sweep": {}}
-        for nprobe in [args.nprobe_sweep[0], min(4, nlist)]:
-            nprobe = min(nprobe, nlist)
+        for nprobe in dict.fromkeys(
+            min(p_, nlist) for p_ in (args.nprobe_sweep[0], 4)
+        ):
             sq8_p = ivf_sq8_search_program(nlist, pad, d, b, nprobe, ks_sq8)
             rr_p = rerank_program(nlist * pad, d, n, b, ks_sq8, k, "float32")
 

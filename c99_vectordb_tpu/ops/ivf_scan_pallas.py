@@ -75,6 +75,10 @@ def _ivf_scan_kernel(
     dist = jnp.maximum(dist, 0.0)
     ids = ids_ref[0]                               # (1, pad)
     dist = jnp.where(ids >= 0, dist, jnp.inf)
+    # Padding slots take the SENTINEL id (int32 max, like empty top-k
+    # entries), so the boundary-tie test below can never count them as
+    # improving while the top-k is underfilled (worst == inf).
+    ids = jnp.where(ids >= 0, ids, jnp.iinfo(jnp.int32).max)
 
     pad = dist.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (1, pad), 1)
@@ -86,7 +90,10 @@ def _ivf_scan_kernel(
     # OR ties it with a LOWER id (the k-th boundary obeys the same
     # lowest-id tie rule as every other position — strict < alone would
     # silently drop an equal-distance lower-id candidate and diverge
-    # from the dense lex-sort / XLA merge on exact ties).
+    # from the dense lex-sort / XLA merge on exact ties). Extraction
+    # picks minima by (dist, POSITION), which equals (dist, id) order
+    # because staging stores each list's slots ascending by id
+    # (models/ivf_flat.py:_stage) — that invariant is REQUIRED here.
     improving = (dist < worst) | ((dist == worst) & (ids < worst_i))
     rounds = jnp.minimum(jnp.sum(improving.astype(jnp.int32)), k)
 
@@ -159,6 +166,8 @@ def _ivf_scan_kernel_multi(
         dist = jnp.maximum(dist, 0.0)
         ids = ids_refs[j][0]                               # (1, pad)
         dist = jnp.where(ids >= 0, dist, jnp.inf)
+        # padding -> sentinel id; see _ivf_scan_kernel
+        ids = jnp.where(ids >= 0, ids, jnp.iinfo(jnp.int32).max)
 
         pad = dist.shape[1]
         col = jax.lax.broadcasted_iota(jnp.int32, (1, pad), 1)

@@ -170,6 +170,34 @@ class TestPallasIVFScan:
             )
             assert int(np.asarray(i)[0, 0]) == 10, (dense, np.asarray(i))
 
+    def test_underfilled_lists_keep_sentinels(self):
+        # Fewer live rows than k: the selection kernel must leave (inf,
+        # -1) padding, not re-insert duplicates of real ids (the first
+        # boundary-tie fix counted (inf, -1) padding as improving while
+        # the top-k was underfilled).
+        D, pad, k = 32, 128, 10
+        rng = np.random.default_rng(9)
+        lv = np.zeros((2, pad, D), np.float32)
+        li = np.full((2, pad), -1, np.int32)
+        for s, rid in enumerate((100, 101, 102)):
+            lv[0, s] = rng.standard_normal(D).astype(np.float32)
+            li[0, s] = rid
+        ln = np.einsum("lpd,lpd->lp", lv, lv).astype(np.float32)
+        cents = np.stack([lv[0, 0] + 0.01, lv[0, 0] + 9.0]).astype(np.float32)
+        c_sq = np.einsum("nd,nd->n", cents, cents).astype(np.float32)
+        q = lv[0, 0][None, :]
+        for dense in (False, True):
+            prog = ivf_full_search_program(
+                2, pad, D, 1, 1, k, exact=True, dense=dense
+            )
+            _, i = prog(
+                jnp.asarray(cents), jnp.asarray(c_sq), jnp.asarray(lv),
+                jnp.asarray(ln), jnp.asarray(li), jnp.asarray(q),
+            )
+            i = np.asarray(i)[0]
+            assert sorted(i[:3].tolist()) == [100, 101, 102], (dense, i)
+            assert (i[3:] == -1).all(), (dense, i)
+
     def test_sq8_scan_plus_rerank_matches_exact(self, staged_ivf):
         # SQ8 dense scan shortlist + exact f32 rerank must reproduce the
         # exact path's results (the quantization noise stays inside the
