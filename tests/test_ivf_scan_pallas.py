@@ -276,6 +276,30 @@ class TestPallasIVFScan:
         np.testing.assert_array_equal(i0, i1)
         np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
 
+    def test_sq8_stage_quantizer_properties(self):
+        # Per-dimension symmetric SQ8: |decode(encode(x)) - x| <= scale/2
+        # elementwise on live rows, codes in [-127, 127], dec_sqn matches
+        # the decoded norms, and padding never influences the scale.
+        from c99_vectordb_tpu.models.ivf_flat import _sq8_stage
+
+        rng = np.random.default_rng(33)
+        lv = (rng.standard_normal((4, 64, 16)) * 5).astype(np.float32)
+        li = np.full((4, 64), -1, np.int32)
+        li[:, :40] = np.arange(160, dtype=np.int32).reshape(4, 40)
+        lv[li < 0] = 1e6  # poison padding: must NOT blow up the scale
+        codes, scale, dec_sqn = _sq8_stage(jnp.asarray(lv), jnp.asarray(li))
+        codes, scale, dec_sqn = map(np.asarray, (codes, scale, dec_sqn))
+        assert codes.min() >= -127 and codes.max() <= 127
+        live = li >= 0
+        maxabs_live = np.abs(lv[live]).max(axis=0)
+        np.testing.assert_allclose(scale, maxabs_live / 127.0, rtol=1e-6)
+        dec = codes.astype(np.float32) * scale
+        err = np.abs(dec[live] - lv[live])
+        assert (err <= scale / 2 + 1e-6).all()
+        np.testing.assert_allclose(
+            dec_sqn, np.einsum("lpd,lpd->lp", dec, dec), rtol=1e-5
+        )
+
     def test_ivf_model_bf16_options_roundtrip(self):
         # bf16 scan + bf16 rerank: ONE shared device copy serves both
         # stores; params survive serialization; CPU search still returns
