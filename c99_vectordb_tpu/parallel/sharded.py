@@ -19,6 +19,15 @@ hand-written transport.
 
 Everything here also runs on N virtual CPU devices
 (--xla_force_host_platform_device_count), which is how CI exercises it.
+
+Quantized scan stores (the single-chip scan_dtype="int8"/"bfloat16"
+options) are deliberately NOT offered on the sharded families: lists
+shard over `data`, so per-chip HBM pressure already shrinks linearly
+with the mesh, and a per-shard quantized scan would either waste DMA
+scanning non-owned probes or need an owner-aware kernel whose benefit
+cannot be measured in this environment (one physical chip). The
+compressed multi-chip option is sharded_ivf_pq (m bytes/vector scans +
+per-shard exact refine).
 """
 
 from __future__ import annotations
