@@ -34,9 +34,15 @@ N, D, K, B, NLIST = 1_048_576, 768, 10, 128, 4096
 NCLUST = 4096
 
 
+UNIFORM = "--uniform" in sys.argv  # no cluster structure: the honest
+# recall/QPS tradeoff (clustered corpora make p=1 capture ~everything)
+
+
 @jax.jit
 def gen(marker, key_idx):
     kc, kn = jax.random.split(jax.random.key(key_idx))
+    if UNIFORM:
+        return jax.random.normal(kn, (marker.shape[0], D), jnp.float32)
     centers = jax.random.normal(jax.random.key(1), (NCLUST, D), jnp.float32)
     cid = jax.random.randint(kc, (marker.shape[0],), 0, NCLUST)
     return centers[cid] * 3.0 + jax.random.normal(
@@ -160,7 +166,7 @@ def main():
 
     ks = shortlist_depth(K, N)
 
-    for p in (1, 4, 16):
+    for p in (1, 4, 16, 64) if UNIFORM else (1, 4, 16):
         exact_prog = ivf_full_search_program(
             NLIST, pad, D, B, p, K, exact=True, dense=p * pad <= 4096
         )
