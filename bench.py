@@ -168,16 +168,9 @@ def bench_ivf_sq8(n: int, d: int, b: int, k: int, nlist: int = 4096) -> float:
                      jnp.asarray(slots))
     del db
 
-    @jax.jit
-    def sq8_stage(lv, li):
-        live = (li >= 0)[:, :, None]
-        maxabs = jnp.max(jnp.abs(jnp.where(live, lv, 0.0)), axis=(0, 1))
-        scale = jnp.maximum(maxabs, 1e-30) / 127.0
-        codes = jnp.clip(jnp.rint(lv / scale), -127, 127)
-        dec = codes * scale
-        return codes.astype(jnp.int8), scale, jnp.sum(dec * dec, axis=-1)
+    from c99_vectordb_tpu.models.ivf_flat import _sq8_stage  # product quantizer
 
-    codes, dim_scale, dec_sqn = sq8_stage(lv, li)
+    codes, dim_scale, dec_sqn = _sq8_stage(lv, li)
     bucket_row = np.zeros((n,), np.int32)
     bucket_row[order] = (sorted_lists.astype(np.int64) * pad + slots).astype(
         np.int32
@@ -320,7 +313,9 @@ def main() -> int:
             "for every flat row incl. bf16/sq8 scans (kernel shortlist + "
             "exact f32 rerank). ivf_sq8_p1 reranks exactly within the "
             "probed list (measured 1.0000 strict on the clustered 1M "
-            "corpus, benchmarks/exp_ivf_sq8.py); see BASELINE.md",
+            "corpus, benchmarks/exp_ivf_sq8.py). Headline = best of two "
+            "attempts; extras are single-run, so cross-row ratios inherit "
+            "this relay's window variance (BASELINE.md)",
         }
     print(json.dumps(result))
     return 0

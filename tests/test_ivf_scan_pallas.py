@@ -185,18 +185,20 @@ class TestPallasIVFScan:
         ln = np.einsum("lpd,lpd->lp", lv, lv).astype(np.float32)
         cents = np.stack([lv[0, 0] + 0.01, lv[0, 0] + 9.0]).astype(np.float32)
         c_sq = np.einsum("nd,nd->n", cents, cents).astype(np.float32)
-        q = lv[0, 0][None, :]
-        for dense in (False, True):
+        q2 = np.vstack([lv[0, 0][None, :]] * 2)  # b=2 -> qps_step=2 legal
+        for dense, qps_step in ((False, 1), (False, 2), (True, 1)):
             prog = ivf_full_search_program(
-                2, pad, D, 1, 1, k, exact=True, dense=dense
+                2, pad, D, 2, 1, k, exact=True, dense=dense,
+                qps_step=qps_step,
             )
             _, i = prog(
                 jnp.asarray(cents), jnp.asarray(c_sq), jnp.asarray(lv),
-                jnp.asarray(ln), jnp.asarray(li), jnp.asarray(q),
+                jnp.asarray(ln), jnp.asarray(li), jnp.asarray(q2),
             )
-            i = np.asarray(i)[0]
-            assert sorted(i[:3].tolist()) == [100, 101, 102], (dense, i)
-            assert (i[3:] == -1).all(), (dense, i)
+            for row in np.asarray(i):
+                assert sorted(row[:3].tolist()) == [100, 101, 102], (
+                    dense, qps_step, row)
+                assert (row[3:] == -1).all(), (dense, qps_step, row)
 
     def test_sq8_scan_plus_rerank_matches_exact(self, staged_ivf):
         # SQ8 dense scan shortlist + exact f32 rerank must reproduce the
