@@ -30,7 +30,10 @@ from c99_vectordb_tpu.ops.ivf_scan_pallas import (
 from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
 from c99_vectordb_tpu.ops.rerank import exact_rerank_staged, shortlist_depth
 
-N, D, K, B, NLIST = 1_048_576, 768, 10, 128, 4096
+import os
+
+N, D, K, B = 1_048_576, 768, 10, 128
+NLIST = int(os.environ.get("EXP_NLIST", "4096"))
 NCLUST = 4096
 
 
