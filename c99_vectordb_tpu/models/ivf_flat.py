@@ -264,9 +264,12 @@ class IVFFlatIndex:
                     jnp.asarray(queries),
                 )
             else:  # bfloat16 scan store
+                # bf16 halves the list DMA, moving the dense/select
+                # crossover up: measured (exp_ivf_bf16_gate.py) dense
+                # 3x at width 3072, tie by ~6144.
                 prog = ivf_full_search_program(
                     nlist_eff, pad, self.dim, b, nprobe_eff, ks,
-                    db_dtype=jnp.bfloat16, dense=nprobe_eff * pad <= 4096,
+                    db_dtype=jnp.bfloat16, dense=nprobe_eff * pad <= 6144,
                 )
                 _, si = prog(
                     centroids, c_sq, scan_extra[1], list_sqn, list_ids,
