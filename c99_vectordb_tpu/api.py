@@ -88,7 +88,22 @@ class MemoDB:
         return new_id
 
     def save_many(self, records: list[dict[str, Any]]) -> list[int]:
-        """Bulk insert: [{body, metadata?}, ...] embedded in one device batch."""
+        """Bulk insert: [{body, metadata?}, ...] embedded in one device batch.
+
+        Validates each record like the CLI's save-input parser
+        (commands.parse_save_input; reference memo_cli.py:369-400):
+        required non-empty string body, optional mapping metadata."""
+        if not records:
+            raise ValueError("save_many requires at least one record")
+        for r in records:
+            if not isinstance(r, dict):
+                raise ValueError("each record must be a mapping")
+            body = r.get("body")
+            if not isinstance(body, str) or body.strip() == "":
+                raise ValueError("body must be a non-empty string")
+            metadata = r.get("metadata")
+            if metadata is not None and not isinstance(metadata, dict):
+                raise ValueError("metadata must be a mapping when provided")
         store = self._store()
         index = self._index()
         ids = [store.append(r["body"], r.get("metadata")) for r in records]

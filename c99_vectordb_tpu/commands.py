@@ -60,7 +60,24 @@ def _load_store(yaml_path) -> RecordStore:
     return RecordStore.load(yaml_path)
 
 
-def make_index():
+def auto_nlist(corpus_size: int) -> int:
+    """Corpus-size-aware IVF cell count when C99VDB_NLIST is unset.
+
+    The measured guidance (BASELINE.md nlist sweep at 1M x 768): set
+    nlist near the corpus's natural cluster count and spend extra probes,
+    not extra cells; 4 * sqrt(N) rounded to a 128 multiple lands on the
+    measured winner (4096 at 1M) and follows the FAISS 4-16 * sqrt(N)
+    sizing rule. Clamped to [64, 8192] — beyond 8192 the 128-multiple
+    list padding stops shrinking per-probe DMA while splitting true
+    clusters (VERDICT round 2, weak #6)."""
+    if corpus_size <= 4096:
+        return 64  # memo scale: keep the small default
+    raw = 4.0 * float(corpus_size) ** 0.5
+    aligned = -(-int(raw) // 128) * 128
+    return min(8192, aligned)
+
+
+def make_index(corpus_size: int | None = None):
     """Build an empty index of the configured family.
 
     The CLI surface stays contract-identical regardless of family; the
@@ -70,11 +87,20 @@ def make_index():
       C99VDB_NLIST / C99VDB_NPROBE / C99VDB_PQ_M tune the IVF variants.
     Sharded kinds build a data mesh over ALL visible devices (one chip ->
     a 1-device mesh; the same code scales to a pod slice unchanged).
+
+    corpus_size (when the caller knows it, e.g. a full rebuild) sizes
+    IVF's nlist via auto_nlist unless C99VDB_NLIST pins it explicitly.
     """
     import os
 
     kind = os.environ.get("C99VDB_INDEX", "flat").strip().lower()
-    nlist = int(os.environ.get("C99VDB_NLIST", "64"))
+    nlist_env = os.environ.get("C99VDB_NLIST", "").strip()
+    if nlist_env:
+        nlist = int(nlist_env)
+    elif corpus_size is not None:
+        nlist = auto_nlist(corpus_size)
+    else:
+        nlist = 64
     nprobe = int(os.environ.get("C99VDB_NPROBE", "8"))
     m = int(os.environ.get("C99VDB_PQ_M", "8"))
     if kind == "flat":
@@ -117,7 +143,7 @@ def build_index_from_store(bodies: list[str], verbose: bool):
     memo_cli.py:272-285)."""
     _, embed_texts, _, _ = _compute_stack()
     keep_ids = [i for i, body in enumerate(bodies) if not is_blank_body(body or "")]
-    index = make_index()
+    index = make_index(corpus_size=len(keep_ids))
     if keep_ids:
         vectors = embed_texts([bodies[i] for i in keep_ids])
         if hasattr(index, "train") and not getattr(index, "is_trained", True):

@@ -79,8 +79,13 @@ class FlatIndex:
     # -- device staging ----------------------------------------------------
 
     def _staged(self):
-        """Padded device buffers:
-        (vectors, ids_i32, valid, sq_norms, id_lookup)."""
+        """Padded device buffers, an 8-tuple:
+        (vectors f32, ids_i32, valid, sq_norms, id_lookup, scan_dev,
+        scan_norms, scan_scale). scan_dev is the scan_dtype copy the
+        kernel reads (aliases `vectors` for f32); scan_norms is None
+        when it would alias sq_norms (f32/bf16 scans) and the decoded-
+        space norms for int8; scan_scale is the (D,) SQ8 per-dimension
+        scale (None unless scan_dtype == "int8")."""
         if self._device is None:
             cap = next_pow2(max(self.ntotal, 1))
             vecs = np.zeros((cap, self.dim), dtype=np.float32)

@@ -29,7 +29,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .topk import merge_topk
+
 LANE = 128
+
+
+def _shortlist_topk(d2, i2, ks: int):
+    """Approximate-key shortlist selection: top_k by key only (key ties
+    break by scan position, not id — downstream exact reranks are
+    id-aware). Pads to width ks with (inf, -1) when the scan width is
+    narrower than the requested shortlist (ADVICE round 2, #1 — lax.top_k
+    would raise instead)."""
+    width = d2.shape[1]
+    neg, pos = jax.lax.top_k(-d2, min(ks, width))
+    d = -neg
+    i = jnp.take_along_axis(i2, pos, axis=1)
+    if ks > width:
+        padcfg = ((0, 0), (0, ks - width))
+        d = jnp.pad(d, padcfg, constant_values=jnp.inf)
+        i = jnp.pad(i, padcfg, constant_values=-1)
+    return d, i
 
 
 def _round_up(n: int, m: int) -> int:
@@ -377,9 +396,10 @@ def ivf_scan_program_dense(
         d2 = out_d.reshape(b, nprobe * pad)
         i2 = out_i.reshape(b, nprobe * pad)
         # Ascending lexicographic (dist, id): equal distances resolve to
-        # the LOWEST id, exactly the in-kernel insertion rule.
-        sd, si = jax.lax.sort((d2, i2), dimension=1, num_keys=2)
-        return sd[:, :k], si[:, :k]
+        # the LOWEST id, exactly the in-kernel insertion rule. merge_topk
+        # also PADS to width k with (inf, -1) when nprobe * pad < k —
+        # callers rely on a fixed (B, k) output (ADVICE round 2, #1).
+        return merge_topk(d2, i2, k)
 
     return run
 
@@ -520,8 +540,7 @@ def ivf_scan_program_dense_int8(
             # APPROXIMATE key alone suffices — top_k is far cheaper than
             # the (key, id) lex-sort at wide scans, and boundary ties
             # among quantization-equal candidates are harmless.
-            neg, pos = jax.lax.top_k(-d2, ks)
-            return -neg, jnp.take_along_axis(i2, pos, axis=1)
+            return _shortlist_topk(d2, i2, ks)
 
         return run
 
@@ -592,8 +611,7 @@ def ivf_scan_program_dense_int8(
         # the transpose is one cheap pass over the small dense output
         d2 = out_d.transpose(0, 2, 1, 3).reshape(b, nprobe * pad)
         i2 = out_i.transpose(0, 2, 1, 3).reshape(b, nprobe * pad)
-        neg, pos = jax.lax.top_k(-d2, ks)
-        return -neg, jnp.take_along_axis(i2, pos, axis=1)
+        return _shortlist_topk(d2, i2, ks)
 
     return run
 
