@@ -263,13 +263,18 @@ def main() -> int:
     # Headline: FlatIndex(scan_dtype="int8") — SQ8 scan + exact f32
     # rerank, the fastest exact product path (recall 1.0, 1.25x memory).
     # Off-TPU there is no scan/rerank split; measure the plain XLA path.
-    # Two attempts, best-of: this relay's window-to-window variance is
-    # large (identical configs measured 29k-119k; BASELINE.md) and the
-    # driver records a single run.
+    # MEDIAN of three same-process attempts: this relay's window-to-window
+    # variance is large (identical configs measured 29k-119k; BASELINE.md)
+    # and max-of-N is a biased estimator (VERDICT round 2, weak #4) — the
+    # median is robust to one bad window without inflating the estimate;
+    # min/max ride along in extra for spread honesty.
     hl_dtype = "int8" if on_tpu else "float32"
-    qps = bench_tpu(n, d, b, k, iters, scan_dtype=hl_dtype)
-    if on_tpu:
-        qps = max(qps, bench_tpu(n, d, b, k, iters, scan_dtype=hl_dtype))
+    n_attempts = 3 if on_tpu else 1
+    attempts = sorted(
+        bench_tpu(n, d, b, k, iters, scan_dtype=hl_dtype)
+        for _ in range(n_attempts)
+    )
+    qps = attempts[len(attempts) // 2]
     # Large-batch operating point: the corpus-outer kernel grid serves the
     # whole resident batch with ONE HBM scan (VERDICT round 1, item 8).
     big_b = _env_int("C99VDB_BENCH_BIG_B", 1024)
@@ -303,6 +308,9 @@ def main() -> int:
     }
     if qps_big is not None:
         result["extra"] = {
+            "headline_median": round(qps, 2),
+            "headline_min": round(attempts[0], 2),
+            "headline_max": round(attempts[-1], 2),
             f"f32_scan_b{b}_qps": round(qps_f32, 2),
             f"bf16_scan_b{b}_qps": round(qps_bf16, 2),
             f"sq8_scan_b{big_b}_qps": round(qps_big, 2),
@@ -313,9 +321,10 @@ def main() -> int:
             "for every flat row incl. bf16/sq8 scans (kernel shortlist + "
             "exact f32 rerank). ivf_sq8_p1 reranks exactly within the "
             "probed list (measured 1.0000 strict on the clustered 1M "
-            "corpus, benchmarks/exp_ivf_sq8.py). Headline = best of two "
-            "attempts; extras are single-run, so cross-row ratios inherit "
-            "this relay's window variance (BASELINE.md)",
+            "corpus, benchmarks/exp_ivf_sq8.py). Headline = MEDIAN of "
+            "three same-process attempts (min/max above give the spread); "
+            "extras are single-run, so cross-row ratios inherit this "
+            "relay's window variance (BASELINE.md)",
         }
     print(json.dumps(result))
     return 0

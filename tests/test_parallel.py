@@ -434,3 +434,127 @@ class TestCodeReviewRegressions:
         # win probes or assignments).
         np.testing.assert_array_equal(got_i, want_i)
         np.testing.assert_allclose(got_d, want_d, rtol=1e-4, atol=1e-4)
+
+
+class TestSlotSharding:
+    """Round-3 owner-aware contract (VERDICT round 2, next #1/#2): the
+    slot-sharded layout divides per-chip scan work by the mesh size with
+    results bit-identical to the single-chip family."""
+
+    def test_scan_rows_scale_inverse_with_shards(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+
+        vectors, ids, _ = corpus
+        rows = {}
+        for s in (1, 2, 4, 8):
+            mesh = make_mesh(n_data=s, devices=jax.devices()[:s])
+            ivf = ShardedIVFIndex(dim=64, nlist=16, nprobe=4, mesh=mesh)
+            ivf.load(vectors, ids)
+            stats = ivf.scan_rows_per_chip(b=6)
+            assert stats["shards"] == s
+            rows[s] = stats["rows_per_chip"]
+        # per-chip work shrinks with the mesh; 8 shards scan ~1/8 of the
+        # single-chip rows (exact up to the per-chip sublane padding)
+        assert rows[2] <= rows[1] / 2 * 1.5
+        assert rows[8] <= rows[1] / 8 * 2.0
+        assert rows[8] < rows[4] < rows[2] < rows[1]
+
+    def test_results_identical_to_single_chip_ivf(self, corpus):
+        from c99_vectordb_tpu.models.ivf_flat import IVFFlatIndex
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+
+        vectors, ids, queries = corpus
+        single = IVFFlatIndex(dim=64, nlist=16, nprobe=4)
+        single.train(vectors, iters=8)
+        single.add(vectors, ids)
+
+        mesh = make_mesh(n_data=8)
+        sharded = ShardedIVFIndex(dim=64, nlist=16, nprobe=4, mesh=mesh)
+        sharded.load(vectors, ids)
+
+        for nprobe in (1, 4, 16):
+            want_d, want_i = single.search(queries, 10, nprobe=nprobe)
+            got_d, got_i = sharded.search(queries, 10, nprobe=nprobe)
+            # same centroids (same kmeans seed/iters) -> same probes ->
+            # same candidate set; f32 scoring formula identical -> same
+            # (distance, id) lexicographic order.
+            np.testing.assert_array_equal(got_i, want_i)
+            np.testing.assert_allclose(got_d, want_d, rtol=1e-6, atol=1e-6)
+
+    def test_sq8_scan_matches_exact(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+        exact = ShardedIVFIndex(dim=64, nlist=16, nprobe=16, mesh=mesh)
+        exact.load(vectors, ids)
+        want_d, want_i = exact.search(queries, 5, nprobe=16)
+
+        sq8 = ShardedIVFIndex(
+            dim=64, nlist=16, nprobe=16, scan_dtype="int8", mesh=mesh
+        )
+        sq8.load(vectors, ids)
+        got_d, got_i = sq8.search(queries, 5, nprobe=16)
+        # int8 scan shortlists approximately; the per-shard exact f32
+        # rerank restores the exact top-5.
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-5)
+
+    def test_sq8_rejects_bad_combo_and_round_trips(self, corpus, tmp_path):
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+        from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+        with pytest.raises(ValueError, match="int8"):
+            ShardedIVFIndex(dim=64, scan_dtype="float32", rerank_dtype="bfloat16")
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        sq8 = ShardedIVFIndex(
+            dim=64, nlist=16, nprobe=16, scan_dtype="int8", mesh=mesh
+        )
+        sq8.load(vectors, ids)
+        want_d, want_i = sq8.search(queries, 5)
+        path = tmp_path / "sq8.memo"
+        write_index(sq8, path)
+        loaded = read_index(path)
+        assert loaded.scan_dtype == "int8"
+        got_d, got_i = loaded.search(queries, 5)
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-6, atol=1e-6)
+
+    def test_pq_rows_scale_inverse_with_shards(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedIVFPQIndex
+
+        vectors, ids, _ = corpus
+        rows = {}
+        for s in (1, 8):
+            mesh = make_mesh(n_data=s, devices=jax.devices()[:s])
+            pq = ShardedIVFPQIndex(dim=64, nlist=16, nprobe=4, m=8, mesh=mesh)
+            pq.load(vectors, ids)
+            rows[s] = pq.scan_rows_per_chip(b=6)["rows_per_chip"]
+        assert rows[8] <= rows[1] / 8 * 2.0
+
+    def test_kernel_path_matches_jnp_path(self, corpus):
+        # use_kernels=True is the real-mesh TPU route; interpret mode
+        # checks its semantics (Mosaic lowering itself is checked by
+        # benchmarks/compile_check.py on the chip).
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+        from c99_vectordb_tpu.parallel.sharded import (
+            sharded_ivf_search_program,
+        )
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        ivf = ShardedIVFIndex(dim=64, nlist=16, nprobe=4, mesh=mesh)
+        ivf.load(vectors, ids)
+        want_d, want_i = ivf.search(queries, 10, nprobe=4)
+        staged = ivf._stage()
+        nlist, pad_local = ivf._params
+        prog = sharded_ivf_search_program(
+            mesh, nlist, pad_local, 64, queries.shape[0], 4, 10,
+            use_kernels=True,
+        )
+        q = jax.device_put(queries, NamedSharding(mesh, P(None, None)))
+        d, i = prog(*staged, q)
+        np.testing.assert_array_equal(np.asarray(i), want_i)
+        np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-5, atol=1e-5)
