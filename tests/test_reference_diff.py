@@ -375,3 +375,30 @@ def test_path_resolution_deviation_documented(ref, tmp_path):
     our_idx, _ = db_paths("my.db.v2", str(tmp_path))
     assert ref_idx.name == "my.db.memo"
     assert our_idx.name == "my.db.v2.memo"
+
+
+def test_verbose_rebuild_log_byte_identical(ref, capsys, monkeypatch):
+    """The -v rebuild line (reference memo_cli.py:284) is the one stderr
+    surface shared by both implementations (VERDICT round 2, missing #2);
+    assert byte parity. The reference's embed + FAISS insert are stubbed
+    out — only the logging contract is under test."""
+    import numpy as np
+
+    from c99_vectordb_tpu import commands
+
+    class _IdxStub:
+        def add_with_ids(self, vecs, ids):
+            pass
+
+    monkeypatch.setattr(ref, "create_index", lambda: _IdxStub())
+    monkeypatch.setattr(
+        ref, "embed_text_hash", lambda text: np.zeros((384,), np.float32)
+    )
+
+    bodies = ["hello", "", "   ", "world notes", "deleted: true"]
+    ref.rebuild_index_from_texts(list(bodies), verbose=True)
+    want = capsys.readouterr().err
+    commands.build_index_from_store(list(bodies), verbose=True)
+    got = capsys.readouterr().err
+    assert "Rebuilt index with" in want
+    assert got == want
