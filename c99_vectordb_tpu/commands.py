@@ -129,7 +129,12 @@ def make_index(corpus_size: int | None = None):
     if kind == "sharded_ivf":
         from .parallel.sharded import ShardedIVFIndex
 
-        return ShardedIVFIndex(dim=DIM, nlist=nlist, nprobe=nprobe)
+        scan_dtype = os.environ.get("C99VDB_SCAN_DTYPE", "float32").strip() or "float32"
+        rerank_dtype = (
+            os.environ.get("C99VDB_RERANK_DTYPE", "float32").strip() or "float32"
+        )
+        return ShardedIVFIndex(dim=DIM, nlist=nlist, nprobe=nprobe,
+                               scan_dtype=scan_dtype, rerank_dtype=rerank_dtype)
     if kind == "sharded_ivf_pq":
         from .parallel.sharded import ShardedIVFPQIndex
 

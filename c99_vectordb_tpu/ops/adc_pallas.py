@@ -15,8 +15,10 @@ This kernel avoids the residual-LUT gather entirely by algebra:
 so per probed item the kernel needs: the coarse distance (computed by the
 XLA prologue's top-k), a per-item constant baked at BUILD time, and
 sum_j QD[j, code_j] — a lookup into the (m, 256) query table that is
-VMEM-resident per grid step and evaluated with a chunked one-hot
-compare+mul+sum (the one Mosaic-legal "gather").
+VMEM-resident per grid step and evaluated with one-hot matmuls (the one
+Mosaic-legal "gather"). At ksub == 256 the one-hot is built via the
+hi/lo Kronecker split (_qdot_hilo) — 16x fewer VPU compares, measured
+3.55x end-to-end (round 3, benchmarks/exp_adc_batch.py).
 
 Grid: (B, nprobe), probe ids scalar-prefetched exactly like the IVF-Flat
 scan (ops/ivf_scan_pallas.py); per-query top-k carried in VMEM scratch
@@ -48,6 +50,53 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _qdot_hilo(qd3, codes, m: int):
+    """sum_j QD[j, code_jp] via the hi/lo Kronecker split (ksub == 256).
+
+    onehot_256(c) = onehot_16(c >> 4) (x) onehot_16(c & 15), so per
+    subspace the contraction is one (16, 16) QD block x (16, pad) lo
+    one-hot MXU matmul followed by a hi-one-hot-masked 16-sublane
+    reduction. Compares drop 16x vs the flat (ksub, pad) one-hot —
+    measured 3.55x on the whole dense kernel at 10M shapes with
+    bit-identical output (benchmarks/exp_adc_batch.py v3; the flat
+    build was VPU-compare-bound, not matmul-bound: fusing matmuls alone
+    measured 1.02x).
+
+    qd3: (m*16, 16) f32 with qd3[16 j + h, l] = QD[j, 16 h + l];
+    codes: (>=m, pad) int32. Returns (1, pad) f32.
+    """
+    pad = codes.shape[1]
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (16, pad), 0)
+    qdot = jnp.zeros((1, pad), jnp.float32)
+    for j in range(m):
+        cj = codes[j : j + 1, :]
+        oh_lo = (hi_iota == (cj & 15)).astype(jnp.float32)
+        oh_hi = (hi_iota == (cj >> 4)).astype(jnp.float32)
+        x = jax.lax.dot_general(
+            qd3[j * 16 : (j + 1) * 16, :], oh_lo,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        qdot = qdot + jnp.sum(oh_hi * x, axis=0, keepdims=True)
+    return qdot
+
+
+def _qdot_onehot(qd, codes, m: int, ksub: int):
+    """Flat (ksub, pad) one-hot fallback for ksub != 256 (the Pallas
+    path only runs at ksub == 256 in production; this keeps the kernels
+    correct for any ksub)."""
+    pad = codes.shape[1]
+    code_iota = jax.lax.broadcasted_iota(jnp.int32, (ksub, pad), 0)
+    qdot = jnp.zeros((1, pad), jnp.float32)
+    for j in range(m):
+        sel = (code_iota == codes[j : j + 1, :]).astype(jnp.float32)
+        qdot = qdot + jax.lax.dot_general(
+            qd[j : j + 1, :], sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return qdot
+
+
 def _adc_kernel(
     lists_ref,      # scalar-prefetch: (B, nprobe) int32 probed list ids
     qd_ref,         # (1, CODE_LANES, ksub) query dot table (rows >= m are 0)
@@ -64,6 +113,7 @@ def _adc_kernel(
     k_pad: int,
     ksub: int,
     m: int,
+    hilo: bool,
 ):
     p_idx = pl.program_id(1)
 
@@ -72,23 +122,17 @@ def _adc_kernel(
         best_d[:] = jnp.full_like(best_d[:], jnp.inf)
         best_i[:] = jnp.full_like(best_i[:], jnp.iinfo(jnp.int32).max)
 
-    qd = qd_ref[0]                                  # (CODE_LANES, ksub)
     codes = codes_ref[0].astype(jnp.int32)          # (CODE_LANES, pad)
-    pad = codes.shape[1]
 
-    # sum_j QD[j, code_j], one subspace at a time: build the (ksub, pad)
-    # one-hot of this subspace's codes and contract it against the QD row
-    # with a (1, ksub) x (ksub, pad) MXU matmul. Strictly 2-D elementwise
-    # + matmul ops — Mosaic miscompiles 3-D vector reductions and batched
-    # matvecs for these shapes. Rows >= m hold zero codes and zero QD.
-    code_iota = jax.lax.broadcasted_iota(jnp.int32, (ksub, pad), 0)
-    qdot = jnp.zeros((1, pad), jnp.float32)
-    for j in range(m):
-        sel = (code_iota == codes[j : j + 1, :]).astype(jnp.float32)
-        qdot = qdot + jax.lax.dot_general(
-            qd[j : j + 1, :], sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # sum_j QD[j, code_j]: the hi/lo Kronecker split at ksub == 256
+    # (3.55x — see _qdot_hilo), the flat one-hot otherwise. Strictly
+    # 2-D elementwise + matmul ops either way — Mosaic miscompiles 3-D
+    # vector reductions and batched matvecs for these shapes.
+    if hilo:
+        qdot = _qdot_hilo(qd_ref[0], codes, m)
+    else:
+        qdot = _qdot_onehot(qd_ref[0], codes, m, ksub)
+    pad = codes.shape[1]
     coarse = pc_ref[0, 0, p_idx]                    # scalar from SMEM
     dist = coarse - 2.0 * qdot + const_ref[0]       # (1, pad)
     dist = jnp.maximum(dist, 0.0)
@@ -130,13 +174,21 @@ def adc_scan_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: in
     qd: (b, 128, ksub) f32 with rows >= m zeroed; item_const: (nlist, pad);
     probe_coarse: (b, nprobe) coarse distances aligned with `lists`."""
     k_pad = _round_up(max(k, 1), LANE)
-    kernel = functools.partial(_adc_kernel, k=k, k_pad=k_pad, ksub=ksub, m=m)
+    hilo = ksub == 256
+    kernel = functools.partial(
+        _adc_kernel, k=k, k_pad=k_pad, ksub=ksub, m=m, hilo=hilo
+    )
+    qd_spec = (
+        pl.BlockSpec((1, m * 16, 16), lambda i, p, L: (i, 0, 0))
+        if hilo
+        else pl.BlockSpec((1, CODE_LANES, ksub), lambda i, p, L: (i, 0, 0))
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nprobe),
         in_specs=[
-            pl.BlockSpec((1, CODE_LANES, ksub), lambda i, p, L: (i, 0, 0)),
+            qd_spec,
             pl.BlockSpec(
                 (1, 1, nprobe), lambda i, p, L: (i, 0, 0),
                 memory_space=pltpu.SMEM,
@@ -176,9 +228,12 @@ def adc_scan_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: in
 
     @jax.jit
     def run(lists, probe_coarse, qd, codes128, item_const, list_ids):
+        # hi/lo layout: QD rows become (16, 16) blocks, qd3[16j + h, l]
+        # = QD[j, 16h + l] (a row-major reshape of the first m rows).
+        qd_in = qd[:, :m, :].reshape(b, m * 16, 16) if hilo else qd
         out_d, out_i = call(
             lists,
-            qd,
+            qd_in,
             probe_coarse.reshape(b, 1, nprobe),
             codes128,
             item_const.reshape(nlist, 1, pad),
@@ -194,7 +249,7 @@ def adc_scan_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: in
 
 def _adc_dense_kernel(
     lists_ref, qd_ref, pc_ref, codes_ref, const_ref, ids_ref,
-    out_d_ref, out_i_ref, *, ksub: int, m: int,
+    out_d_ref, out_i_ref, *, ksub: int, m: int, hilo: bool,
 ):
     """ADC estimates WITHOUT in-kernel selection: emits the probed list's
     dense (1, pad) distances + ids per grid step. For deep-shortlist
@@ -203,17 +258,12 @@ def _adc_dense_kernel(
     probe), while the refine stage re-sorts exactly anyway — so skip
     selection entirely and let XLA top_k shortlist the dense output."""
     p_idx = pl.program_id(1)
-    qd = qd_ref[0]
     codes = codes_ref[0].astype(jnp.int32)
     pad = codes.shape[1]
-    code_iota = jax.lax.broadcasted_iota(jnp.int32, (ksub, pad), 0)
-    qdot = jnp.zeros((1, pad), jnp.float32)
-    for j in range(m):
-        sel = (code_iota == codes[j : j + 1, :]).astype(jnp.float32)
-        qdot = qdot + jax.lax.dot_general(
-            qd[j : j + 1, :], sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    if hilo:
+        qdot = _qdot_hilo(qd_ref[0], codes, m)
+    else:
+        qdot = _qdot_onehot(qd_ref[0], codes, m, ksub)
     coarse = pc_ref[0, 0, p_idx]
     dist = jnp.maximum(coarse - 2.0 * qdot + const_ref[0], 0.0)
     ids = ids_ref[0]
@@ -225,13 +275,19 @@ def _adc_dense_kernel(
 def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: int):
     """Jitted (lists, probe_coarse, qd, codes128, item_const, list_ids) ->
     dense (dists (b, nprobe*pad), ids (b, nprobe*pad))."""
-    kernel = functools.partial(_adc_dense_kernel, ksub=ksub, m=m)
+    hilo = ksub == 256
+    kernel = functools.partial(_adc_dense_kernel, ksub=ksub, m=m, hilo=hilo)
+    qd_spec = (
+        pl.BlockSpec((1, m * 16, 16), lambda i, p, L: (i, 0, 0))
+        if hilo
+        else pl.BlockSpec((1, CODE_LANES, ksub), lambda i, p, L: (i, 0, 0))
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nprobe),
         in_specs=[
-            pl.BlockSpec((1, CODE_LANES, ksub), lambda i, p, L: (i, 0, 0)),
+            qd_spec,
             pl.BlockSpec(
                 (1, 1, nprobe), lambda i, p, L: (i, 0, 0),
                 memory_space=pltpu.SMEM,
@@ -271,9 +327,10 @@ def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: i
 
     @jax.jit
     def run(lists, probe_coarse, qd, codes128, item_const, list_ids):
+        qd_in = qd[:, :m, :].reshape(b, m * 16, 16) if hilo else qd
         out_d, out_i = call(
             lists,
-            qd,
+            qd_in,
             probe_coarse.reshape(b, 1, nprobe),
             codes128,
             item_const.reshape(nlist, 1, pad),
