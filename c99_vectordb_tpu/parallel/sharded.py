@@ -105,6 +105,48 @@ def sharded_search_program(mesh: Mesh, n: int, dim: int, b: int, k: int):
 
 
 @functools.lru_cache(maxsize=None)
+def sharded_search_kernels(
+    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int, cap: int
+):
+    """Data-parallel exact search routed through the fused Pallas kernel
+    per shard (TPU route). Each chip: fused scan + top-ks shortlist over
+    its row shard (ops/topk_pallas.fused_topk — the (B, n_local) score
+    matrix never touches HBM, unlike the XLA matmul + lax.top_k local
+    path), then an exact f32 rerank of its own shortlist (row_of_id is
+    a per-chip dense id -> local-row table; every shortlisted id is
+    locally resident by construction), then the k-winner all_gather
+    merge. Exactness comes from the per-shard rerank, so results match
+    the XLA sharded_search_program bit-for-bit. Requires the per-shard
+    row count to be a 1024 multiple (staging pads) and +inf sq_norms on
+    padding rows (the kernel's mask)."""
+
+    def local(db, ids, sq_norms, row_of_id, queries):
+        from ..ops.topk_pallas import fused_topk
+
+        _, si = fused_topk(db, ids, sq_norms, queries, ks)
+        safe = jnp.clip(jnp.maximum(si, 0), 0, cap - 1)
+        rows = row_of_id[0][safe]
+        vecs = db[rows].astype(jnp.float32)
+        diff = vecs - queries[:, None, :].astype(jnp.float32)
+        exact = jnp.sum(diff * diff, axis=-1)
+        exact = jnp.where(si >= 0, exact, jnp.inf)
+        local_d, local_i = merge_topk(exact, si, k)
+        return _merge_gathered(local_d, local_i, k, "data")
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data", None), P("data"), P("data"), P("data", None),
+            P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
+    )
+    return jax.jit(shard_fn)
+
+
+@functools.lru_cache(maxsize=None)
 def sharded_search_2d(mesh: Mesh, n: int, dim: int, b: int, k: int):
     """Jitted 2D (data x model) exact search.
 
@@ -589,22 +631,40 @@ class ShardedFlatIndex(_ShardedBase):
 
     def _stage(self):
         if self._staged is None:
+            from ..models.base import next_pow2
+
             shards = self.mesh.shape["data"]
             n = self.ntotal
             per = -(-max(n, 1) // shards)
-            per = ((per + 7) // 8) * 8  # sublane-align each shard
+            # 1024-align each shard: the fused kernel's f32 tile_n (the
+            # XLA path is indifferent; memory cost is < 1 tile/shard).
+            per = ((per + 1023) // 1024) * 1024
             cap = per * shards
             db = np.zeros((cap, self.dim), np.float32)
             db[:n] = self._vectors
             idp = np.full((cap,), -1, np.int32)
             idp[:n] = self._ids.astype(np.int32)
             sq = np.einsum("nd,nd->n", db, db).astype(np.float32)
+            # +inf norms on padding rows ARE the fused kernel's mask
+            # (models/flat.py staging does the same).
+            sq[n:] = np.inf
+            # Per-chip id -> local-row tables for the kernel route's
+            # per-shard exact rerank (rows are id-sorted, so chip
+            # r // per owns global row r at local row r % per).
+            max_id = int(self._ids.max(initial=0))
+            idcap = next_pow2(max_id + 1)
+            row_of_id = np.zeros((shards, idcap), np.int32)
+            rows = np.arange(n)
+            row_of_id[rows // per, self._ids.astype(np.int64)] = (
+                rows % per
+            ).astype(np.int32)
             row_sharding = NamedSharding(self.mesh, P("data", None))
             vec_sharding = NamedSharding(self.mesh, P("data"))
             self._staged = (
                 jax.device_put(db, row_sharding),
                 jax.device_put(idp, vec_sharding),
                 jax.device_put(sq, vec_sharding),
+                jax.device_put(row_of_id, row_sharding),
             )
         return self._staged
 
@@ -613,12 +673,28 @@ class ShardedFlatIndex(_ShardedBase):
         if self.ntotal == 0:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
-        db, idp, sq = self._stage()
-        program = sharded_search_program(
-            self.mesh, db.shape[0], self.dim, queries.shape[0], k
-        )
+        db, idp, sq, row_of_id = self._stage()
+        shards = self.mesh.shape["data"]
+        per = db.shape[0] // shards
         q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
-        d, i = program(db, idp, sq, q)
+        if jax.default_backend() == "tpu" and k <= 512:
+            from ..ops.rerank import shortlist_depth
+
+            # Fused Pallas scan + per-shard exact rerank (bit-identical
+            # to the XLA route; see sharded_search_kernels). Deep k
+            # (> 512) falls back to the XLA route — the kernel's
+            # in-VMEM top-ks is bounded by its 1024-lane tile.
+            ks = min(shortlist_depth(k, self.ntotal), per, 1024)
+            program = sharded_search_kernels(
+                self.mesh, db.shape[0], self.dim, queries.shape[0], k, ks,
+                int(row_of_id.shape[1]),
+            )
+            d, i = program(db, idp, sq, row_of_id, q)
+        else:
+            program = sharded_search_program(
+                self.mesh, db.shape[0], self.dim, queries.shape[0], k
+            )
+            d, i = program(db, idp, sq, q)
         return np.asarray(d), np.asarray(i, dtype=np.int64)
 
     def state(self):

@@ -558,3 +558,28 @@ class TestSlotSharding:
         d, i = prog(*staged, q)
         np.testing.assert_array_equal(np.asarray(i), want_i)
         np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-5, atol=1e-5)
+
+    def test_flat_kernel_route_matches_xla_route(self, corpus):
+        # The TPU flat route (fused kernel + per-shard exact rerank) in
+        # interpret mode must match the XLA shard_map route exactly.
+        from c99_vectordb_tpu.parallel import ShardedFlatIndex
+        from c99_vectordb_tpu.parallel.sharded import (
+            sharded_search_kernels,
+        )
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        idx = ShardedFlatIndex(dim=64, mesh=mesh)
+        idx.load(vectors, ids)
+        want_d, want_i = idx.search(queries, 10)  # XLA route on CPU
+        db, idp, sq, row_of_id = idx._stage()
+        per = db.shape[0] // 8
+        ks = min(20, per, 1024)
+        prog = sharded_search_kernels(
+            mesh, db.shape[0], 64, queries.shape[0], 10, ks,
+            int(row_of_id.shape[1]),
+        )
+        q = jax.device_put(queries, NamedSharding(mesh, P(None, None)))
+        d, i = prog(db, idp, sq, row_of_id, q)
+        np.testing.assert_array_equal(np.asarray(i), want_i)
+        np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-5, atol=1e-5)
