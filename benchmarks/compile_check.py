@@ -239,10 +239,32 @@ def main() -> int:
             shard1(q128, P(None, None)),
         )
 
+    def sharded_flat_sq8_kernels():
+        from c99_vectordb_tpu.parallel.sharded import (
+            sharded_search_sq8_kernels,
+        )
+
+        rows = jnp.zeros((1, 8192), jnp.int32).at[0, flat_ids].set(
+            jnp.arange(n_flat, dtype=jnp.int32)
+        )
+        prog = sharded_search_sq8_kernels(
+            mesh1, n_flat, dim, 128, k, 20, 8192
+        )
+        return prog(
+            shard1(db_i8, P("data", None)),
+            shard1(db, P("data", None)),
+            shard1(flat_ids, P("data")),
+            shard1(sq_i8, P("data")),
+            shard1(rows, P("data", None)),
+            shard1(scale, P(None)),
+            shard1(q128, P(None, None)),
+        )
+
     checks += [
         ("sharded_ivf_f32_kernels_1chip", sharded_f32),
         ("sharded_ivf_sq8_1chip", sharded_sq8),
         ("sharded_flat_kernels_1chip", sharded_flat_kernels),
+        ("sharded_flat_sq8_1chip", sharded_flat_sq8_kernels),
     ]
 
     failures = []

@@ -125,7 +125,8 @@ def make_index(corpus_size: int | None = None):
     if kind == "sharded_flat":
         from .parallel.sharded import ShardedFlatIndex
 
-        return ShardedFlatIndex(dim=DIM)
+        scan_dtype = os.environ.get("C99VDB_SCAN_DTYPE", "float32").strip() or "float32"
+        return ShardedFlatIndex(dim=DIM, scan_dtype=scan_dtype)
     if kind == "sharded_ivf":
         from .parallel.sharded import ShardedIVFIndex
 

@@ -609,16 +609,63 @@ class _ShardedBase:
         return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
 
 
+@functools.lru_cache(maxsize=None)
+def sharded_search_sq8_kernels(
+    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int, cap: int
+):
+    """sharded_search_kernels' SQ8 variant: each chip scans its int8
+    code shard with the fused kernel's double-rate int8 MXU path (both
+    operands int8 — queries are pre-scaled by the global per-dimension
+    SQ8 scale and row-quantized inside fused_topk), then exact-reranks
+    its own shortlist from its f32 row shard. Results are exact — the
+    multi-chip analog of FlatIndex(scan_dtype="int8")."""
+
+    def local(codes, db, ids, dec_norms, row_of_id, scale, queries):
+        from ..ops.topk_pallas import fused_topk
+
+        _, si = fused_topk(codes, ids, dec_norms, queries * scale, ks)
+        safe = jnp.clip(jnp.maximum(si, 0), 0, cap - 1)
+        rows = row_of_id[0][safe]
+        vecs = db[rows].astype(jnp.float32)
+        diff = vecs - queries[:, None, :].astype(jnp.float32)
+        exact = jnp.sum(diff * diff, axis=-1)
+        exact = jnp.where(si >= 0, exact, jnp.inf)
+        local_d, local_i = merge_topk(exact, si, k)
+        return _merge_gathered(local_d, local_i, k, "data")
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data", None), P("data", None), P("data"), P("data"),
+            P("data", None), P(None), P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
+    )
+    return jax.jit(shard_fn)
+
+
 @register
 class ShardedFlatIndex(_ShardedBase):
     """Flat exact index with rows sharded over the mesh's `data` axis.
 
     Search is one shard_map program: per-chip MXU scoring + local top-k,
     then an all_gather of (dist, id) candidates and a replicated
-    lexicographic merge — O(shards * k) traffic per query.
+    lexicographic merge — O(shards * k) traffic per query. On TPU the
+    per-chip scan runs the fused Pallas kernel + per-shard exact rerank;
+    scan_dtype="int8" scans SQ8 codes on the double-rate int8 MXU path
+    (still exact end-to-end via the rerank, 1.25x memory).
     """
 
     kind = "sharded_flat"
+
+    def __init__(self, dim: int, scan_dtype: str = "float32",
+                 mesh: Mesh | None = None):
+        if scan_dtype not in ("float32", "int8"):
+            raise ValueError(f"unsupported scan_dtype: {scan_dtype}")
+        super().__init__(dim, mesh)
+        self.scan_dtype = str(scan_dtype)
 
     def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
         self._absorb(vectors, ids)
@@ -636,9 +683,11 @@ class ShardedFlatIndex(_ShardedBase):
             shards = self.mesh.shape["data"]
             n = self.ntotal
             per = -(-max(n, 1) // shards)
-            # 1024-align each shard: the fused kernel's f32 tile_n (the
-            # XLA path is indifferent; memory cost is < 1 tile/shard).
-            per = ((per + 1023) // 1024) * 1024
+            # Tile-align each shard for the fused kernel: 1024 rows for
+            # f32 stores, 2048 for int8 (its auto tile_n; the XLA path
+            # is indifferent; memory cost is < 1 tile/shard).
+            align = 2048 if self.scan_dtype == "int8" else 1024
+            per = ((per + align - 1) // align) * align
             cap = per * shards
             db = np.zeros((cap, self.dim), np.float32)
             db[:n] = self._vectors
@@ -666,6 +715,27 @@ class ShardedFlatIndex(_ShardedBase):
                 jax.device_put(sq, vec_sharding),
                 jax.device_put(row_of_id, row_sharding),
             )
+            if self.scan_dtype == "int8":
+                # Global symmetric per-dimension SQ8 (models/flat.py):
+                # one scale across shards; decoded-space norms carry the
+                # +inf padding mask exactly like `sq`.
+                maxabs = (
+                    np.abs(self._vectors).max(axis=0, initial=1e-30)
+                    if n
+                    else np.full((self.dim,), 1e-30, np.float32)
+                )
+                scale = (maxabs / 127.0).astype(np.float32)
+                codes = np.clip(np.rint(db / scale), -127, 127)
+                decoded = codes * scale
+                dec_sq = np.einsum("nd,nd->n", decoded, decoded).astype(
+                    np.float32
+                )
+                dec_sq[n:] = np.inf
+                self._staged += (
+                    jax.device_put(codes.astype(np.int8), row_sharding),
+                    jax.device_put(dec_sq, vec_sharding),
+                    jax.device_put(scale),
+                )
         return self._staged
 
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -673,7 +743,8 @@ class ShardedFlatIndex(_ShardedBase):
         if self.ntotal == 0:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
-        db, idp, sq, row_of_id = self._stage()
+        staged = self._stage()
+        db, idp, sq, row_of_id = staged[:4]
         shards = self.mesh.shape["data"]
         per = db.shape[0] // shards
         q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
@@ -685,24 +756,43 @@ class ShardedFlatIndex(_ShardedBase):
             # (> 512) falls back to the XLA route — the kernel's
             # in-VMEM top-ks is bounded by its 1024-lane tile.
             ks = min(shortlist_depth(k, self.ntotal), per, 1024)
-            program = sharded_search_kernels(
-                self.mesh, db.shape[0], self.dim, queries.shape[0], k, ks,
-                int(row_of_id.shape[1]),
-            )
-            d, i = program(db, idp, sq, row_of_id, q)
+            if self.scan_dtype == "int8":
+                codes, dec_sq, scale = staged[4:]
+                program = sharded_search_sq8_kernels(
+                    self.mesh, db.shape[0], self.dim, queries.shape[0], k,
+                    ks, int(row_of_id.shape[1]),
+                )
+                d, i = program(codes, db, idp, dec_sq, row_of_id, scale, q)
+            else:
+                program = sharded_search_kernels(
+                    self.mesh, db.shape[0], self.dim, queries.shape[0], k,
+                    ks, int(row_of_id.shape[1]),
+                )
+                d, i = program(db, idp, sq, row_of_id, q)
         else:
+            # CPU (and deep-k) route: exact f32 XLA scan — the scan
+            # store is a TPU-only optimization, like FlatIndex's.
             program = sharded_search_program(
                 self.mesh, db.shape[0], self.dim, queries.shape[0], k
             )
             d, i = program(db, idp, sq, q)
         return np.asarray(d), np.asarray(i, dtype=np.int64)
 
+    def scan_bytes_per_row(self) -> int:
+        """Debug: bytes each chip reads per scanned row (4*dim f32,
+        dim int8)."""
+        return self.dim if self.scan_dtype == "int8" else 4 * self.dim
+
     def state(self):
-        return {"dim": self.dim}, {"vectors": self._vectors, "ids": self._ids}
+        params = {"dim": self.dim, "scan_dtype": self.scan_dtype}
+        return params, {"vectors": self._vectors, "ids": self._ids}
 
     @classmethod
     def from_state(cls, params, arrays) -> "ShardedFlatIndex":
-        index = cls(dim=int(params["dim"]))
+        index = cls(
+            dim=int(params["dim"]),
+            scan_dtype=str(params.get("scan_dtype", "float32")),
+        )
         if arrays["vectors"].size:
             index.add(arrays["vectors"], arrays["ids"])
         return index

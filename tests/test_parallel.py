@@ -583,3 +583,42 @@ class TestSlotSharding:
         d, i = prog(db, idp, sq, row_of_id, q)
         np.testing.assert_array_equal(np.asarray(i), want_i)
         np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-5, atol=1e-5)
+
+    def test_flat_sq8_kernel_route_matches_exact(self, corpus):
+        from c99_vectordb_tpu.parallel import ShardedFlatIndex
+        from c99_vectordb_tpu.parallel.sharded import (
+            sharded_search_sq8_kernels,
+        )
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        idx = ShardedFlatIndex(dim=64, scan_dtype="int8", mesh=mesh)
+        idx.load(vectors, ids)
+        want_d, want_i = idx.search(queries, 10)  # CPU: exact XLA route
+        codes, dec_sq, scale = idx._stage()[4:]
+        db, idp, _, row_of_id = idx._stage()[:4]
+        per = db.shape[0] // 8
+        prog = sharded_search_sq8_kernels(
+            mesh, db.shape[0], 64, queries.shape[0], 10, min(20, per),
+            int(row_of_id.shape[1]),
+        )
+        q = jax.device_put(queries, NamedSharding(mesh, P(None, None)))
+        d, i = prog(codes, db, idp, dec_sq, row_of_id, scale, q)
+        np.testing.assert_array_equal(np.asarray(i), want_i)
+        np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-5, atol=1e-5)
+
+    def test_flat_sq8_round_trips(self, corpus, tmp_path):
+        from c99_vectordb_tpu.parallel import ShardedFlatIndex
+        from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        idx = ShardedFlatIndex(dim=64, scan_dtype="int8", mesh=mesh)
+        idx.load(vectors, ids)
+        want_d, want_i = idx.search(queries, 5)
+        path = tmp_path / "sflat8.memo"
+        write_index(idx, path)
+        loaded = read_index(path)
+        assert loaded.scan_dtype == "int8"
+        got_d, got_i = loaded.search(queries, 5)
+        np.testing.assert_array_equal(got_i, want_i)
