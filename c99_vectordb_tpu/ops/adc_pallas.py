@@ -368,8 +368,17 @@ def adc_dense_search_program(
             probes.astype(jnp.int32), probe_coarse, qd, codes128, item_const, list_ids
         )
         kk = min(k_adc, dense_d.shape[1])
-        neg_top, pos = jax.lax.top_k(-dense_d, kk)
-        return -neg_top, jnp.take_along_axis(dense_i, pos, axis=1)
+        # The shortlist feeds an exact rerank — only the selected SET
+        # matters. approx_min_k measured 3.3x cheaper than top_k at
+        # (11264 -> 1024) with 1.000 overlap (exp_approx_topk.py).
+        if jax.default_backend() == "tpu" and kk < dense_d.shape[1]:
+            d_top, pos = jax.lax.approx_min_k(
+                dense_d, kk, recall_target=0.99
+            )
+        else:
+            neg_top, pos = jax.lax.top_k(-dense_d, kk)
+            d_top = -neg_top
+        return d_top, jnp.take_along_axis(dense_i, pos, axis=1)
 
     return run
 

@@ -35,14 +35,22 @@ LANE = 128
 
 
 def _shortlist_topk(d2, i2, ks: int):
-    """Approximate-key shortlist selection: top_k by key only (key ties
+    """Approximate-key shortlist selection: top-k by key only (key ties
     break by scan position, not id — downstream exact reranks are
-    id-aware). Pads to width ks with (inf, -1) when the scan width is
-    narrower than the requested shortlist (ADVICE round 2, #1 — lax.top_k
-    would raise instead)."""
+    id-aware). On TPU this uses approx_min_k (the PartialReduce op):
+    measured 3.2-5.7x cheaper than lax.top_k at shortlist widths with
+    1.000 selected-set overlap (benchmarks/exp_approx_topk.py) — and a
+    shortlist feeding an exact rerank needs the SET, not exact order.
+    Pads to width ks with (inf, -1) when the scan width is narrower
+    than the requested shortlist (ADVICE round 2, #1 — lax.top_k would
+    raise instead)."""
     width = d2.shape[1]
-    neg, pos = jax.lax.top_k(-d2, min(ks, width))
-    d = -neg
+    k_eff = min(ks, width)
+    if jax.default_backend() == "tpu" and k_eff < width:
+        d, pos = jax.lax.approx_min_k(d2, k_eff, recall_target=0.99)
+    else:
+        neg, pos = jax.lax.top_k(-d2, k_eff)
+        d = -neg
     i = jnp.take_along_axis(i2, pos, axis=1)
     if ks > width:
         padcfg = ((0, 0), (0, ks - width))
