@@ -373,7 +373,7 @@ def adc_dense_search_program(
         # (11264 -> 1024) with 1.000 overlap (exp_approx_topk.py).
         if jax.default_backend() == "tpu" and kk < dense_d.shape[1]:
             d_top, pos = jax.lax.approx_min_k(
-                dense_d, kk, recall_target=0.99
+                dense_d, kk, recall_target=0.999
             )
         else:
             neg_top, pos = jax.lax.top_k(-dense_d, kk)

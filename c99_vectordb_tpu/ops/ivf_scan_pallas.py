@@ -47,7 +47,7 @@ def _shortlist_topk(d2, i2, ks: int):
     width = d2.shape[1]
     k_eff = min(ks, width)
     if jax.default_backend() == "tpu" and k_eff < width:
-        d, pos = jax.lax.approx_min_k(d2, k_eff, recall_target=0.99)
+        d, pos = jax.lax.approx_min_k(d2, k_eff, recall_target=0.999)
     else:
         neg, pos = jax.lax.top_k(-d2, k_eff)
         d = -neg
