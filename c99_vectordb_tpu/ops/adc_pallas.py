@@ -370,8 +370,11 @@ def adc_dense_search_program(
         kk = min(k_adc, dense_d.shape[1])
         # The shortlist feeds an exact rerank — only the selected SET
         # matters. approx_min_k measured 3.3x cheaper than top_k at
-        # (11264 -> 1024) with 1.000 overlap (exp_approx_topk.py).
-        if jax.default_backend() == "tpu" and kk < dense_d.shape[1]:
+        # (11264 -> 1024) with 1.000 overlap (exp_approx_topk.py), but
+        # DEGENERATES when kk is a large fraction of the width (selecting
+        # 200 of 384 measured slower than exact — exp_pq_stages.py), so
+        # gate on kk <= width/4.
+        if jax.default_backend() == "tpu" and 4 * kk <= dense_d.shape[1]:
             d_top, pos = jax.lax.approx_min_k(
                 dense_d, kk, recall_target=0.999
             )

@@ -46,7 +46,11 @@ def _shortlist_topk(d2, i2, ks: int):
     raise instead)."""
     width = d2.shape[1]
     k_eff = min(ks, width)
-    if jax.default_backend() == "tpu" and k_eff < width:
+    # approx only when the shortlist is a SMALL fraction of the scan
+    # width: at k ~ width/2 the PartialReduce degenerates (measured
+    # +535us/batch selecting 200 of 384 vs ~65us exact — the 3-6x wins
+    # hold for k <= width/4; benchmarks/exp_pq_stages.py).
+    if jax.default_backend() == "tpu" and 4 * k_eff <= width:
         d, pos = jax.lax.approx_min_k(d2, k_eff, recall_target=0.999)
     else:
         neg, pos = jax.lax.top_k(-d2, k_eff)
