@@ -172,7 +172,13 @@ def main() -> int:
         (
             "adc_dense",
             lambda: adc_dense_search_program(
-                nlist, pad, dim, m, ksub, 128, nprobe, 200
+                nlist, pad, dim, m, ksub, 128, nprobe, 200, qps_step=1
+            )(centroids, c_sq, books, codes128, item_const, li, q128),
+        ),
+        (
+            "adc_dense_multi_q8",
+            lambda: adc_dense_search_program(
+                nlist, pad, dim, m, ksub, 128, nprobe, 200, qps_step=8
             )(centroids, c_sq, books, codes128, item_const, li, q128),
         ),
     ]

@@ -271,6 +271,134 @@ def _adc_dense_kernel(
     out_i_ref[0] = ids
 
 
+def _adc_dense_kernel_multi(lists_ref, *refs, m: int, hilo: bool,
+                            ksub: int, qps: int):
+    """qps-query variant of _adc_dense_kernel: one grid step carries
+    several consecutive queries' QD tables + their probed lists' code/
+    const/ids blocks (stride-5 per-slot refs, like the SQ8 multi
+    kernel). With the hi/lo qdot the per-step COMPUTE is ~1us while the
+    fixed step cost is ~1-2us, so amortizing the step across slots pays
+    — the round-2 note that multi-slot 'does not help ADC' predates
+    hi/lo, when compute dominated. Per-slot SEPARATE output canvases
+    avoid the SQ8 kernel's 8-multiple shared-block constraint."""
+    qd_refs = refs[0::5][:qps]
+    pc_refs = refs[1::5][:qps]
+    codes_refs = refs[2::5][:qps]
+    const_refs = refs[3::5][:qps]
+    ids_refs = refs[4::5][:qps]
+    outs = refs[5 * qps:]
+    p_idx = pl.program_id(1)
+    for j in range(qps):
+        codes = codes_refs[j][0].astype(jnp.int32)
+        if hilo:
+            qdot = _qdot_hilo(qd_refs[j][0], codes, m)
+        else:
+            qdot = _qdot_onehot(qd_refs[j][0], codes, m, ksub)
+        coarse = pc_refs[j][0, 0, p_idx]
+        dist = jnp.maximum(coarse - 2.0 * qdot + const_refs[j][0], 0.0)
+        ids = ids_refs[j][0]
+        outs[2 * j][0] = jnp.where(ids >= 0, dist, jnp.inf)
+        outs[2 * j + 1][0] = ids
+
+
+@functools.lru_cache(maxsize=None)
+def adc_dense_program_multi(
+    nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: int, qps: int
+):
+    """Multi-slot dense ADC scan: grid (b/qps, nprobe), qps queries per
+    step. Same (b, nprobe*pad) outputs as adc_dense_program (each slot
+    writes its own canvas; run() interleaves the slot rows back)."""
+    assert b % qps == 0
+    hilo = ksub == 256
+    kernel = functools.partial(
+        _adc_dense_kernel_multi, m=m, hilo=hilo, ksub=ksub, qps=qps
+    )
+    g = b // qps
+
+    def qd_spec(j):
+        shape = (1, m * 16, 16) if hilo else (1, CODE_LANES, ksub)
+        return pl.BlockSpec(
+            shape, lambda gi, p, L, j=j: (gi * qps + j, 0, 0)
+        )
+
+    def pc_spec(j):
+        return pl.BlockSpec(
+            (1, 1, nprobe), lambda gi, p, L, j=j: (gi * qps + j, 0, 0),
+            memory_space=pltpu.SMEM,
+        )
+
+    def code_spec(j):
+        return pl.BlockSpec(
+            (1, CODE_LANES, pad),
+            lambda gi, p, L, j=j: (L[gi * qps + j, p], 0, 0),
+        )
+
+    def aux_spec(j):
+        return pl.BlockSpec(
+            (1, 1, pad), lambda gi, p, L, j=j: (L[gi * qps + j, p], 0, 0)
+        )
+
+    def out_spec(j):
+        return pl.BlockSpec(
+            (1, 1, pad),
+            lambda gi, p, L, j=j: ((gi * qps + j) * nprobe + p, 0, 0),
+        )
+
+    in_specs = []
+    for j in range(qps):
+        in_specs += [qd_spec(j), pc_spec(j), code_spec(j), aux_spec(j),
+                     aux_spec(j)]
+    out_specs = []
+    shapes = []
+    for j in range(qps):
+        out_specs += [out_spec(j), out_spec(j)]
+        shapes += [
+            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.float32),
+            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.int32),
+        ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g, nprobe),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nprobe * pad * m * 16,
+            bytes_accessed=b * nprobe * pad * (CODE_LANES + 8),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )
+
+    @jax.jit
+    def run(lists, probe_coarse, qd, codes128, item_const, list_ids):
+        qd_in = qd[:, :m, :].reshape(b, m * 16, 16) if hilo else qd
+        pc3 = probe_coarse.reshape(b, 1, nprobe)
+        const3 = item_const.reshape(nlist, 1, pad)
+        ids3 = list_ids.reshape(nlist, 1, pad)
+        args = []
+        for _ in range(qps):
+            args += [qd_in, pc3, codes128, const3, ids3]
+        outs = call(lists, *args)
+        d_parts = []
+        i_parts = []
+        for j in range(qps):
+            d_parts.append(outs[2 * j].reshape(b, nprobe, pad)[j::qps])
+            i_parts.append(outs[2 * j + 1].reshape(b, nprobe, pad)[j::qps])
+        d_all = jnp.stack(d_parts, axis=1).reshape(b, nprobe * pad)
+        i_all = jnp.stack(i_parts, axis=1).reshape(b, nprobe * pad)
+        return d_all, i_all
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: int):
     """Jitted (lists, probe_coarse, qd, codes128, item_const, list_ids) ->
@@ -343,11 +471,24 @@ def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: i
 
 @functools.lru_cache(maxsize=None)
 def adc_dense_search_program(
-    nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int, k_adc: int
+    nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int,
+    k_adc: int, qps_step: int | None = None,
 ):
-    """Coarse prologue + dense ADC scan + XLA top-k shortlist: the fast
-    path for refine flows with deep shortlists (k_adc >> 10)."""
-    scan = adc_dense_program(nlist, pad, m, ksub, b, nprobe)
+    """Coarse prologue + dense ADC scan + shortlist selection: the fast
+    path for refine flows with deep shortlists (k_adc >> 10).
+
+    qps_step=None auto-picks 8-slot grid steps when the batch divides
+    and VMEM allows — the hi/lo qdot made the dense scan step-cost-
+    bound, so amortizing the fixed step across 8 queries pays (measured
+    below; see _adc_dense_kernel_multi)."""
+    if qps_step is None:
+        fits = 8 * 2 * (CODE_LANES * pad + 1024 * m + 8 * pad) <= 13 * 2**20
+        qps_step = 8 if b % 8 == 0 and fits else 1
+    if qps_step > 1:
+        scan = adc_dense_program_multi(nlist, pad, m, ksub, b, nprobe,
+                                       qps_step)
+    else:
+        scan = adc_dense_program(nlist, pad, m, ksub, b, nprobe)
     dsub = dim // m
 
     @jax.jit

@@ -91,3 +91,43 @@ class TestPallasADC:
             c = np.asarray(pq._centroids)[pq._assign[row]]
             want = float(((c + y) ** 2).sum() - (c**2).sum())
             assert abs(const[l, s] - want) < 1e-2
+
+    def test_multi_slot_dense_matches_single(self, staged_pq):
+        # 8-query-per-step dense scan == single-slot dense scan
+        # (identical candidate distances and ids, interleave undone).
+        from c99_vectordb_tpu.ops.adc_pallas import (
+            adc_dense_program, adc_dense_program_multi,
+        )
+
+        points, pq, staged = staged_pq
+        (
+            centroids, c_sq, codebooks, list_codes, list_ids,
+            codes128, item_const, pad,
+        ) = staged
+        import jax
+
+        rng = np.random.default_rng(3)
+        b, nprobe, m, ksub = 8, 4, 4, 256
+        queries = jnp.asarray(
+            (points[rng.choice(len(points), b)] + 0.1).astype(np.float32)
+        )
+        coarse = (
+            jnp.sum(queries * queries, axis=1, keepdims=True)
+            + c_sq[None, :]
+            - 2.0 * jnp.dot(queries, centroids.T)
+        )
+        neg, probes = jax.lax.top_k(-coarse, nprobe)
+        pc = jnp.maximum(-neg, 0.0)
+        dsub = 32 // m
+        qd = jnp.einsum(
+            "bjd,jcd->bjc", queries.reshape(b, m, dsub), codebooks
+        )
+        qd = jnp.pad(qd, ((0, 0), (0, 128 - m), (0, 0)))
+        args = (probes.astype(jnp.int32), pc, qd, codes128, item_const,
+                list_ids)
+        d1, i1 = adc_dense_program(16, pad, m, ksub, b, nprobe)(*args)
+        d8, i8 = adc_dense_program_multi(16, pad, m, ksub, b, nprobe, 8)(*args)
+        np.testing.assert_array_equal(np.asarray(i8), np.asarray(i1))
+        np.testing.assert_allclose(
+            np.asarray(d8), np.asarray(d1), rtol=1e-5, atol=1e-5
+        )
