@@ -330,6 +330,81 @@ def sharded_ivf_search_program(
 
 
 @functools.lru_cache(maxsize=None)
+def sharded_ivf_search_2level(
+    mesh: Mesh, nlist: int, pad_local: int, dim: int, b: int, nprobe: int,
+    k: int, use_kernels: bool = False,
+):
+    """sharded_ivf_search_program over a ("host", "chip") mesh with the
+    DCN-aware hierarchical merge: lists are slot-sharded over BOTH axes
+    (each chip holds pad / (H*C) slots of every list), the first merge
+    all_gathers k candidates within each host's chips (ICI), the second
+    sends only k candidates per HOST across `host` (DCN). Results are
+    bit-identical to the flat 1-level merge (same candidate set, same
+    (distance, id) lexicographic order)."""
+
+    def local(centroids, c_sq, list_vecs, list_sqn, list_ids, queries):
+        if use_kernels:
+            from ..ops.ivf_scan_pallas import ivf_full_search_program
+
+            prog = ivf_full_search_program(
+                nlist, pad_local, dim, b, nprobe, k,
+                exact=True, dense=nprobe * pad_local <= 4096,
+            )
+            local_d, local_i = prog(
+                centroids, c_sq, list_vecs, list_sqn, list_ids, queries
+            )
+        else:
+            coarse = (
+                c_sq[None, :]
+                - 2.0 * jnp.dot(
+                    queries, centroids.T, preferred_element_type=jnp.float32
+                )
+            )
+            _, probes = jax.lax.top_k(-coarse, nprobe)
+            init = (
+                jnp.full((b, k), jnp.inf, jnp.float32),
+                jnp.full((b, k), -1, jnp.int32),
+            )
+
+            def probe_step(carry, p):
+                best_d, best_i = carry
+                lists = probes[:, p]
+                vecs = list_vecs[lists]
+                ids = list_ids[lists]
+                diff = vecs - queries[:, None, :]
+                dist = jnp.sum(diff * diff, axis=-1)
+                dist = jnp.where(ids >= 0, dist, jnp.inf)
+                merged = merge_topk(
+                    jnp.concatenate([best_d, dist], axis=1),
+                    jnp.concatenate([best_i, ids], axis=1),
+                    k,
+                )
+                return merged, None
+
+            (local_d, local_i), _ = jax.lax.scan(
+                probe_step, init, jnp.arange(nprobe)
+            )
+        host_d, host_i = _merge_gathered(local_d, local_i, k, "chip")
+        return _merge_gathered(host_d, host_i, k, "host")
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None),
+            P(None),
+            P(None, ("host", "chip"), None),
+            P(None, ("host", "chip")),
+            P(None, ("host", "chip")),
+            P(None, None),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
+    )
+    return jax.jit(shard_fn)
+
+
+@functools.lru_cache(maxsize=None)
 def sharded_ivf_sq8_search_program(
     mesh: Mesh, nlist: int, pad_local: int, dim: int, b: int, nprobe: int,
     k: int, ks: int, cap: int,
@@ -546,11 +621,36 @@ class _ShardedBase:
         from .mesh import default_data_mesh
 
         self.mesh = mesh if mesh is not None else default_data_mesh()
+        self._axes  # validate the mesh axes early (raises on unknown)
         self.dim = int(dim)
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
         self._staged = None
         self._ranked_cache = None
+
+    @property
+    def _axes(self) -> tuple[str, ...]:
+        """Mesh axes the corpus shards over — derived from the CURRENT
+        mesh every time (the mesh is environmental and reassignable,
+        e.g. reloading an index onto a different device count)."""
+        names = tuple(self.mesh.axis_names)
+        if "data" in names:
+            return ("data",)
+        if "host" in names and "chip" in names:
+            # ("host", "chip") meshes shard over both axes and merge
+            # hierarchically (ShardedIVFIndex's f32 route).
+            return ("host", "chip")
+        raise ValueError(
+            f"mesh must carry a 'data' axis or ('host', 'chip') axes, "
+            f"got {names}"
+        )
+
+    @property
+    def _shards(self) -> int:
+        s = 1
+        for a in self._axes:
+            s *= self.mesh.shape[a]
+        return s
 
     @property
     def ntotal(self) -> int:
@@ -680,7 +780,7 @@ class ShardedFlatIndex(_ShardedBase):
         if self._staged is None:
             from ..models.base import next_pow2
 
-            shards = self.mesh.shape["data"]
+            shards = self._shards
             n = self.ntotal
             per = -(-max(n, 1) // shards)
             # Tile-align each shard for the fused kernel: 1024 rows for
@@ -745,7 +845,7 @@ class ShardedFlatIndex(_ShardedBase):
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
         staged = self._stage()
         db, idp, sq, row_of_id = staged[:4]
-        shards = self.mesh.shape["data"]
+        shards = self._shards
         per = db.shape[0] // shards
         q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
         if jax.default_backend() == "tpu" and k <= 512:
@@ -829,6 +929,11 @@ class ShardedIVFIndex(_ShardedBase):
                 "float32 scan is exact and has no rerank stage"
             )
         super().__init__(dim, mesh)
+        if scan_dtype == "int8" and len(self._axes) > 1:
+            raise ValueError(
+                "scan_dtype='int8' requires a 1D 'data' mesh; the "
+                "(host, chip) two-level route is float32-only"
+            )
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
         self.scan_dtype = str(scan_dtype)
@@ -867,7 +972,8 @@ class ShardedIVFIndex(_ShardedBase):
         if self._staged is None:
             from ..ops.kmeans import assign_clusters
 
-            shards = self.mesh.shape["data"]
+            shards = self._shards
+            slot_ax = self._axes if len(self._axes) > 1 else self._axes[0]
             assign = assign_clusters(self._vectors, self._centroids)
             nlist = self._centroids.shape[0]
             pad_local, sort, sorted_lists, slots = _slot_shard_layout(
@@ -934,33 +1040,33 @@ class ShardedIVFIndex(_ShardedBase):
                 self._staged = common + (
                     jax.device_put(
                         codes.astype(np.int8),
-                        NamedSharding(self.mesh, P(None, "data", None)),
+                        NamedSharding(self.mesh, P(None, slot_ax, None)),
                     ),
                     jax.device_put(scale, NamedSharding(self.mesh, P(None))),
                     jax.device_put(
-                        dec_sqn, NamedSharding(self.mesh, P(None, "data"))
+                        dec_sqn, NamedSharding(self.mesh, P(None, slot_ax))
                     ),
                     jax.device_put(
-                        list_ids, NamedSharding(self.mesh, P(None, "data"))
+                        list_ids, NamedSharding(self.mesh, P(None, slot_ax))
                     ),
                     jax.device_put(
                         rerank_store,
-                        NamedSharding(self.mesh, P(None, "data", None)),
+                        NamedSharding(self.mesh, P(None, slot_ax, None)),
                     ),
                     jax.device_put(
-                        row_of_id, NamedSharding(self.mesh, P("data", None))
+                        row_of_id, NamedSharding(self.mesh, P(slot_ax, None))
                     ),
                 )
             else:
                 self._staged = common + (
                     jax.device_put(
-                        list_vecs, NamedSharding(self.mesh, P(None, "data", None))
+                        list_vecs, NamedSharding(self.mesh, P(None, slot_ax, None))
                     ),
                     jax.device_put(
-                        list_sqn, NamedSharding(self.mesh, P(None, "data"))
+                        list_sqn, NamedSharding(self.mesh, P(None, slot_ax))
                     ),
                     jax.device_put(
-                        list_ids, NamedSharding(self.mesh, P(None, "data"))
+                        list_ids, NamedSharding(self.mesh, P(None, slot_ax))
                     ),
                 )
         return self._staged
@@ -973,7 +1079,7 @@ class ShardedIVFIndex(_ShardedBase):
         self._stage()
         nlist, pad_local = self._params
         nprobe_eff = min(nprobe or self.nprobe, nlist)
-        shards = self.mesh.shape["data"]
+        shards = self._shards
         return {
             "shards": shards,
             "pad_local": pad_local,
@@ -1003,6 +1109,13 @@ class ShardedIVFIndex(_ShardedBase):
             program = sharded_ivf_sq8_search_program(
                 self.mesh, nlist, pad_local, self.dim, b, nprobe_eff, k, ks,
                 cap,
+            )
+        elif len(self._axes) > 1:
+            # ("host", "chip") mesh: hierarchical merge — only k
+            # candidates per HOST cross the slow DCN axis.
+            program = sharded_ivf_search_2level(
+                self.mesh, nlist, pad_local, self.dim, b, nprobe_eff, k,
+                use_kernels=jax.default_backend() == "tpu",
             )
         else:
             program = sharded_ivf_search_program(
@@ -1109,7 +1222,7 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         if self._staged is None:
             from ..ops.kmeans import assign_clusters
 
-            shards = self.mesh.shape["data"]
+            shards = self._shards
             assign = assign_clusters(self._vectors, self._centroids)
             codes = self._encode(self._vectors)
             nlist = self._centroids.shape[0]
@@ -1155,7 +1268,7 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         self._stage()
         nlist, pad_local = self._params
         nprobe_eff = min(nprobe or self.nprobe, nlist)
-        shards = self.mesh.shape["data"]
+        shards = self._shards
         return {
             "shards": shards,
             "pad_local": pad_local,

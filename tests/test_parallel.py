@@ -622,3 +622,34 @@ class TestSlotSharding:
         assert loaded.scan_dtype == "int8"
         got_d, got_i = loaded.search(queries, 5)
         np.testing.assert_array_equal(got_i, want_i)
+
+    def test_ivf_two_level_mesh_matches_data_mesh(self, corpus):
+        # ShardedIVFIndex on a ("host", "chip") mesh: hierarchical merge,
+        # bit-identical to the 1D data mesh (same slot-shard count).
+        from c99_vectordb_tpu.parallel import (
+            ShardedIVFIndex, make_host_chip_mesh,
+        )
+
+        vectors, ids, queries = corpus
+        flat_mesh = make_mesh(n_data=8)
+        one = ShardedIVFIndex(dim=64, nlist=16, nprobe=4, mesh=flat_mesh)
+        one.load(vectors, ids)
+        want_d, want_i = one.search(queries, 10, nprobe=4)
+
+        hmesh = make_host_chip_mesh(2, 4)
+        two = ShardedIVFIndex(dim=64, nlist=16, nprobe=4, mesh=hmesh)
+        two.load(vectors, ids)
+        got_d, got_i = two.search(queries, 10, nprobe=4)
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-6, atol=1e-6)
+        assert two.scan_rows_per_chip(b=6)["shards"] == 8
+
+    def test_ivf_two_level_rejects_int8(self):
+        from c99_vectordb_tpu.parallel import (
+            ShardedIVFIndex, make_host_chip_mesh,
+        )
+
+        with pytest.raises(ValueError, match="1D 'data' mesh"):
+            ShardedIVFIndex(
+                dim=16, scan_dtype="int8", mesh=make_host_chip_mesh(2, 4)
+            )
