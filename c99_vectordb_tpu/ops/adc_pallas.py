@@ -43,7 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 CODE_LANES = 128          # m padded up to one lane tile of subspaces
-_SUB_CHUNK = 8            # subspaces per one-hot chunk (bounds VMEM)
 
 
 def _round_up(n: int, m: int) -> int:
