@@ -385,11 +385,19 @@ class IVFFlatIndex:
 
     @classmethod
     def from_state(cls, params: dict[str, Any], arrays: dict[str, np.ndarray]) -> "IVFFlatIndex":
+        scan_dtype = str(params.get("scan_dtype", "float32"))
+        rerank_dtype = str(params.get("rerank_dtype", "float32"))
+        if scan_dtype == "float32":
+            # Files saved before the combination guard could carry the
+            # no-op f32-scan + bf16-rerank pair; coerce (the old code
+            # silently ignored rerank_dtype there) rather than raise —
+            # raising would make load_index_or_fresh silently discard a
+            # valid index.
+            rerank_dtype = "float32"
         index = cls(
             dim=int(params["dim"]), nlist=int(params["nlist"]),
             nprobe=int(params["nprobe"]),
-            scan_dtype=str(params.get("scan_dtype", "float32")),
-            rerank_dtype=str(params.get("rerank_dtype", "float32")),
+            scan_dtype=scan_dtype, rerank_dtype=rerank_dtype,
         )
         if arrays["centroids"].size:
             index._centroids = np.ascontiguousarray(arrays["centroids"], dtype=np.float32)

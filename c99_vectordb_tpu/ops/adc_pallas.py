@@ -338,9 +338,13 @@ def adc_dense_program_multi(
         )
 
     def out_spec(j):
+        # Per-slot canvases are (g * nprobe, 1, pad) — slot j's rows
+        # only — NOT (b * nprobe, ...): qps full-size canvases would
+        # allocate qps x the dense output (~1 GB at the 10M deep-probe
+        # shape) with 7/8 of the rows never written.
         return pl.BlockSpec(
             (1, 1, pad),
-            lambda gi, p, L, j=j: ((gi * qps + j) * nprobe + p, 0, 0),
+            lambda gi, p, L, j=j: (gi * nprobe + p, 0, 0),
         )
 
     in_specs = []
@@ -352,8 +356,8 @@ def adc_dense_program_multi(
     for j in range(qps):
         out_specs += [out_spec(j), out_spec(j)]
         shapes += [
-            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.float32),
-            jax.ShapeDtypeStruct((b * nprobe, 1, pad), jnp.int32),
+            jax.ShapeDtypeStruct((g * nprobe, 1, pad), jnp.float32),
+            jax.ShapeDtypeStruct((g * nprobe, 1, pad), jnp.int32),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -389,8 +393,9 @@ def adc_dense_program_multi(
         d_parts = []
         i_parts = []
         for j in range(qps):
-            d_parts.append(outs[2 * j].reshape(b, nprobe, pad)[j::qps])
-            i_parts.append(outs[2 * j + 1].reshape(b, nprobe, pad)[j::qps])
+            d_parts.append(outs[2 * j].reshape(g, nprobe, pad))
+            i_parts.append(outs[2 * j + 1].reshape(g, nprobe, pad))
+        # slot j's canvas holds queries g*qps + j; interleave back.
         d_all = jnp.stack(d_parts, axis=1).reshape(b, nprobe * pad)
         i_all = jnp.stack(i_parts, axis=1).reshape(b, nprobe * pad)
         return d_all, i_all
@@ -514,7 +519,9 @@ def adc_dense_search_program(
         # DEGENERATES when kk is a large fraction of the width (selecting
         # 200 of 384 measured slower than exact — exp_pq_stages.py), so
         # gate on kk <= width/4.
-        if jax.default_backend() == "tpu" and 4 * kk <= dense_d.shape[1]:
+        from .ivf_scan_pallas import _use_approx_select
+
+        if _use_approx_select() and 4 * kk <= dense_d.shape[1]:
             d_top, pos = jax.lax.approx_min_k(
                 dense_d, kk, recall_target=0.999
             )

@@ -34,6 +34,18 @@ from .topk import merge_topk
 LANE = 128
 
 
+def _use_approx_select() -> bool:
+    """Shortlist-selection policy knob: approx_min_k on TPU unless
+    C99VDB_EXACT_SHORTLIST=1 forces exact top_k (the escape hatch for
+    corpora where the probabilistic shortlist's measured-1.0000
+    completeness might not transfer; see _shortlist_topk)."""
+    import os
+
+    if os.environ.get("C99VDB_EXACT_SHORTLIST", "").strip() in ("1", "true"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _shortlist_topk(d2, i2, ks: int):
     """Approximate-key shortlist selection: top-k by key only (key ties
     break by scan position, not id — downstream exact reranks are
@@ -41,6 +53,15 @@ def _shortlist_topk(d2, i2, ks: int):
     measured 3.2-5.7x cheaper than lax.top_k at shortlist widths with
     1.000 selected-set overlap (benchmarks/exp_approx_topk.py) — and a
     shortlist feeding an exact rerank needs the SET, not exact order.
+
+    Honesty note: approx_min_k makes shortlist COMPLETENESS
+    probabilistic (recall_target=0.999 per element). The exact rerank
+    restores true-f32 order of whatever was selected but cannot recover
+    a dropped true neighbor; strict recall 1.0000 / the 0.9930 10M
+    ceiling are MEASURED results at the product shapes (BASELINE.md
+    calibration table), not a worst-case guarantee. Set
+    C99VDB_EXACT_SHORTLIST=1 to force exact selection.
+
     Pads to width ks with (inf, -1) when the scan width is narrower
     than the requested shortlist (ADVICE round 2, #1 — lax.top_k would
     raise instead)."""
@@ -50,7 +71,7 @@ def _shortlist_topk(d2, i2, ks: int):
     # width: at k ~ width/2 the PartialReduce degenerates (measured
     # +535us/batch selecting 200 of 384 vs ~65us exact — the 3-6x wins
     # hold for k <= width/4; benchmarks/exp_pq_stages.py).
-    if jax.default_backend() == "tpu" and 4 * k_eff <= width:
+    if _use_approx_select() and 4 * k_eff <= width:
         d, pos = jax.lax.approx_min_k(d2, k_eff, recall_target=0.999)
     else:
         neg, pos = jax.lax.top_k(-d2, k_eff)

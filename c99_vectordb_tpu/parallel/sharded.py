@@ -50,6 +50,32 @@ from ..models.registry import register
 from ..ops.topk import merge_topk
 
 
+@jax.jit
+def _to_bf16_sharded(v):
+    """Elementwise cast — preserves the input's mesh sharding under jit."""
+    return v.astype(jnp.bfloat16)
+
+
+@jax.jit
+def _row_norms_sharded(lv):
+    """(nlist, pad, D) -> (nlist, pad) row norms on device (the reduce is
+    over the unsharded D axis, so the slot sharding is preserved)."""
+    return jnp.sum(lv * lv, axis=-1)
+
+
+@jax.jit
+def _flat_sq8_stage(db_dev, sq_dev):
+    """Flat-store SQ8 on device: global per-dim scale (padding rows are
+    zeros and cannot win the maxabs), int8 codes, decoded-space norms
+    with the +inf padding mask copied from sq_dev."""
+    maxabs = jnp.maximum(jnp.max(jnp.abs(db_dev), axis=0), 1e-30)
+    scale = maxabs / 127.0
+    codes = jnp.clip(jnp.rint(db_dev / scale), -127, 127).astype(jnp.int8)
+    dec = codes.astype(jnp.float32) * scale
+    dec_sq = jnp.sum(dec * dec, axis=1)
+    return codes, jnp.where(jnp.isinf(sq_dev), jnp.inf, dec_sq), scale
+
+
 def _local_topk(dists: jax.Array, ids: jax.Array, k: int):
     """(B, n_local) -> (B, k) ascending; assumes +inf on invalid entries.
 
@@ -419,9 +445,11 @@ def sharded_ivf_sq8_search_program(
     scans slots it owns, every shortlist id is locally resident, so the
     exact rerank gathers from the chip's own slot store (row_of_id is a
     PER-CHIP dense id -> local-flat-row table) — zero cross-chip row
-    traffic; only the k merged winners ride the all_gather. Results are
-    exact f32 (or the bf16 store's rounding ceiling), same as the
-    single-chip scan_dtype="int8" composite.
+    traffic; only the k merged winners ride the all_gather. The rerank
+    re-scores the shortlist exactly in f32 (or at the bf16 store's
+    rounding ceiling); shortlist completeness carries the same measured
+    (not worst-case) guarantees as the single-chip scan_dtype="int8"
+    composite (see ops/ivf_scan_pallas._shortlist_topk's honesty note).
     """
 
     def local(
@@ -765,6 +793,12 @@ class ShardedFlatIndex(_ShardedBase):
         if scan_dtype not in ("float32", "int8"):
             raise ValueError(f"unsupported scan_dtype: {scan_dtype}")
         super().__init__(dim, mesh)
+        if len(self._axes) > 1:
+            raise ValueError(
+                "ShardedFlatIndex requires a mesh with a 'data' axis; "
+                "the ('host', 'chip') two-level route is implemented by "
+                "sharded_search_2level / ShardedIVFIndex"
+            )
         self.scan_dtype = str(scan_dtype)
 
     def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
@@ -817,25 +851,13 @@ class ShardedFlatIndex(_ShardedBase):
             )
             if self.scan_dtype == "int8":
                 # Global symmetric per-dimension SQ8 (models/flat.py):
-                # one scale across shards; decoded-space norms carry the
-                # +inf padding mask exactly like `sq`.
-                maxabs = (
-                    np.abs(self._vectors).max(axis=0, initial=1e-30)
-                    if n
-                    else np.full((self.dim,), 1e-30, np.float32)
+                # one scale across shards. Codes/norms are derived ON
+                # DEVICE from the already-shipped f32 store — nothing
+                # extra crosses the slow host->device link (hazard #3).
+                codes_dev, dec_sq_dev, scale_dev = _flat_sq8_stage(
+                    self._staged[0], self._staged[2]
                 )
-                scale = (maxabs / 127.0).astype(np.float32)
-                codes = np.clip(np.rint(db / scale), -127, 127)
-                decoded = codes * scale
-                dec_sq = np.einsum("nd,nd->n", decoded, decoded).astype(
-                    np.float32
-                )
-                dec_sq[n:] = np.inf
-                self._staged += (
-                    jax.device_put(codes.astype(np.int8), row_sharding),
-                    jax.device_put(dec_sq, vec_sharding),
-                    jax.device_put(scale),
-                )
+                self._staged += (codes_dev, dec_sq_dev, scale_dev)
         return self._staged
 
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -988,9 +1010,6 @@ class ShardedIVFIndex(_ShardedBase):
             c_sq = np.einsum(
                 "nd,nd->n", self._centroids, self._centroids
             ).astype(np.float32)
-            list_sqn = np.einsum("lpd,lpd->lp", list_vecs, list_vecs).astype(
-                np.float32
-            )
 
             self._params = (nlist, pad_local)
             common = (
@@ -1000,23 +1019,23 @@ class ShardedIVFIndex(_ShardedBase):
                 ),
                 jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
             )
+            # The f32 lists cross the slow host->device link exactly ONCE
+            # (hazard #3); every derived store — SQ8 codes, decoded-space
+            # norms, bf16 rerank copy — is computed ON DEVICE, mirroring
+            # the single-chip staging (models/ivf_flat.py).
+            slot_sh = NamedSharding(self.mesh, P(None, slot_ax, None))
+            lv_dev = jax.device_put(list_vecs, slot_sh)
+            li_dev = jax.device_put(
+                list_ids, NamedSharding(self.mesh, P(None, slot_ax))
+            )
             if self.scan_dtype == "int8":
                 # Global symmetric per-dimension SQ8 (models/flat.py):
                 # ONE scale across chips keeps the scan math identical
-                # to the single-chip composite. int8 codes + the rerank
-                # store ship instead of a second f32 staging copy.
-                live = self._ids.shape[0]
-                maxabs = (
-                    np.abs(self._vectors).max(axis=0, initial=1e-30)
-                    if live
-                    else np.full((self.dim,), 1e-30, np.float32)
-                )
-                scale = (maxabs / 127.0).astype(np.float32)
-                codes = np.clip(np.rint(list_vecs / scale), -127, 127)
-                decoded = codes * scale
-                dec_sqn = np.einsum("lpd,lpd->lp", decoded, decoded).astype(
-                    np.float32
-                )
+                # to the single-chip composite. Elementwise device ops
+                # preserve the slot sharding.
+                from ..models.ivf_flat import _sq8_stage
+
+                codes_dev, scale_dev, dec_sqn_dev = _sq8_stage(lv_dev, li_dev)
                 # Per-chip id -> local-flat-row table (a chip's shortlist
                 # only ever contains ids from its own slots).
                 from ..models.base import next_pow2
@@ -1033,41 +1052,27 @@ class ShardedIVFIndex(_ShardedBase):
                     local_flat.astype(np.int32)
                 )
                 rerank_store = (
-                    list_vecs
+                    lv_dev
                     if self.rerank_dtype == "float32"
-                    else list_vecs.astype(jnp.bfloat16)
+                    else _to_bf16_sharded(lv_dev)
                 )
+                if self.rerank_dtype != "float32":
+                    del lv_dev  # no f32 copy stays on device
                 self._staged = common + (
-                    jax.device_put(
-                        codes.astype(np.int8),
-                        NamedSharding(self.mesh, P(None, slot_ax, None)),
-                    ),
-                    jax.device_put(scale, NamedSharding(self.mesh, P(None))),
-                    jax.device_put(
-                        dec_sqn, NamedSharding(self.mesh, P(None, slot_ax))
-                    ),
-                    jax.device_put(
-                        list_ids, NamedSharding(self.mesh, P(None, slot_ax))
-                    ),
-                    jax.device_put(
-                        rerank_store,
-                        NamedSharding(self.mesh, P(None, slot_ax, None)),
-                    ),
+                    codes_dev,
+                    scale_dev,
+                    dec_sqn_dev,
+                    li_dev,
+                    rerank_store,
                     jax.device_put(
                         row_of_id, NamedSharding(self.mesh, P(slot_ax, None))
                     ),
                 )
             else:
                 self._staged = common + (
-                    jax.device_put(
-                        list_vecs, NamedSharding(self.mesh, P(None, slot_ax, None))
-                    ),
-                    jax.device_put(
-                        list_sqn, NamedSharding(self.mesh, P(None, slot_ax))
-                    ),
-                    jax.device_put(
-                        list_ids, NamedSharding(self.mesh, P(None, slot_ax))
-                    ),
+                    lv_dev,
+                    _row_norms_sharded(lv_dev),
+                    li_dev,
                 )
         return self._staged
 
@@ -1141,12 +1146,16 @@ class ShardedIVFIndex(_ShardedBase):
 
     @classmethod
     def from_state(cls, params, arrays) -> "ShardedIVFIndex":
+        scan_dtype = str(params.get("scan_dtype", "float32"))
+        rerank_dtype = str(params.get("rerank_dtype", "float32"))
+        if scan_dtype == "float32":
+            rerank_dtype = "float32"  # legacy no-op combo: coerce, don't raise
         index = cls(
             dim=int(params["dim"]),
             nlist=int(params["nlist"]),
             nprobe=int(params["nprobe"]),
-            scan_dtype=str(params.get("scan_dtype", "float32")),
-            rerank_dtype=str(params.get("rerank_dtype", "float32")),
+            scan_dtype=scan_dtype,
+            rerank_dtype=rerank_dtype,
         )
         if arrays["centroids"].size:
             index._centroids = np.ascontiguousarray(arrays["centroids"], np.float32)
@@ -1183,6 +1192,12 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         if dim % m != 0:
             raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
         super().__init__(dim, nlist, nprobe, mesh=mesh)
+        if len(self._axes) > 1:
+            raise ValueError(
+                "ShardedIVFPQIndex requires a mesh with a 'data' axis; "
+                "the ('host', 'chip') two-level route currently covers "
+                "the flat and IVF-Flat families only"
+            )
         self.m = int(m)
         self.ksub = int(ksub)
         self.refine_factor = int(refine_factor)

@@ -107,7 +107,8 @@ _FAISS_FOURCC_PREFIXES = (b"Ix", b"IH", b"Iv", b"Iw", b"IP", b"IR", b"IO", b"Im"
 
 def _looks_like_faiss(path: Path) -> bool:
     try:
-        head = path.open("rb").read(4)
+        with path.open("rb") as fh:
+            head = fh.read(4)
     except OSError:
         return False
     return len(head) == 4 and head[:1] == b"I" and any(
