@@ -181,6 +181,19 @@ def main() -> int:
                 nlist, pad, dim, m, ksub, 128, nprobe, 200, qps_step=8
             )(centroids, c_sq, books, codes128, item_const, li, q128),
         ),
+        (
+            "adc_select_ksub16",
+            lambda: adc_full_search_program(
+                nlist, pad, dim, m, 16, 128, nprobe, k
+            )(
+                centroids, c_sq,
+                jax.random.normal(
+                    jax.random.PRNGKey(7), (m, 16, dim // m), jnp.float32
+                ),
+                jnp.where(codes128 > 0, codes128 % 16, 0).astype(jnp.uint8),
+                item_const, li, q128,
+            ),
+        ),
     ]
 
     # ---- sharded kernel paths on a REAL 1-chip mesh (shard_map + Pallas)

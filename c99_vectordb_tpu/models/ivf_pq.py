@@ -388,7 +388,11 @@ class IVFPQIndex:
         nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
         k_adc = min(k * self.refine_factor, self.ntotal) if self.refine else k
         k_adc = max(k_adc, k)
-        if jax.default_backend() == "tpu" and ksub_eff == 256:
+        # Pallas ADC runs for 8-bit codebooks (hi/lo one-hot) AND 4-bit
+        # ones (ksub=16, the Quick-ADC compression point: the flat
+        # (16, pad) one-hot is already cheap — 16x fewer compares than
+        # a flat 256 build). Other ksub values fall back to XLA.
+        if jax.default_backend() == "tpu" and ksub_eff in (16, 256):
             if self.refine and k_adc > 2 * LANE_K:
                 # Deep shortlists: the in-kernel sorted-insertion top-k
                 # costs ~k_adc VPU rounds per probe; the dense-output ADC

@@ -131,3 +131,61 @@ class TestPallasADC:
         np.testing.assert_allclose(
             np.asarray(d8), np.asarray(d1), rtol=1e-5, atol=1e-5
         )
+
+
+class TestFourBitADC:
+    """ksub=16 (Quick-ADC-style 4-bit subquantizers): the Pallas route
+    must match the XLA ADC estimator at half the code entropy."""
+
+    @pytest.fixture(scope="class")
+    def staged_pq16(self):
+        rng = np.random.default_rng(41)
+        centers = rng.standard_normal((8, 32)).astype(np.float32) * 5.0
+        points = np.concatenate(
+            [c + rng.standard_normal((96, 32)).astype(np.float32) for c in centers]
+        )
+        ids = np.arange(points.shape[0], dtype=np.int64)
+        pq = IVFPQIndex(dim=32, nlist=8, m=8, ksub=16, refine=False)
+        pq.train(points)
+        pq.add(points, ids)
+        return points, pq, pq._stage()
+
+    def test_pallas_matches_xla_at_ksub16(self, staged_pq16):
+        points, pq, staged = staged_pq16
+        (
+            centroids, c_sq, codebooks, list_codes, list_ids,
+            codes128, item_const, pad,
+        ) = staged
+        assert codebooks.shape[1] == 16
+        rng = np.random.default_rng(7)
+        queries = (points[rng.choice(len(points), 3)] + 0.1).astype(np.float32)
+        xla = _adc_search_program(8, pad, 32, 8, 16, 3, 4, 5)
+        d_x, i_x = xla(centroids, c_sq, codebooks, list_codes, list_ids,
+                       jnp.asarray(queries))
+        pallas = adc_full_search_program(8, pad, 32, 8, 16, 3, 4, 5)
+        d_p, i_p = pallas(centroids, c_sq, codebooks, codes128, item_const,
+                          list_ids, jnp.asarray(queries))
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+        np.testing.assert_allclose(
+            np.asarray(d_p), np.asarray(d_x), rtol=1e-3, atol=1e-2
+        )
+
+    def test_refined_4bit_recall(self, staged_pq16):
+        # refine rescues 4-bit quantization like it does 8-bit
+        points, _, _ = staged_pq16
+        ids = np.arange(points.shape[0], dtype=np.int64)
+        from c99_vectordb_tpu.models.flat import FlatIndex
+
+        flat = FlatIndex(dim=32)
+        flat.add(points, ids)
+        _, want = flat.search(points[:8], 5)
+        pq = IVFPQIndex(dim=32, nlist=8, nprobe=8, m=8, ksub=16,
+                        refine=True, refine_factor=8)
+        pq.train(points)
+        pq.add(points, ids)
+        _, got = pq.search(points[:8], 5, nprobe=8)
+        rec = sum(
+            len(set(got[q].tolist()) & set(want[q].tolist()))
+            for q in range(8)
+        ) / want[:8].size
+        assert rec >= 0.8
