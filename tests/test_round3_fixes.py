@@ -213,3 +213,14 @@ class TestSaveManyValidation:
         assert not (tmp_path / "db.yaml").exists()
         ids = db.save_many([{"body": "valid note"}])
         assert ids == [0]
+
+
+class TestExactShortlistKnob:
+    def test_env_forces_exact_selection(self, monkeypatch):
+        from c99_vectordb_tpu.ops.ivf_scan_pallas import _use_approx_select
+
+        monkeypatch.setenv("C99VDB_EXACT_SHORTLIST", "1")
+        assert _use_approx_select() is False
+        monkeypatch.delenv("C99VDB_EXACT_SHORTLIST")
+        # CPU backend never uses approx regardless
+        assert _use_approx_select() is False
