@@ -653,3 +653,41 @@ class TestSlotSharding:
             ShardedIVFIndex(
                 dim=16, scan_dtype="int8", mesh=make_host_chip_mesh(2, 4)
             )
+
+
+class TestSlotShardLayout:
+    """Property tests for _slot_shard_layout: balance, capacity, and the
+    ascending-id-per-chip invariant the Pallas tie-break relies on."""
+
+    @pytest.mark.parametrize("shards", [1, 2, 3, 8])
+    def test_invariants(self, shards):
+        from c99_vectordb_tpu.parallel.sharded import _slot_shard_layout
+
+        rng = np.random.default_rng(shards)
+        nlist = 7
+        assign = rng.integers(0, nlist, 500).astype(np.int64)
+        pad_local, order, sorted_lists, slots = _slot_shard_layout(
+            assign, nlist, shards
+        )
+        pad = pad_local * shards
+        # capacity: every row got a unique (list, slot) cell in range
+        assert (slots >= 0).all() and (slots < pad).all()
+        cells = set(zip(sorted_lists.tolist(), slots.tolist()))
+        assert len(cells) == len(assign)
+        # balance: per (list, chip) occupancy differs by <= 1 within a list
+        chip = slots // pad_local
+        for lst in range(nlist):
+            m = sorted_lists == lst
+            if not m.any():
+                continue
+            counts = np.bincount(chip[m], minlength=shards)
+            assert counts.max() - counts.min() <= 1
+        # ascending ids inside each chip's sub-list: rows are placed in
+        # id order (order is the id-stable sort), so within (list, chip)
+        # the local slot must increase with placement order
+        local = slots % pad_local
+        for lst in range(nlist):
+            for c in range(shards):
+                m = (sorted_lists == lst) & (chip == c)
+                if m.sum() > 1:
+                    assert (np.diff(local[m]) > 0).all()
