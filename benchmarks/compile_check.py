@@ -47,6 +47,7 @@ def main() -> int:
         CODE_LANES,
         adc_dense_search_program,
         adc_full_search_program,
+        pack_nibbles,
     )
     from c99_vectordb_tpu.ops.ivf_scan_pallas import (
         ivf_full_search_program,
@@ -182,7 +183,7 @@ def main() -> int:
             )(centroids, c_sq, books, codes128, item_const, li, q128),
         ),
         (
-            "adc_select_ksub16",
+            "adc_select_ksub16_packed",
             lambda: adc_full_search_program(
                 nlist, pad, dim, m, 16, 128, nprobe, k
             )(
@@ -190,7 +191,7 @@ def main() -> int:
                 jax.random.normal(
                     jax.random.PRNGKey(7), (m, 16, dim // m), jnp.float32
                 ),
-                jnp.where(codes128 > 0, codes128 % 16, 0).astype(jnp.uint8),
+                pack_nibbles((codes128 % 16).astype(jnp.uint8)),
                 item_const, li, q128,
             ),
         ),

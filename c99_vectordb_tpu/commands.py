@@ -84,7 +84,8 @@ def make_index(corpus_size: int | None = None):
     family is an engine choice via environment variables:
       C99VDB_INDEX  = flat (default) | ivf_flat | ivf_pq
                     | sharded_flat | sharded_ivf | sharded_ivf_pq
-      C99VDB_NLIST / C99VDB_NPROBE / C99VDB_PQ_M tune the IVF variants.
+      C99VDB_NLIST / C99VDB_NPROBE / C99VDB_PQ_M / C99VDB_PQ_KSUB
+      tune the IVF variants (ksub=16 = 4-bit nibble-packed codes).
     Sharded kinds build a data mesh over ALL visible devices (one chip ->
     a 1-device mesh; the same code scales to a pod slice unchanged).
 
@@ -103,6 +104,7 @@ def make_index(corpus_size: int | None = None):
         nlist = 64
     nprobe = int(os.environ.get("C99VDB_NPROBE", "8"))
     m = int(os.environ.get("C99VDB_PQ_M", "8"))
+    ksub = int(os.environ.get("C99VDB_PQ_KSUB", "256"))
     if kind == "flat":
         from .models.flat import FlatIndex
 
@@ -121,7 +123,8 @@ def make_index(corpus_size: int | None = None):
         from .models.ivf_pq import IVFPQIndex
 
         opq = os.environ.get("C99VDB_OPQ", "").strip() not in ("", "0", "false")
-        return IVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m, opq=opq)
+        return IVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m,
+                          ksub=ksub, opq=opq)
     if kind == "sharded_flat":
         from .parallel.sharded import ShardedFlatIndex
 
@@ -139,7 +142,8 @@ def make_index(corpus_size: int | None = None):
     if kind == "sharded_ivf_pq":
         from .parallel.sharded import ShardedIVFPQIndex
 
-        return ShardedIVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m)
+        return ShardedIVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m,
+                                 ksub=ksub)
     raise ValueError(f"unknown C99VDB_INDEX '{kind}'")
 
 

@@ -350,6 +350,14 @@ class IVFPQIndex:
 
             codes128 = np.zeros((nlist_eff, CODE_LANES, pad), np.uint8)
             codes128[:, : self.m, :] = list_codes.transpose(0, 2, 1)
+            ksub_eff = self._codebooks.shape[1]
+            if ksub_eff == 16 and self.m % 2 == 0:
+                # 4-bit codebooks: nibble-pack for the Pallas route —
+                # m/2 bytes/vector on device and half the per-step code
+                # DMA (Quick-ADC storage; ops/adc_pallas._qdot_nibble).
+                from ..ops.adc_pallas import pack_nibbles
+
+                codes128 = pack_nibbles(codes128)
             item_const = build_item_constants(
                 self._centroids, self._assign, self._codes, self._codebooks,
                 order, sorted_lists, slots, nlist_eff, pad,
@@ -389,10 +397,12 @@ class IVFPQIndex:
         k_adc = min(k * self.refine_factor, self.ntotal) if self.refine else k
         k_adc = max(k_adc, k)
         # Pallas ADC runs for 8-bit codebooks (hi/lo one-hot) AND 4-bit
-        # ones (ksub=16, the Quick-ADC compression point: the flat
-        # (16, pad) one-hot is already cheap — 16x fewer compares than
-        # a flat 256 build). Other ksub values fall back to XLA.
-        if jax.default_backend() == "tpu" and ksub_eff in (16, 256):
+        # ones (ksub=16, even m — the Quick-ADC point: codes stage
+        # nibble-PACKED at m/2 bytes/vector and the kernel unpacks in
+        # two VPU ops per packed row). Other shapes fall back to XLA.
+        if jax.default_backend() == "tpu" and (
+            ksub_eff == 256 or (ksub_eff == 16 and self.m % 2 == 0)
+        ):
             if self.refine and k_adc > 2 * LANE_K:
                 # Deep shortlists: the in-kernel sorted-insertion top-k
                 # costs ~k_adc VPU rounds per probe; the dense-output ADC

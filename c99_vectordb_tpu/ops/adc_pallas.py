@@ -81,9 +81,9 @@ def _qdot_hilo(qd3, codes, m: int):
 
 
 def _qdot_onehot(qd, codes, m: int, ksub: int):
-    """Flat (ksub, pad) one-hot fallback for ksub != 256 (the Pallas
-    path only runs at ksub == 256 in production; this keeps the kernels
-    correct for any ksub)."""
+    """Flat (ksub, pad) one-hot fallback for odd ksub values (the
+    Pallas path runs at ksub 256 (hi/lo) or 16 (nibble-packed) in
+    production; this keeps the kernels correct for any ksub)."""
     pad = codes.shape[1]
     code_iota = jax.lax.broadcasted_iota(jnp.int32, (ksub, pad), 0)
     qdot = jnp.zeros((1, pad), jnp.float32)
@@ -94,6 +94,58 @@ def _qdot_onehot(qd, codes, m: int, ksub: int):
             preferred_element_type=jnp.float32,
         )
     return qdot
+
+
+def _qdot_nibble(qd, packed, m: int):
+    """4-bit subquantizers (ksub == 16), NIBBLE-PACKED codes — the
+    Quick-ADC storage point: subspaces 2j / 2j+1 live in the lo / hi
+    nibble of packed row j, so codes cost m/2 bytes/vector and the
+    per-step code DMA halves. In-kernel unpack is two VPU ops per
+    packed row; each subspace contracts a (16, pad) one-hot against
+    its (1, 16) QD row.
+
+    qd: (>= m, 16) f32; packed: (>= m/2, pad) int32 (0..255).
+    Requires even m. Returns (1, pad) f32.
+    """
+    pad = packed.shape[1]
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (16, pad), 0)
+    qdot = jnp.zeros((1, pad), jnp.float32)
+    for j in range(m // 2):
+        row = packed[j : j + 1, :]
+        for sub, cj in ((2 * j, row & 15), (2 * j + 1, row >> 4)):
+            sel = (iota16 == cj).astype(jnp.float32)
+            qdot = qdot + jax.lax.dot_general(
+                qd[sub : sub + 1, :], sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    return qdot
+
+
+def _qdot(qd_ref, codes_ref, m: int, ksub: int, mode: str):
+    """Dispatch the qdot evaluation mode chosen by `_qdot_mode`."""
+    codes = codes_ref[0].astype(jnp.int32)
+    if mode == "hilo":
+        return _qdot_hilo(qd_ref[0], codes, m)
+    if mode == "nibble4":
+        return _qdot_nibble(qd_ref[0], codes, m)
+    return _qdot_onehot(qd_ref[0], codes, m, ksub)
+
+
+def _qdot_mode(ksub: int, m: int) -> str:
+    if ksub == 256:
+        return "hilo"
+    if ksub == 16 and m % 2 == 0:
+        return "nibble4"
+    return "flat"
+
+
+def pack_nibbles(codes128):
+    """(nlist, CODE_LANES, pad) uint8 4-bit codes -> (nlist,
+    CODE_LANES // 2, pad) packed: subspace 2j in the lo nibble of row j,
+    2j+1 in the hi nibble. Host- or device-side (pure elementwise)."""
+    lo = codes128[:, 0::2, :]
+    hi = codes128[:, 1::2, :]
+    return (lo | (hi << 4)).astype(codes128.dtype)
 
 
 def _adc_kernel(
@@ -112,7 +164,7 @@ def _adc_kernel(
     k_pad: int,
     ksub: int,
     m: int,
-    hilo: bool,
+    mode: str,
 ):
     p_idx = pl.program_id(1)
 
@@ -121,17 +173,13 @@ def _adc_kernel(
         best_d[:] = jnp.full_like(best_d[:], jnp.inf)
         best_i[:] = jnp.full_like(best_i[:], jnp.iinfo(jnp.int32).max)
 
-    codes = codes_ref[0].astype(jnp.int32)          # (CODE_LANES, pad)
-
-    # sum_j QD[j, code_j]: the hi/lo Kronecker split at ksub == 256
-    # (3.55x — see _qdot_hilo), the flat one-hot otherwise. Strictly
-    # 2-D elementwise + matmul ops either way — Mosaic miscompiles 3-D
+    # sum_j QD[j, code_j]: hi/lo Kronecker at ksub == 256 (3.55x — see
+    # _qdot_hilo), nibble-unpacked 16-one-hots at ksub == 16 (packed
+    # codes, m/2 bytes/vector), flat one-hot otherwise. Strictly 2-D
+    # elementwise + matmul ops in every mode — Mosaic miscompiles 3-D
     # vector reductions and batched matvecs for these shapes.
-    if hilo:
-        qdot = _qdot_hilo(qd_ref[0], codes, m)
-    else:
-        qdot = _qdot_onehot(qd_ref[0], codes, m, ksub)
-    pad = codes.shape[1]
+    qdot = _qdot(qd_ref, codes_ref, m, ksub, mode)
+    pad = qdot.shape[1]
     coarse = pc_ref[0, 0, p_idx]                    # scalar from SMEM
     dist = coarse - 2.0 * qdot + const_ref[0]       # (1, pad)
     dist = jnp.maximum(dist, 0.0)
@@ -173,9 +221,11 @@ def adc_scan_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: in
     qd: (b, 128, ksub) f32 with rows >= m zeroed; item_const: (nlist, pad);
     probe_coarse: (b, nprobe) coarse distances aligned with `lists`."""
     k_pad = _round_up(max(k, 1), LANE)
-    hilo = ksub == 256
+    mode = _qdot_mode(ksub, m)
+    hilo = mode == "hilo"
+    code_rows = CODE_LANES // 2 if mode == "nibble4" else CODE_LANES
     kernel = functools.partial(
-        _adc_kernel, k=k, k_pad=k_pad, ksub=ksub, m=m, hilo=hilo
+        _adc_kernel, k=k, k_pad=k_pad, ksub=ksub, m=m, mode=mode
     )
     qd_spec = (
         pl.BlockSpec((1, m * 16, 16), lambda i, p, L: (i, 0, 0))
@@ -192,7 +242,7 @@ def adc_scan_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: in
                 (1, 1, nprobe), lambda i, p, L: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, CODE_LANES, pad), lambda i, p, L: (L[i, p], 0, 0)),
+            pl.BlockSpec((1, code_rows, pad), lambda i, p, L: (L[i, p], 0, 0)),
             pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
             pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
         ],
@@ -248,7 +298,7 @@ def adc_scan_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: in
 
 def _adc_dense_kernel(
     lists_ref, qd_ref, pc_ref, codes_ref, const_ref, ids_ref,
-    out_d_ref, out_i_ref, *, ksub: int, m: int, hilo: bool,
+    out_d_ref, out_i_ref, *, ksub: int, m: int, mode: str,
 ):
     """ADC estimates WITHOUT in-kernel selection: emits the probed list's
     dense (1, pad) distances + ids per grid step. For deep-shortlist
@@ -257,12 +307,7 @@ def _adc_dense_kernel(
     probe), while the refine stage re-sorts exactly anyway — so skip
     selection entirely and let XLA top_k shortlist the dense output."""
     p_idx = pl.program_id(1)
-    codes = codes_ref[0].astype(jnp.int32)
-    pad = codes.shape[1]
-    if hilo:
-        qdot = _qdot_hilo(qd_ref[0], codes, m)
-    else:
-        qdot = _qdot_onehot(qd_ref[0], codes, m, ksub)
+    qdot = _qdot(qd_ref, codes_ref, m, ksub, mode)
     coarse = pc_ref[0, 0, p_idx]
     dist = jnp.maximum(coarse - 2.0 * qdot + const_ref[0], 0.0)
     ids = ids_ref[0]
@@ -270,7 +315,7 @@ def _adc_dense_kernel(
     out_i_ref[0] = ids
 
 
-def _adc_dense_kernel_multi(lists_ref, *refs, m: int, hilo: bool,
+def _adc_dense_kernel_multi(lists_ref, *refs, m: int, mode: str,
                             ksub: int, qps: int):
     """qps-query variant of _adc_dense_kernel: one grid step carries
     several consecutive queries' QD tables + their probed lists' code/
@@ -288,11 +333,7 @@ def _adc_dense_kernel_multi(lists_ref, *refs, m: int, hilo: bool,
     outs = refs[5 * qps:]
     p_idx = pl.program_id(1)
     for j in range(qps):
-        codes = codes_refs[j][0].astype(jnp.int32)
-        if hilo:
-            qdot = _qdot_hilo(qd_refs[j][0], codes, m)
-        else:
-            qdot = _qdot_onehot(qd_refs[j][0], codes, m, ksub)
+        qdot = _qdot(qd_refs[j], codes_refs[j], m, ksub, mode)
         coarse = pc_refs[j][0, 0, p_idx]
         dist = jnp.maximum(coarse - 2.0 * qdot + const_refs[j][0], 0.0)
         ids = ids_refs[j][0]
@@ -308,9 +349,11 @@ def adc_dense_program_multi(
     step. Same (b, nprobe*pad) outputs as adc_dense_program (each slot
     writes its own canvas; run() interleaves the slot rows back)."""
     assert b % qps == 0
-    hilo = ksub == 256
+    mode = _qdot_mode(ksub, m)
+    hilo = mode == "hilo"
+    code_rows = CODE_LANES // 2 if mode == "nibble4" else CODE_LANES
     kernel = functools.partial(
-        _adc_dense_kernel_multi, m=m, hilo=hilo, ksub=ksub, qps=qps
+        _adc_dense_kernel_multi, m=m, mode=mode, ksub=ksub, qps=qps
     )
     g = b // qps
 
@@ -328,7 +371,7 @@ def adc_dense_program_multi(
 
     def code_spec(j):
         return pl.BlockSpec(
-            (1, CODE_LANES, pad),
+            (1, code_rows, pad),
             lambda gi, p, L, j=j: (L[gi * qps + j, p], 0, 0),
         )
 
@@ -407,8 +450,10 @@ def adc_dense_program_multi(
 def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: int):
     """Jitted (lists, probe_coarse, qd, codes128, item_const, list_ids) ->
     dense (dists (b, nprobe*pad), ids (b, nprobe*pad))."""
-    hilo = ksub == 256
-    kernel = functools.partial(_adc_dense_kernel, ksub=ksub, m=m, hilo=hilo)
+    mode = _qdot_mode(ksub, m)
+    hilo = mode == "hilo"
+    code_rows = CODE_LANES // 2 if mode == "nibble4" else CODE_LANES
+    kernel = functools.partial(_adc_dense_kernel, ksub=ksub, m=m, mode=mode)
     qd_spec = (
         pl.BlockSpec((1, m * 16, 16), lambda i, p, L: (i, 0, 0))
         if hilo
@@ -424,7 +469,7 @@ def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: i
                 (1, 1, nprobe), lambda i, p, L: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, CODE_LANES, pad), lambda i, p, L: (L[i, p], 0, 0)),
+            pl.BlockSpec((1, code_rows, pad), lambda i, p, L: (L[i, p], 0, 0)),
             pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
             pl.BlockSpec((1, 1, pad), lambda i, p, L: (L[i, p], 0, 0)),
         ],

@@ -224,3 +224,17 @@ class TestExactShortlistKnob:
         monkeypatch.delenv("C99VDB_EXACT_SHORTLIST")
         # CPU backend never uses approx regardless
         assert _use_approx_select() is False
+
+
+class TestPQKsubKnob:
+    def test_env_ksub_reaches_both_pq_families(self, monkeypatch):
+        from c99_vectordb_tpu.commands import make_index
+
+        monkeypatch.setenv("C99VDB_INDEX", "ivf_pq")
+        monkeypatch.setenv("C99VDB_PQ_KSUB", "16")
+        assert make_index().ksub == 16
+        monkeypatch.setenv("C99VDB_INDEX", "sharded_ivf_pq")
+        assert make_index().ksub == 16
+        monkeypatch.delenv("C99VDB_PQ_KSUB")
+        monkeypatch.setenv("C99VDB_INDEX", "ivf_pq")
+        assert make_index().ksub == 256
