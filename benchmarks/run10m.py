@@ -39,6 +39,8 @@ def main() -> int:
     p.add_argument("--b", type=int, default=128)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--m", type=int, default=48)
+    p.add_argument("--ksub", type=int, default=256,
+                   help="PQ codebook size; 16 = 4-bit nibble-packed codes")
     p.add_argument("--nlist", type=int, default=8192)
     p.add_argument("--chunk", type=int, default=1_048_576)
     p.add_argument("--kmeans-iters", type=int, default=8)
@@ -134,8 +136,9 @@ def main() -> int:
     def residual_subs(x, cents, a):
         return (x - cents[a]).reshape(x.shape[0], m, dsub).transpose(1, 0, 2)
 
+    ksub = args.ksub
     books = train_kmeans_multi(
-        residual_subs(first_r, centroids, assign0), 256,
+        residual_subs(first_r, centroids, assign0), ksub,
         iters=args.kmeans_iters, out_device=True,
     )
     del first, first_r, assign0
@@ -202,6 +205,7 @@ def main() -> int:
         CODE_LANES,
         adc_dense_search_program,
         build_item_constants,
+        pack_nibbles,
     )
 
     on_tpu = jax.default_backend() == "tpu"
@@ -211,13 +215,17 @@ def main() -> int:
                 c.transpose(0, 2, 1), ((0, 0), (0, CODE_LANES - m), (0, 0))
             )
         )(list_codes)
+        if ksub == 16 and m % 2 == 0:
+            # 4-bit codebooks: nibble-pack (m/2 bytes/vector on device,
+            # half the per-step code DMA) — mirrors IVFPQIndex._stage.
+            codes128 = jax.jit(pack_nibbles)(codes128)
         item_const = build_item_constants(
             np.asarray(centroids), assign, codes_host_rows,
             np.asarray(books), order, sorted_lists, slots, nlist, pad,
         )
         item_const_d = jnp.asarray(item_const)
     build_s = time.perf_counter() - t0
-    code_mb = n * m / 1e6
+    code_mb = n * m / 1e6 * (0.5 if ksub == 16 and m % 2 == 0 else 1.0)
     refine_mb = n * d * 2 / 1e6
     print(
         f"build {build_s:.1f}s  codes {code_mb:.0f} MB + bf16 refine "
@@ -298,7 +306,7 @@ def main() -> int:
         for k_adc in k_adcs:
             if on_tpu:
                 adc = adc_dense_search_program(
-                    nlist, pad, d, m, 256, b, nprobe, k_adc
+                    nlist, pad, d, m, ksub, b, nprobe, k_adc
                 )
                 rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
                 adc_ops = (
@@ -307,7 +315,7 @@ def main() -> int:
             else:
                 from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
 
-                adc = _adc_search_program(nlist, pad, d, m, 256, b, nprobe, k_adc)
+                adc = _adc_search_program(nlist, pad, d, m, ksub, b, nprobe, k_adc)
                 rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
                 adc_ops = (centroids, c_sq, books, list_codes, list_ids)
 
