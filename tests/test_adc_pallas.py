@@ -189,3 +189,19 @@ class TestFourBitADC:
             for q in range(8)
         ) / want[:8].size
         assert rec >= 0.8
+
+
+def test_pack_nibbles_roundtrip():
+    # pack is lossless: lo nibble = even subspaces, hi = odd; rows past
+    # m stay zero so the packed canvas keeps the (nlist, rows, pad) deal.
+    from c99_vectordb_tpu.ops.adc_pallas import CODE_LANES, pack_nibbles
+
+    rng = np.random.default_rng(11)
+    m, pad = 6, 128
+    codes = np.zeros((3, CODE_LANES, pad), np.uint8)
+    codes[:, :m, :] = rng.integers(0, 16, (3, m, pad), dtype=np.uint8)
+    packed = np.asarray(pack_nibbles(codes))
+    assert packed.shape == (3, CODE_LANES // 2, pad)
+    np.testing.assert_array_equal(packed & 15, codes[:, 0::2, :])
+    np.testing.assert_array_equal(packed >> 4, codes[:, 1::2, :])
+    assert (packed[:, m // 2:, :] == 0).all()

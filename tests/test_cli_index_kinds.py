@@ -94,3 +94,22 @@ def test_incremental_add_after_train(run, monkeypatch, tmp_path, kind):
     assert out == "Memorized: 'a brand new note about sailing' (ID: 3)\n"
     rc, out, _ = run("-f", "db", "recall", "-k", "1", "sailing note")
     assert out.splitlines()[1].startswith("  [3] Score: ")
+
+def test_ivf_pq_ksub16_cycle(run, monkeypatch):
+    # The 4-bit (nibble-packed) PQ point keeps the identical CLI contract
+    # and round-trips ksub through reindex (state()/from_state()).
+    monkeypatch.setenv("C99VDB_INDEX", "ivf_pq")
+    monkeypatch.setenv("C99VDB_NLIST", "2")
+    monkeypatch.setenv("C99VDB_PQ_M", "8")
+    monkeypatch.setenv("C99VDB_PQ_KSUB", "16")
+
+    rc, out, _ = run("-f", "db", "save", "in.yaml")
+    assert rc == 0
+    rc, out, _ = run("-f", "db", "reindex")
+    assert rc == 0
+    rc, out, _ = run("-f", "db", "recall", "-k", "1", "cat sat mat")
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0] == "Top 1 results:"
+    assert lines[1].startswith("  [0] Score: ")
+    assert lines[2] == "      the cat sat on the mat"
