@@ -205,20 +205,26 @@ def main() -> int:
         CODE_LANES,
         adc_dense_search_program,
         build_item_constants,
-        pack_nibbles,
     )
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        codes128 = jax.jit(
-            lambda c: jnp.pad(
-                c.transpose(0, 2, 1), ((0, 0), (0, CODE_LANES - m), (0, 0))
+        # Pad (and for 4-bit codebooks nibble-pack) in ONE jitted program:
+        # materializing the unpacked (nlist, 128, pad) canvas next to the
+        # packed one OOMs the chip beside the 8 GB refine store.
+        def stage_codes(c):
+            if ksub == 16 and m % 2 == 0:
+                # Pack on the small (nlist, pad, m) layout BEFORE the big
+                # row-padded canvas exists: m/2 bytes/vector on device.
+                c = c[:, :, 0::2] | (c[:, :, 1::2] << 4)
+            rows = c.shape[2]
+            canvas_rows = CODE_LANES // 2 if rows < m else CODE_LANES
+            return jnp.pad(
+                c.transpose(0, 2, 1), ((0, 0), (0, canvas_rows - rows), (0, 0))
             )
-        )(list_codes)
-        if ksub == 16 and m % 2 == 0:
-            # 4-bit codebooks: nibble-pack (m/2 bytes/vector on device,
-            # half the per-step code DMA) — mirrors IVFPQIndex._stage.
-            codes128 = jax.jit(pack_nibbles)(codes128)
+
+        codes128 = jax.jit(stage_codes)(list_codes)
+        del list_codes  # only the CPU fallback scans the unpacked lists
         item_const = build_item_constants(
             np.asarray(centroids), assign, codes_host_rows,
             np.asarray(books), order, sorted_lists, slots, nlist, pad,
