@@ -16,6 +16,7 @@ The index is always derivable from this file (`reindex`).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Iterator
@@ -34,6 +35,47 @@ def _represent_block_str(dumper: yaml.Dumper, value: "_BlockStr") -> yaml.Scalar
 
 
 yaml.SafeDumper.add_representer(_BlockStr, _represent_block_str)
+
+# libyaml fast path. The C parser shares PyYAML's Python-side resolvers
+# and constructors, so loaded objects are identical to SafeLoader's
+# (measured 8.5x faster on a 20k-record DB; load runs on EVERY verb).
+# The C EMITTER, however, diverges from SafeDumper in three ways:
+# (1) it \U-escapes non-BMP scalars, dropping the literal block style
+#     for emoji bodies;
+# (2) it \N-escapes NEL/LS/PS in plain scalars where PyYAML emits them
+#     raw (and they are YAML 1.1 line breaks anyway — not round-trip
+#     safe in EITHER stack);
+# (3) long DOUBLE-QUOTED scalars fold with backslash continuations in
+#     PyYAML but with plain breaks in libyaml.
+# dump() therefore uses the C emitter only when every string is
+# provably parity-safe: no control/LS/PS/non-BMP chars, no leading or
+# trailing whitespace on any line (those push a body out of literal
+# block into double-quoted), and no newlines outside block-scalar
+# bodies. Predicate validated by a 20k-case fuzz (0 mismatches on
+# 8.2k safe samples) and pinned by
+# tests/test_storage.py::TestCDumperParity.
+_C_LOADER = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
+_C_DUMPER = getattr(yaml, "CSafeDumper", None)
+if _C_DUMPER is not None:
+    _C_DUMPER.add_representer(_BlockStr, _represent_block_str)
+
+_C_DUMPER_UNSAFE = re.compile(
+    "[\\x00-\\x09\\x0b-\\x1f\\x7f-\\x9f\\u2028\\u2029\\U00010000-\\U0010ffff]"
+    "|[ \\t]\\n|[ \\t]$|^[ \\t]"
+)
+
+
+def _c_dumpable(value, is_block: bool = False) -> bool:
+    """True if the C emitter provably byte-matches SafeDumper on value."""
+    if isinstance(value, str):
+        if _C_DUMPER_UNSAFE.search(value):
+            return False
+        return is_block or "\n" not in value
+    if isinstance(value, dict):
+        return all(_c_dumpable(k) and _c_dumpable(v) for k, v in value.items())
+    if isinstance(value, (list, tuple, set)):
+        return all(_c_dumpable(v) for v in value)
+    return True
 
 
 def block_str(value: str) -> str:
@@ -66,7 +108,8 @@ class RecordStore:
         """Parse and densify the record DB; raises ValueError on bad shape."""
         if not path.exists():
             return cls()
-        docs = [d for d in yaml.safe_load_all(path.read_text(encoding="utf-8")) if d is not None]
+        text = path.read_text(encoding="utf-8")
+        docs = [d for d in yaml.load_all(text, Loader=_C_LOADER) if d is not None]
         if not docs:
             return cls()
 
@@ -112,8 +155,15 @@ class RecordStore:
                     "body": block_str(body),
                 }
             )
-        return yaml.safe_dump_all(
+        dumper = yaml.SafeDumper
+        if _C_DUMPER is not None and all(
+            _c_dumpable(d["metadata"]) and _c_dumpable(str(d["body"]), is_block=True)
+            for d in docs
+        ):
+            dumper = _C_DUMPER
+        return yaml.dump_all(
             docs,
+            Dumper=dumper,
             explicit_start=True,
             sort_keys=False,
             allow_unicode=True,

@@ -131,3 +131,93 @@ class TestLifecycle:
         assert is_deleted_record(None, "deleted: true")
         assert not is_deleted_record(None, "deleted: false")
         assert not is_deleted_record(None, "just text mentioning deleted")
+
+
+class TestCDumperParity:
+    """dump() must stay byte-identical to pure-Python SafeDumper output.
+
+    yaml_store routes dump() through libyaml's C emitter when every
+    string is provably parity-safe and falls back otherwise (non-BMP
+    chars lose the literal block style under the C emitter; NEL/LS/PS
+    get backslash-N-escaped in plain scalars). These cases pin both
+    sides of that gate against the reference rendering (SafeDumper, the
+    reference's own dump path: /root/reference/memo_cli.py:118-128).
+    """
+
+    CASES = [
+        ("plain ascii body\n", {"k": "v"}),
+        ("", None),
+        ("no trailing newline", {}),
+        ("trailing space \nnext\n", {"tags": ["a", "b"], "n": 3}),
+        ("long " + "word " * 80 + "\n", {"long": "word " * 60}),
+        ("unicode üñîсö中文\n", {"u": "éè"}),
+        # C-emitter-unsafe: non-BMP emoji body must keep the literal block
+        ("emoji \U0001f600 body\n", {"k": "v"}),
+        # C-emitter-unsafe: NEL / LINE SEPARATOR in metadata plain scalars
+        ("plain\n", {"s": "nelsep", "ls": "a b"}),
+        ("ctrlchar\n", None),
+        ("- looks like yaml\nkey: value\n", {"nested": {"a": [1, 2, {"b": "c"}]}}),
+    ]
+
+    def _reference_dump(self, store):
+        import yaml
+
+        from c99_vectordb_tpu.storage.yaml_store import block_str
+
+        docs = [
+            {"id": rid, "metadata": meta if meta is not None else {}, "body": block_str(body)}
+            for rid, body, meta in store
+        ]
+        return yaml.dump_all(
+            docs,
+            Dumper=yaml.SafeDumper,
+            explicit_start=True,
+            sort_keys=False,
+            allow_unicode=True,
+        )
+
+    def test_dump_byte_parity_per_case(self):
+        for body, meta in self.CASES:
+            store = RecordStore()
+            store.append(body, meta)
+            assert store.dump() == self._reference_dump(store), (body, meta)
+
+    def test_dump_byte_parity_mixed_store(self):
+        store = RecordStore()
+        for body, meta in self.CASES:
+            store.append(body, meta)
+        assert store.dump() == self._reference_dump(store)
+
+    def test_emoji_body_keeps_literal_block(self):
+        store = RecordStore()
+        store.append("emoji \U0001f600 body\n", None)
+        assert "body: |" in store.dump()
+
+    def test_c_loader_matches_safe_loader(self):
+        import yaml
+
+        store = RecordStore()
+        for body, meta in self.CASES:
+            store.append(body, meta)
+        text = store.dump()
+        py = list(yaml.load_all(text, Loader=yaml.SafeLoader))
+        c_loader = getattr(yaml, "CSafeLoader", None)
+        if c_loader is None:
+            pytest.skip("libyaml not available")
+        assert list(yaml.load_all(text, Loader=c_loader)) == py
+
+    def test_round_trip_matches_reference_round_trip(self, tmp_path):
+        # NEL/LS are YAML 1.1 line breaks, so they do NOT round-trip
+        # verbatim in the reference stack either — the contract is that
+        # our save+load equals the reference's dump+SafeLoader cycle.
+        import yaml
+
+        path = tmp_path / "db.yaml"
+        store = RecordStore()
+        for body, meta in self.CASES:
+            store.append(body, meta)
+        store.save(path)
+        reloaded = RecordStore.load(path)
+        ref_docs = list(yaml.load_all(self._reference_dump(store), Loader=yaml.SafeLoader))
+        assert reloaded.bodies == [d["body"] for d in ref_docs]
+        assert reloaded.metas == [d["metadata"] for d in ref_docs]
