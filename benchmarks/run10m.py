@@ -51,6 +51,12 @@ def main() -> int:
     p.add_argument("--opq", action="store_true",
                    help="learn an OPQ rotation before encoding")
     p.add_argument("--opq-iters", type=int, default=6)
+    p.add_argument("--corpus", choices=["clustered", "aniso"],
+                   default="clustered",
+                   help="aniso = clustered corpus pushed through a fixed "
+                        "decaying-spectrum anisotropic map (0.99^i "
+                        "singular values mixed by a random rotation) — "
+                        "the regime where OPQ is supposed to help")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
     args = p.parse_args()
@@ -84,6 +90,8 @@ def main() -> int:
     )
     results: dict = {"config": vars(args)}
 
+    aniso = args.corpus == "aniso"
+
     def gen(key_idx, count):
         @jax.jit
         def _gen(marker):
@@ -92,9 +100,20 @@ def main() -> int:
                 jax.random.key(1), (n_gen_clusters, d), dtype=jnp.float32
             )
             cid = jax.random.randint(kc, (marker.shape[0],), 0, n_gen_clusters)
-            return centers[cid] * 3.0 + jax.random.normal(
+            x = centers[cid] * 3.0 + jax.random.normal(
                 kn, (marker.shape[0], d), dtype=jnp.float32
             )
+            if aniso:
+                # Fixed linear map diag(0.99^i) @ Q: a decaying spectrum
+                # whose principal axes are mixed across ALL coordinates,
+                # so contiguous PQ subspaces carry unbalanced energy —
+                # exactly the imbalance OPQ's learned rotation undoes.
+                lam = jnp.power(jnp.float32(0.99), jnp.arange(d, dtype=jnp.float32))
+                q_mix, _ = jnp.linalg.qr(
+                    jax.random.normal(jax.random.key(5), (d, d), dtype=jnp.float32)
+                )
+                x = (x * lam[None, :]) @ q_mix
+            return x
 
         return _gen(jnp.zeros((count,), jnp.int8))
 
