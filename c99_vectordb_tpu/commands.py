@@ -181,6 +181,15 @@ def cmd_clean(db_base: str, user_cwd: str) -> int:
             pass
         except OSError as e:
             return _fail(f"failed to remove {p}: {e}")
+    # Derived snapshot sidecar (storage/snapshot.py): removed silently —
+    # it does not exist in the reference's two-file model, so it never
+    # appears in the verb's output either.
+    from .storage.snapshot import snap_path
+
+    try:
+        snap_path(yaml_path).unlink(missing_ok=True)
+    except OSError:
+        pass
 
     verb = "Cleared memory database" if removed_any else "Database already empty"
     print(f"{verb} ({index_path}, {yaml_path})")

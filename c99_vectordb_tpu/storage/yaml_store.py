@@ -23,6 +23,7 @@ from typing import Any, Iterator
 
 import yaml
 
+from . import snapshot
 from ..utils.text import is_blank_body, is_deleted_record
 
 
@@ -104,11 +105,22 @@ class RecordStore:
     # -- loading ---------------------------------------------------------
 
     @classmethod
-    def load(cls, path: Path) -> "RecordStore":
-        """Parse and densify the record DB; raises ValueError on bad shape."""
+    def load(cls, path: Path, cache: bool = True) -> "RecordStore":
+        """Parse and densify the record DB; raises ValueError on bad shape.
+
+        With cache=True (default) a hash-matched `<db>.yaml.snap`
+        sidecar (storage/snapshot.py) skips the YAML parse entirely —
+        ~20x at corpus scale — and a parse that had to run refreshes
+        the snapshot for next time. The YAML stays the source of truth:
+        the snapshot is derived and self-invalidating by content hash.
+        """
         if not path.exists():
             return cls()
         text = path.read_text(encoding="utf-8")
+        if cache:
+            cached = snapshot.read_snapshot(snapshot.snap_path(path), text)
+            if cached is not None:
+                return cls(bodies=cached[0], metas=cached[1])
         docs = [d for d in yaml.load_all(text, Loader=_C_LOADER) if d is not None]
         if not docs:
             return cls()
@@ -140,7 +152,20 @@ class RecordStore:
         for rid, body, meta in records:
             store.bodies[rid] = body
             store.metas[rid] = meta
+        if cache:
+            store._refresh_snapshot(path, text)
         return store
+
+    def _refresh_snapshot(self, path: Path, text: str) -> None:
+        """Best-effort sidecar refresh; small DBs drop the sidecar."""
+        sp = snapshot.snap_path(path)
+        try:
+            if len(text) >= snapshot.SNAP_THRESHOLD_BYTES:
+                snapshot.write_snapshot(sp, text, self.bodies, self.metas)
+            else:
+                sp.unlink(missing_ok=True)
+        except (snapshot.Unsnapshotable, OSError):
+            pass
 
     # -- saving ----------------------------------------------------------
 
@@ -174,9 +199,11 @@ class RecordStore:
         # Atomic publish (write-then-rename) so a crash mid-save can't
         # leave a truncated record DB — fixes the reference's torn-write
         # window (SURVEY.md §2.5 #14).
+        text = self.dump()
         tmp = path.with_name(path.name + ".tmp")
-        tmp.write_text(self.dump(), encoding="utf-8")
+        tmp.write_text(text, encoding="utf-8")
         tmp.replace(path)
+        self._refresh_snapshot(path, text)
 
     # -- mutation --------------------------------------------------------
 

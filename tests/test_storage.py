@@ -1,5 +1,6 @@
 """Storage layer: path resolution, YAML canonicalization, lifecycle."""
 
+import datetime
 import textwrap
 
 import pytest
@@ -221,3 +222,108 @@ class TestCDumperParity:
         ref_docs = list(yaml.load_all(self._reference_dump(store), Loader=yaml.SafeLoader))
         assert reloaded.bodies == [d["body"] for d in ref_docs]
         assert reloaded.metas == [d["metadata"] for d in ref_docs]
+
+
+class TestSnapshotCache:
+    """Parsed-store sidecar (storage/snapshot.py): hash-keyed, JSON-only,
+    full fidelity for YAML-safe-load types, never load-bearing."""
+
+    def _big_store(self, n=800):
+        store = RecordStore()
+        for i in range(n):
+            store.append(
+                f"record body {i} with enough text to push past the size threshold "
+                + "filler " * 10 + "\n",
+                {"i": i, "tag": ["a", "b"], "date": datetime.date(2026, 8, 17)},
+            )
+        return store
+
+    def test_codec_round_trips_yaml_types(self):
+        from c99_vectordb_tpu.storage.snapshot import _dec, _enc
+
+        cases = [
+            None, True, False, 0, -7, 2**80, 0.5, float("inf"), "s", "",
+            [1, [2, {"k": "v"}]], {}, {"k": None},
+            {1: "int key", ("a", 2): "tuple key", True: "bool key"},
+            datetime.date(2026, 8, 17),
+            datetime.datetime(2026, 8, 17, 1, 2, 3, 456789),
+            datetime.datetime(2026, 8, 17, tzinfo=datetime.timezone(datetime.timedelta(hours=-5))),
+            b"raw\x00bytes",
+            {"nested": {"deep": [datetime.date(2000, 1, 1), b"x"]}},
+        ]
+        for v in cases:
+            assert _dec(_enc(v)) == v, v
+        nan = _dec(_enc(float("nan")))
+        assert nan != nan
+
+    def test_codec_rejects_exotic(self):
+        from c99_vectordb_tpu.storage.snapshot import Unsnapshotable, _enc
+
+        with pytest.raises(Unsnapshotable):
+            _enc({"s": {1, 2}})
+
+    def test_large_save_writes_snapshot_and_load_uses_it(self, tmp_path, monkeypatch):
+        from c99_vectordb_tpu.storage import snapshot, yaml_store
+
+        path = tmp_path / "db.yaml"
+        store = self._big_store()
+        store.save(path)
+        sp = snapshot.snap_path(path)
+        assert sp.exists()
+
+        # Prove the snapshot path is taken: break the YAML parser.
+        def boom(*a, **k):
+            raise AssertionError("YAML parser must not run on a snapshot hit")
+
+        monkeypatch.setattr(yaml_store.yaml, "load_all", boom)
+        reloaded = RecordStore.load(path)
+        assert reloaded.bodies == store.bodies
+        assert reloaded.metas == store.metas
+
+    def test_stale_snapshot_is_ignored_and_refreshed(self, tmp_path):
+        from c99_vectordb_tpu.storage import snapshot
+
+        path = tmp_path / "db.yaml"
+        store = self._big_store()
+        store.save(path)
+        sp = snapshot.snap_path(path)
+
+        # External edit: append a record straight to the YAML.
+        with path.open("a", encoding="utf-8") as fh:
+            fh.write("---\nid: 900\nmetadata: {}\nbody: externally appended\n")
+        reloaded = RecordStore.load(path)
+        assert reloaded.bodies[900] == "externally appended"
+        # The miss re-parsed AND refreshed the sidecar to the new hash.
+        assert snapshot.read_snapshot(sp, path.read_text(encoding="utf-8")) is not None
+
+    def test_corrupt_snapshot_is_a_cache_miss(self, tmp_path):
+        from c99_vectordb_tpu.storage import snapshot
+
+        path = tmp_path / "db.yaml"
+        store = self._big_store()
+        store.save(path)
+        snapshot.snap_path(path).write_text("{not json", encoding="utf-8")
+        reloaded = RecordStore.load(path)
+        assert reloaded.bodies == store.bodies
+
+    def test_small_db_gets_no_sidecar(self, tmp_path):
+        from c99_vectordb_tpu.storage import snapshot
+
+        path = tmp_path / "db.yaml"
+        store = RecordStore()
+        store.append("tiny\n", {"k": "v"})
+        store.save(path)
+        assert not snapshot.snap_path(path).exists()
+
+    def test_clean_removes_sidecar(self, tmp_path):
+        from c99_vectordb_tpu import commands
+        from c99_vectordb_tpu.storage import snapshot
+        from c99_vectordb_tpu.storage.paths import db_paths
+
+        _, yaml_path = db_paths("db", str(tmp_path))
+        store = self._big_store()
+        store.save(yaml_path)
+        sp = snapshot.snap_path(yaml_path)
+        assert sp.exists()
+        assert commands.cmd_clean("db", str(tmp_path)) == 0
+        assert not sp.exists()
