@@ -327,3 +327,27 @@ class TestSnapshotCache:
         assert sp.exists()
         assert commands.cmd_clean("db", str(tmp_path)) == 0
         assert not sp.exists()
+
+    def test_plain_fast_path_round_trip(self, tmp_path):
+        # JSON-native metadata stores untagged; exotic values fall back
+        # to the tagged codec — both must reload identically.
+        import json
+
+        from c99_vectordb_tpu.storage import snapshot
+
+        path = tmp_path / "db.yaml"
+        plain_store = self._big_store()  # has a date -> NOT plain
+        plain_store.save(path)
+        payload = json.loads(snapshot.snap_path(path).read_text(encoding="utf-8"))
+        assert payload["plain"] is False
+
+        store2 = RecordStore()
+        for i in range(800):
+            store2.append("plain body %d %s\n" % (i, "y" * 60), {"i": i, "t": ["a", "b"]})
+        path2 = tmp_path / "db2.yaml"
+        store2.save(path2)
+        payload2 = json.loads(snapshot.snap_path(path2).read_text(encoding="utf-8"))
+        assert payload2["plain"] is True
+        reloaded = RecordStore.load(path2)
+        assert reloaded.bodies == store2.bodies
+        assert reloaded.metas == store2.metas
