@@ -145,7 +145,16 @@ def read_snapshot(path: Path, text: str) -> tuple[list, list] | None:
             metas = payload["metas"]
         else:
             metas = [None if m is None else _dec(m) for m in payload["metas"]]
-        if not isinstance(bodies, list) or len(bodies) != len(metas):
+        # Shape guard against a hand-damaged sidecar: bodies must be
+        # strings and metas mappings (or None), same as the YAML loader
+        # guarantees — anything else is a cache miss, not a crash later.
+        if (
+            not isinstance(bodies, list)
+            or not isinstance(metas, list)
+            or len(bodies) != len(metas)
+            or not all(type(b) is str for b in bodies)
+            or not all(m is None or isinstance(m, dict) for m in metas)
+        ):
             return None
         return bodies, metas
     except Exception:

@@ -351,3 +351,18 @@ class TestSnapshotCache:
         reloaded = RecordStore.load(path2)
         assert reloaded.bodies == store2.bodies
         assert reloaded.metas == store2.metas
+
+    def test_type_damaged_snapshot_is_a_cache_miss(self, tmp_path):
+        import json
+
+        from c99_vectordb_tpu.storage import snapshot
+
+        path = tmp_path / "db.yaml"
+        store = self._big_store()
+        store.save(path)
+        sp = snapshot.snap_path(path)
+        payload = json.loads(sp.read_text(encoding="utf-8"))
+        payload["bodies"][5] = 42  # damage: non-string body, hash intact
+        sp.write_text(json.dumps(payload), encoding="utf-8")
+        reloaded = RecordStore.load(path)  # falls back to the YAML parse
+        assert reloaded.bodies == store.bodies
