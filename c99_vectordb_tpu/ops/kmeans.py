@@ -97,7 +97,20 @@ def _maximin_init_program(n: int, dim: int, k: int):
 def _lloyd_multi_program(m: int, n: int, dim: int, k: int, iters: int, chunk: int):
     """vmapped Lloyd's: train m independent codebooks in ONE device program
     (the PQ per-subspace trainer — m sequential host calls would pay m
-    dispatch round-trips)."""
+    dispatch round-trips).
+
+    Unlike the coarse trainer, the per-cluster update here is a one-hot
+    MXU matmul, not a scatter-add: at PQ shapes the rows are a few
+    columns wide (dsub ~ 4-8), and XLA's scatter serializes on tiny rows
+    — measured 1699 -> 176 ms/iter (9.7x) at m=96, 1M x 8, k=256
+    (benchmarks/exp_kmeans_update.py). At the coarse shape (768-d rows,
+    k=4096) the same swap is neutral (80 vs 81 ms/iter — the assignment
+    matmul dominates), so _lloyd_program keeps the exact scatter and its
+    f32 accumulation. The one-hot operand is exactly representable; the
+    data operand rounds to bf16 under DEFAULT precision, perturbing
+    centroids ~0.4 % relative on TPU — irrelevant to PQ codebooks, whose
+    quantization cells are orders of magnitude coarser (recall parity
+    re-measured in BASELINE.md round-3 tables)."""
     n_chunks = n // chunk
 
     def single(data: jax.Array, valid: jax.Array, init_centroids: jax.Array):
@@ -112,8 +125,13 @@ def _lloyd_multi_program(m: int, n: int, dim: int, k: int, iters: int, chunk: in
                 block, block_valid = inputs
                 assign = _assign_chunk(block, centroids, c_sq)
                 w = block_valid.astype(jnp.float32)
-                sums = sums.at[assign].add(block * w[:, None])
-                counts = counts.at[assign].add(w)
+                onehot = (
+                    assign[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :]
+                ).astype(jnp.float32) * w[:, None]
+                sums = sums + jnp.dot(
+                    onehot.T, block, preferred_element_type=jnp.float32
+                )
+                counts = counts + jnp.sum(onehot, axis=0)
                 return (sums, counts), None
 
             (sums, counts), _ = jax.lax.scan(
