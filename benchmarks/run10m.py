@@ -192,17 +192,27 @@ def main() -> int:
         refine_dev = write_refine(refine_dev, x, jnp.int32(ci * chunk))
         codes_dev = write_codes(codes_dev, c, jnp.int32(ci * chunk))
         del x, xr, a, c
-    assign = np.concatenate(assigns)
+    assign_dev = jnp.concatenate(assigns)
     float(jnp.sum(refine_dev[0].astype(jnp.float32)))
 
-    # Bucket codes into padded lists (host metadata, device scatter).
-    counts = np.bincount(assign, minlength=nlist)
+    # Bucket codes into padded lists — ON DEVICE. The old host round
+    # trip (pull assign, push order/sorted_lists/slots) moved 4 n-sized
+    # arrays (~160 MB at 10M) through this container's 1-30 MB/s link;
+    # now only the (nlist,) counts come back, for the pad size.
+    @jax.jit
+    def bucketize(a):
+        order = jnp.argsort(a, stable=True).astype(jnp.int32)
+        sorted_lists = a[order]
+        starts = jnp.searchsorted(
+            sorted_lists, jnp.arange(nlist, dtype=sorted_lists.dtype)
+        ).astype(jnp.int32)
+        counts = jnp.diff(jnp.append(starts, jnp.int32(n)))
+        slots = jnp.arange(n, dtype=jnp.int32) - starts[sorted_lists]
+        return order, sorted_lists, slots, counts
+
+    order, sorted_lists, slots, counts_d = bucketize(assign_dev)
+    counts = np.asarray(counts_d)
     pad = int(-(-max(int(counts.max(initial=1)), 8) // 128) * 128)
-    order = np.argsort(assign, kind="stable").astype(np.int32)
-    sorted_lists = assign[order]
-    starts = np.zeros((nlist,), np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-    slots = (np.arange(n) - starts[sorted_lists]).astype(np.int32)
     ids_dev = jnp.arange(n, dtype=jnp.int32)
 
     @jax.jit
@@ -213,17 +223,12 @@ def main() -> int:
         li = jnp.full((nlist, pad), -1, jnp.int32).at[lists, slots].set(ids[order])
         return lc, li
 
-    codes_host_rows = np.asarray(codes_dev)  # (n, m) uint8, id order
-    list_codes, list_ids = scatter(
-        codes_dev, ids_dev, jnp.asarray(order), jnp.asarray(sorted_lists),
-        jnp.asarray(slots),
-    )
-    del codes_dev
+    list_codes, list_ids = scatter(codes_dev, ids_dev, order, sorted_lists, slots)
 
     from c99_vectordb_tpu.ops.adc_pallas import (
         CODE_LANES,
         adc_dense_search_program,
-        build_item_constants,
+        build_item_constants_device,
     )
 
     on_tpu = jax.default_backend() == "tpu"
@@ -244,11 +249,12 @@ def main() -> int:
 
         codes128 = jax.jit(stage_codes)(list_codes)
         del list_codes  # only the CPU fallback scans the unpacked lists
-        item_const = build_item_constants(
-            np.asarray(centroids), assign, codes_host_rows,
-            np.asarray(books), order, sorted_lists, slots, nlist, pad,
+        item_const_d = build_item_constants_device(
+            centroids, assign_dev, codes_dev, books,
+            order, sorted_lists, slots, nlist, pad,
         )
-        item_const_d = jnp.asarray(item_const)
+        float(jnp.sum(item_const_d[0]))
+    del codes_dev
     build_s = time.perf_counter() - t0
     code_mb = n * m / 1e6 * (0.5 if ksub == 16 and m % 2 == 0 else 1.0)
     refine_mb = n * d * 2 / 1e6

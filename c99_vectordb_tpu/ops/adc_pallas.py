@@ -634,3 +634,51 @@ def build_item_constants(
     out = np.zeros((nlist, pad), np.float32)
     out[sorted_lists, slots] = const[list_order]
     return out
+
+
+def build_item_constants_device(
+    centroids, assign, codes, codebooks, list_order, sorted_lists, slots,
+    nlist: int, pad: int
+):
+    """Device-resident build_item_constants: same math, jnp end to end.
+
+    Exists so corpus-scale builds never pull the (n, m) code matrix back
+    to the host just to compute this constant — at 10M x m=48 that pull
+    is 480 MB through a 1-30 MB/s link (CLAUDE.md hazard #3). All
+    operands are (or are moved) on device; returns (nlist, pad) f32 on
+    device. Parity with the host version is pinned by
+    tests/test_adc_pallas.py."""
+    n, m = codes.shape
+    dsub = codebooks.shape[2]
+    cent_sub = centroids.reshape(centroids.shape[0], m, dsub)
+    # Chunk the (chunk, m, dsub) decode intermediates: materializing all
+    # n at once is n*D floats (15 GB at 10M x 384).
+    chunk = min(n, 262_144) or 1
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+
+    @jax.jit
+    def run(centroids_sub, assign, codes, codebooks, list_order,
+            sorted_lists, slots):
+        # Pad in the stored dtype; widen per chunk (a whole-corpus int32
+        # code copy would be a 1.9 GB transient at 10M x m=48).
+        assign_p = jnp.pad(assign, (0, n_pad - n)).reshape(-1, chunk)
+        codes_p = jnp.pad(codes, ((0, n_pad - n), (0, 0))).reshape(-1, chunk, m)
+
+        def step(_, inp):
+            a, c = inp
+            c_j = centroids_sub[a]                         # (chunk, m, dsub)
+            y = jnp.take_along_axis(
+                codebooks[None], c.astype(jnp.int32)[:, :, None, None], axis=2
+            )[:, :, 0, :]                                  # (chunk, m, dsub)
+            return None, jnp.sum((2.0 * c_j + y) * y, axis=(1, 2))
+
+        _, const = jax.lax.scan(step, None, (assign_p, codes_p))
+        const = const.reshape(-1)[:n]
+        out = jnp.zeros((nlist, pad), jnp.float32)
+        return out.at[sorted_lists, slots].set(const[list_order])
+
+    return run(
+        jnp.asarray(cent_sub), jnp.asarray(assign), jnp.asarray(codes),
+        jnp.asarray(codebooks), jnp.asarray(list_order),
+        jnp.asarray(sorted_lists), jnp.asarray(slots),
+    )

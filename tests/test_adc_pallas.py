@@ -205,3 +205,33 @@ def test_pack_nibbles_roundtrip():
     np.testing.assert_array_equal(packed & 15, codes[:, 0::2, :])
     np.testing.assert_array_equal(packed >> 4, codes[:, 1::2, :])
     assert (packed[:, m // 2:, :] == 0).all()
+
+
+def test_item_constants_device_matches_host():
+    # Device-resident build_item_constants (used by corpus-scale builds
+    # to avoid pulling the (n, m) codes back to host) must agree with
+    # the host reference, including the n % chunk != 0 padding path.
+    from c99_vectordb_tpu.ops.adc_pallas import (
+        build_item_constants, build_item_constants_device,
+    )
+
+    rng = np.random.default_rng(5)
+    n, m, dsub, nlist, ksub, pad = 773, 4, 3, 5, 16, 256
+    centroids = rng.standard_normal((nlist, m * dsub)).astype(np.float32)
+    assign = rng.integers(0, nlist, n).astype(np.int32)
+    codes = rng.integers(0, ksub, (n, m)).astype(np.uint8)
+    books = rng.standard_normal((m, ksub, dsub)).astype(np.float32)
+    order = np.argsort(assign, kind="stable").astype(np.int32)
+    sorted_lists = assign[order]
+    counts = np.bincount(assign, minlength=nlist)
+    starts = np.zeros((nlist,), np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    slots = (np.arange(n) - starts[sorted_lists]).astype(np.int32)
+
+    host = build_item_constants(
+        centroids, assign, codes, books, order, sorted_lists, slots, nlist, pad
+    )
+    dev = np.asarray(build_item_constants_device(
+        centroids, assign, codes, books, order, sorted_lists, slots, nlist, pad
+    ))
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
