@@ -44,6 +44,10 @@ NLIST, NCLUST = 4096, 4096
 BATCHES = (128, 32, 8, 1)  # descending: B=128 runs first and seeds the
 # cross-batch consistency reference
 PROBES = (1, 4)
+if len(sys.argv) > 1:  # e.g. `exp_latency.py 4 1,8` = probes 4, batches 1,8
+    PROBES = tuple(int(x) for x in sys.argv[1].split(","))
+if len(sys.argv) > 2:
+    BATCHES = tuple(int(x) for x in sys.argv[2].split(","))
 
 
 @jax.jit
@@ -56,7 +60,12 @@ def gen(marker, key_idx):
     )
 
 
-def timed_us_per_batch(step, ops, b, lo=32, hi=288):
+def timed_us_per_batch(step, ops, b, lo=None, hi=None):
+    # Small batches need long chains: at B=1 the step is ~15 us, so a
+    # 288-step chain is ~4 ms — under this relay's run-to-run noise.
+    if lo is None:
+        lo = max(32, 2048 // b)
+        hi = lo * 9
     @jax.jit
     def chain(qstack, *ops):
         def body(s, q):
