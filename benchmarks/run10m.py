@@ -247,14 +247,20 @@ def main() -> int:
                 c.transpose(0, 2, 1), ((0, 0), (0, canvas_rows - rows), (0, 0))
             )
 
-        codes128 = jax.jit(stage_codes)(list_codes)
-        del list_codes  # only the CPU fallback scans the unpacked lists
+        # Item constants FIRST (needs only the row-major codes_dev), so
+        # codes_dev is freed before the (nlist, 128, pad) canvas exists —
+        # overlapping them OOMed one v5e at 10M next to the refine store.
         item_const_d = build_item_constants_device(
             centroids, assign_dev, codes_dev, books,
             order, sorted_lists, slots, nlist, pad,
         )
         float(jnp.sum(item_const_d[0]))
-    del codes_dev
+        del codes_dev
+        codes128 = jax.jit(stage_codes)(list_codes)
+        float(jnp.sum(codes128[0].astype(jnp.float32)))
+        del list_codes  # only the CPU fallback scans the unpacked lists
+    else:
+        del codes_dev
     build_s = time.perf_counter() - t0
     code_mb = n * m / 1e6 * (0.5 if ksub == 16 and m % 2 == 0 else 1.0)
     refine_mb = n * d * 2 / 1e6

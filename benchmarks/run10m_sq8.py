@@ -57,6 +57,12 @@ def main() -> int:
                    "Bounds the codes store: uncapped cluster skew at 10M "
                    "(max 2724 vs avg 1280) OOMs one v5e next to the bf16 "
                    "refine store")
+    p.add_argument("--spill", choices=["device", "host"], default="device",
+                   help="overflow-row spill implementation: 'device' keeps "
+                   "assignment, capacity-capped bucketing, and slot layout "
+                   "on the TPU (no n-sized host transfers); 'host' is the "
+                   "round-3 reference implementation (sequential greedy on "
+                   "host, ~200 MB of transfers at 10M)")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
     args = p.parse_args()
@@ -171,6 +177,16 @@ def main() -> int:
     def chunk_stats(x, maxabs):
         return jnp.maximum(maxabs, jnp.max(jnp.abs(x), axis=0))
 
+    spill_device = args.spill == "device" and bool(args.pad_cap)
+    R = 16  # spill candidate depth (next-nearest centroids per row)
+    if spill_device and args.pad_cap * nlist < n:
+        raise SystemExit(
+            f"--spill device requires nlist*pad_cap >= n "
+            f"({nlist}*{args.pad_cap} < {n}): the capacity-capped layout "
+            f"cannot place every row (the host path instead grows lists "
+            f"past the cap, defeating the cap's memory bound)"
+        )
+
     @jax.jit
     def assign_with_dist(x, cents, csq):
         # also emit each row's distance to its assigned centroid (used by
@@ -182,18 +198,38 @@ def main() -> int:
         a = jnp.argmin(d_, axis=1).astype(jnp.int32)
         return a, jnp.min(d_, axis=1) + jnp.sum(x * x, axis=1)
 
+    @jax.jit
+    def assign_with_cands(x, cents, csq):
+        # device-spill variant: the R nearest centroids per row (approx
+        # top-k at 0.999 — a rare rank-0 miss only relocates that row,
+        # same effect as a spill) + the same cross-row comparable d2
+        d_ = csq[None, :] - 2.0 * jnp.dot(
+            x, cents.T, preferred_element_type=jnp.float32
+        )
+        vals, idx = jax.lax.approx_min_k(d_, R, recall_target=0.999)
+        return idx.astype(jnp.int32), vals[:, 0] + jnp.sum(x * x, axis=1)
+
     assigns, dists = [], []
     for ci in range(n_chunks):
         x = gen(ci, chunk)
-        a, d2 = assign_with_dist(x, centroids, c_sq)
-        assigns.append(np.asarray(a))
-        dists.append(np.asarray(d2))
+        if spill_device:
+            a, d2 = assign_with_cands(x, centroids, c_sq)
+            assigns.append(a)
+            dists.append(d2)
+        else:
+            a, d2 = assign_with_dist(x, centroids, c_sq)
+            assigns.append(np.asarray(a))
+            dists.append(np.asarray(d2))
         maxabs = chunk_stats(x, maxabs)
         refine_dev = write_refine(refine_dev, x, jnp.int32(ci * chunk))
         del x, a, d2
-    assign = np.concatenate(assigns)
-    d2_host = np.concatenate(dists)
-    del dists
+    if spill_device:
+        cand_dev = jnp.concatenate(assigns)          # (n, R) i32
+        d2_dev = jnp.concatenate(dists)              # (n,) f32
+    else:
+        assign = np.concatenate(assigns)
+        d2_host = np.concatenate(dists)
+    del assigns, dists
     dim_scale = jnp.maximum(maxabs, 1e-30) / 127.0
     float(jnp.sum(dim_scale))
     jax.block_until_ready(refine_dev)
@@ -202,9 +238,90 @@ def main() -> int:
     mem("after pass1")
 
     # ---- balanced bucketing: spill overflow rows --------------------------
-    counts = np.bincount(assign, minlength=nlist)
     cap = args.pad_cap
-    if cap and int(counts.max(initial=0)) > cap:
+    if spill_device:
+        # Fully on-device capacity-capped bucketing. Per round: rank every
+        # row within its current list by d2 (lexsort), rows past `cap` —
+        # the farthest from their centroid — advance to their next-nearest
+        # candidate; after R rounds any residue fills globally free
+        # capacity in list order. Finishes with slot-by-row = final rank,
+        # so pass 2 needs NO host arrays at all. The host reference
+        # implementation (--spill host) moves ~200 MB over the 1-30 MB/s
+        # link at 10M and walks a ~1M-row Python loop.
+        t_sp = time.perf_counter()
+        lists_iota = jnp.arange(nlist, dtype=jnp.int32)
+
+        @jax.jit
+        def bucketize_capped(cand, d2):
+            # In-list priority: rows whose PRIMARY (nearest) list is this
+            # one always outrank relocated arrivals — otherwise a cheap
+            # arrival displaces an incumbent and the churn cascades
+            # (measured: 34% more moved rows and a recall drop on the
+            # quick config). Among equals, closest-to-centroid first,
+            # like the host policy.
+            d2_0 = d2 - jnp.min(d2)
+            span = jnp.max(d2_0) + 1.0
+
+            def rank_rows(cur):
+                key = d2_0 + jnp.where(cur != cand[:, 0], span, 0.0)
+                order = jnp.lexsort((key, cur))
+                sorted_cur = cur[order]
+                starts = jnp.searchsorted(sorted_cur, lists_iota).astype(
+                    jnp.int32
+                )
+                rank_sorted = (
+                    jnp.arange(cur.shape[0], dtype=jnp.int32)
+                    - starts[sorted_cur]
+                )
+                rank_row = rank_sorted[jnp.argsort(order)]
+                cnts = jnp.diff(
+                    jnp.append(starts, jnp.int32(cur.shape[0]))
+                )
+                return rank_row, cnts
+
+            def spill_round(_, st):
+                cur, r_idx = st
+                rank_row, _ = rank_rows(cur)
+                over = (rank_row >= cap) & (r_idx < R)
+                nxt = jnp.take_along_axis(
+                    cand, jnp.minimum(r_idx, R - 1)[:, None], axis=1
+                )[:, 0]
+                return (
+                    jnp.where(over, nxt, cur),
+                    jnp.where(over, r_idx + 1, r_idx),
+                )
+
+            cur0 = cand[:, 0]
+            cur, _ = jax.lax.fori_loop(
+                0, R, spill_round,
+                (cur0, jnp.ones_like(cur0)),
+            )
+            # Residue past every candidate: fill globally free capacity
+            # in list order (a handful of rows in practice).
+            rank_row, cnts = rank_rows(cur)
+            over = rank_row >= cap
+            free = cap - jnp.minimum(cnts, cap)
+            cumfree = jnp.cumsum(free)
+            ovr_pos = jnp.cumsum(over.astype(jnp.int32)) - 1
+            target = jnp.searchsorted(
+                cumfree, ovr_pos, side="right"
+            ).astype(jnp.int32)
+            cur = jnp.where(over, jnp.minimum(target, nlist - 1), cur)
+            slot_row, cnts = rank_rows(cur)
+            return cur, slot_row, cnts, jnp.sum(cur != cur0)
+
+        list_of_row_dev, slot_of_row_dev, counts_d, moved = bucketize_capped(
+            cand_dev, d2_dev
+        )
+        counts = np.asarray(counts_d)
+        results["spilled"] = int(moved)
+        del cand_dev, d2_dev
+        print(f"device spill: moved {int(moved)} rows "
+              f"(max list {int(counts.max())}, cap {cap}) "
+              f"({time.perf_counter() - t_sp:.1f}s)", flush=True)
+    else:
+        counts = np.bincount(assign, minlength=nlist)
+    if not spill_device and cap and int(counts.max(initial=0)) > cap:
         t_sp = time.perf_counter()
         over = int(np.sum(counts > cap))
 
@@ -258,19 +375,23 @@ def main() -> int:
         results["spilled"] = int(len(spill))
 
     pad = int(-(-max(int(counts.max(initial=1)), 8) // 128) * 128)
-    order = np.argsort(assign, kind="stable").astype(np.int32)
-    sorted_lists = assign[order]
-    starts = np.zeros((nlist,), np.int64)
-    np.cumsum(counts[:-1], out=starts[1:])
-    slots = (np.arange(n) - starts[sorted_lists]).astype(np.int32)
     code_gb = nlist * pad * d / 2**30
     print(f"pad={pad} (max list {int(counts.max())}, avg {n / nlist:.0f}) "
           f"-> codes {code_gb:.1f} GiB", flush=True)
 
-    # slot of row r in the bucketed store = sorted position - list start
-    slot_of_row = np.zeros((n,), np.int32)
-    slot_of_row[order] = slots
-    list_of_row = assign.astype(np.int32)
+    if not spill_device:
+        order = np.argsort(assign, kind="stable").astype(np.int32)
+        sorted_lists = assign[order]
+        starts = np.zeros((nlist,), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        slots = (np.arange(n) - starts[sorted_lists]).astype(np.int32)
+        # slot of row r in the bucketed store = sorted position - list start
+        slot_of_row = np.zeros((n,), np.int32)
+        slot_of_row[order] = slots
+        # one 80 MB host->device push; the device-spill path already holds
+        # these on device (slot = final in-list rank by construction)
+        list_of_row_dev = jnp.asarray(assign.astype(np.int32))
+        slot_of_row_dev = jnp.asarray(slot_of_row)
 
     # ---- build pass 2: quantize + scatter codes -------------------------
     t0 = time.perf_counter()
@@ -289,14 +410,17 @@ def main() -> int:
     jax.block_until_ready(codes_dev)
     mem("after codes alloc")
     li_dev = jnp.full((nlist, pad), -1, jnp.int32)
+    ids_all = jnp.arange(n, dtype=jnp.int32)
     for ci in range(n_chunks):
         x = gen(ci, chunk)
-        rows = np.arange(ci * chunk, (ci + 1) * chunk, dtype=np.int32)
-        l_np = jnp.asarray(list_of_row[rows])
-        s_np = jnp.asarray(slot_of_row[rows])
-        codes_dev = scatter_codes(codes_dev, x, l_np, s_np)
-        li_dev = scatter_ids(li_dev, jnp.asarray(rows), l_np, s_np)
-        del x, l_np, s_np
+        sl = slice(ci * chunk, (ci + 1) * chunk)
+        codes_dev = scatter_codes(
+            codes_dev, x, list_of_row_dev[sl], slot_of_row_dev[sl]
+        )
+        li_dev = scatter_ids(
+            li_dev, ids_all[sl], list_of_row_dev[sl], slot_of_row_dev[sl]
+        )
+        del x
 
     @jax.jit
     def dec_norms(codes):

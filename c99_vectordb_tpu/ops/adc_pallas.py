@@ -652,8 +652,9 @@ def build_item_constants_device(
     dsub = codebooks.shape[2]
     cent_sub = centroids.reshape(centroids.shape[0], m, dsub)
     # Chunk the (chunk, m, dsub) decode intermediates: materializing all
-    # n at once is n*D floats (15 GB at 10M x 384).
-    chunk = min(n, 262_144) or 1
+    # n at once is n*D floats (15 GB at 10M x 384); builds run this next
+    # to an ~8 GB refine store, so keep the transient small.
+    chunk = min(n, 65_536) or 1
     n_pad = ((n + chunk - 1) // chunk) * chunk
 
     @jax.jit
