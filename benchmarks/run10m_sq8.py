@@ -57,12 +57,15 @@ def main() -> int:
                    "Bounds the codes store: uncapped cluster skew at 10M "
                    "(max 2724 vs avg 1280) OOMs one v5e next to the bf16 "
                    "refine store")
-    p.add_argument("--spill", choices=["device", "host"], default="device",
-                   help="overflow-row spill implementation: 'device' keeps "
-                   "assignment, capacity-capped bucketing, and slot layout "
-                   "on the TPU (no n-sized host transfers); 'host' is the "
-                   "round-3 reference implementation (sequential greedy on "
-                   "host, ~200 MB of transfers at 10M)")
+    p.add_argument("--spill", choices=["host", "device"], default="host",
+                   help="overflow-row spill implementation. 'host' "
+                   "(default): sequential greedy on host, ~200 MB of "
+                   "transfers at 10M — measured 66 s total (pass1+spill). "
+                   "'device': fully on-TPU capacity-capped bucketing, zero "
+                   "n-sized transfers, bit-identical spill count and "
+                   "recall — but measured 123 s: ~35 XLA sorts of 10M "
+                   "rows cost more than the host path's transfers on this "
+                   "link. Kept for transfer-starved environments.")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
     args = p.parse_args()
@@ -202,12 +205,22 @@ def main() -> int:
     def assign_with_cands(x, cents, csq):
         # device-spill variant: the R nearest centroids per row (approx
         # top-k at 0.999 — a rare rank-0 miss only relocates that row,
-        # same effect as a spill) + the same cross-row comparable d2
-        d_ = csq[None, :] - 2.0 * jnp.dot(
-            x, cents.T, preferred_element_type=jnp.float32
-        )
-        vals, idx = jax.lax.approx_min_k(d_, R, recall_target=0.999)
-        return idx.astype(jnp.int32), vals[:, 0] + jnp.sum(x * x, axis=1)
+        # same effect as a spill) + the same cross-row comparable d2.
+        # Explicitly row-blocked: argmin fuses into the (chunk, nlist)
+        # matmul so the full distance block never materializes, but
+        # approx_min_k does NOT — unblocked it fails TPU compilation
+        # (tpu_compile_helper exit 1 at (1M, 8192)).
+        def block(xb):
+            d_ = csq[None, :] - 2.0 * jnp.dot(
+                xb, cents.T, preferred_element_type=jnp.float32
+            )
+            vals, idx = jax.lax.approx_min_k(d_, R, recall_target=0.999)
+            return idx.astype(jnp.int32), vals[:, 0] + jnp.sum(xb * xb, axis=1)
+
+        sub = 16_384
+        nb = x.shape[0] // sub if x.shape[0] % sub == 0 else 1
+        idx, d2 = jax.lax.map(block, x.reshape(nb, -1, x.shape[1]))
+        return idx.reshape(-1, R), d2.reshape(-1)
 
     assigns, dists = [], []
     for ci in range(n_chunks):
