@@ -133,10 +133,11 @@ def main() -> int:
     if args.opq:
         from c99_vectordb_tpu.models.ivf_pq import train_opq_rotation
 
-        sample = np.asarray(first[:: max(1, chunk // 65_536)][:65_536])
-        rot = train_opq_rotation(sample, m, iters=args.opq_iters, seed=3)
+        # Pass the device chunk straight in: train_opq_rotation strides
+        # its own 64k sample on device (the old np.asarray pull moved
+        # ~100 MB device->host only to push it back).
+        rot = train_opq_rotation(first, m, iters=args.opq_iters, seed=3)
         rot_dev = jnp.asarray(rot)
-        del sample
         print(f"opq rotation trained ({time.perf_counter() - t0:.1f}s)", flush=True)
 
     def rotate(x):
@@ -188,7 +189,7 @@ def main() -> int:
         a = assign_clusters(xr, centroids, out_device=True)
         c = assign_clusters_multi(residual_subs(xr, centroids, a), books,
                                   out_device=True)
-        assigns.append(np.asarray(a))                       # host (4B/vec)
+        assigns.append(a)                                   # stays on device
         refine_dev = write_refine(refine_dev, x, jnp.int32(ci * chunk))
         codes_dev = write_codes(codes_dev, c, jnp.int32(ci * chunk))
         del x, xr, a, c

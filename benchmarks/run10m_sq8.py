@@ -218,9 +218,11 @@ def main() -> int:
             return idx.astype(jnp.int32), vals[:, 0] + jnp.sum(xb * xb, axis=1)
 
         sub = 16_384
-        nb = x.shape[0] // sub if x.shape[0] % sub == 0 else 1
-        idx, d2 = jax.lax.map(block, x.reshape(nb, -1, x.shape[1]))
-        return idx.reshape(-1, R), d2.reshape(-1)
+        rows = x.shape[0]
+        rows_pad = ((rows + sub - 1) // sub) * sub
+        xp = jnp.pad(x, ((0, rows_pad - rows), (0, 0)))
+        idx, d2 = jax.lax.map(block, xp.reshape(rows_pad // sub, sub, x.shape[1]))
+        return idx.reshape(-1, R)[:rows], d2.reshape(-1)[:rows]
 
     assigns, dists = [], []
     for ci in range(n_chunks):
