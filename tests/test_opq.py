@@ -103,3 +103,29 @@ class TestOPQ:
         got_d, got_i = loaded.search(data[:4], 3)
         np.testing.assert_array_equal(got_i, want_i)
         np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-5)
+
+
+def test_rotation_device_input_matches_numpy():
+    # train_opq_rotation is device-resident; a device-array corpus (the
+    # corpus-scale caller: a chunk that never left the TPU) must learn
+    # the same rotation as the equivalent numpy input.
+    import jax.numpy as jnp
+
+    from c99_vectordb_tpu.models.ivf_pq import train_opq_rotation
+
+    data = _correlated_corpus(n=2048, dim=32)
+    r_np = train_opq_rotation(data, 4, iters=2, seed=1)
+    r_dev = train_opq_rotation(jnp.asarray(data), 4, iters=2, seed=1)
+    np.testing.assert_allclose(r_dev, r_np, rtol=1e-4, atol=1e-5)
+
+
+def test_kmeans_multi_device_input_matches_numpy():
+    import jax.numpy as jnp
+
+    from c99_vectordb_tpu.ops.kmeans import train_kmeans_multi
+
+    rng = np.random.default_rng(3)
+    subs = rng.standard_normal((3, 600, 8)).astype(np.float32)
+    host = train_kmeans_multi(subs, 16, iters=3, seed=2)
+    dev = train_kmeans_multi(jnp.asarray(subs), 16, iters=3, seed=2)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
