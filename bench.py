@@ -52,7 +52,7 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int,
     import jax
     import jax.numpy as jnp
 
-    from c99_vectordb_tpu.ops.rerank import rerank_program, shortlist_depth
+    from c99_vectordb_tpu.ops.rerank import rerank_program_rows, shortlist_depth
     from c99_vectordb_tpu.ops.topk_pallas import fused_topk
 
     kd = jax.random.key(0)
@@ -82,9 +82,11 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int,
         def search_step(db, scan_db, ids, sq_norms, q):
             q_scan = q if q_scale is None else q * q_scale
             _, ci = fused_topk(scan_db, ids, scan_norms, q_scan, k_scan)
-            # ids are iota here, so the id->row table IS the id array.
-            return rerank_program(n, d, n, b, k_scan, k, "float32")(
-                db, ids, ci, q
+            # ids are iota here (ids ARE the store rows): the rows-mode
+            # rerank skips the id->row table gather, which costs as much
+            # as the row gather itself (ops/rerank.rerank_program_rows).
+            return rerank_program_rows(n, d, b, k_scan, k, "float32")(
+                db, ci, ci, q
             )
 
     else:
@@ -141,7 +143,7 @@ def bench_ivf_sq8(n: int, d: int, b: int, k: int, nlist: int = 4096) -> float:
     from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program
     from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
     from c99_vectordb_tpu.ops.rerank import (
-        exact_rerank_staged, shortlist_depth,
+        exact_rerank_rows, shortlist_depth,
     )
 
     db = jax.random.normal(jax.random.key(0), (n, d), dtype=jnp.float32)
@@ -171,23 +173,16 @@ def bench_ivf_sq8(n: int, d: int, b: int, k: int, nlist: int = 4096) -> float:
     from c99_vectordb_tpu.models.ivf_flat import _sq8_stage  # product quantizer
 
     codes, dim_scale, dec_sqn = _sq8_stage(lv, li)
-    bucket_row = np.zeros((n,), np.int32)
-    bucket_row[order] = (sorted_lists.astype(np.int64) * pad + slots).astype(
-        np.int32
-    )
-    from c99_vectordb_tpu.ops.rerank import build_id_lookup
-
-    lookup = build_id_lookup(np.arange(n, dtype=np.int64), bucket_row)
     ks = shortlist_depth(k, n)
     prog = ivf_sq8_search_program(nlist, pad, d, b, 1, ks)
 
-    def step(q, c, csq, _codes, _scale, _dsq, _li, _lv, _rowid):
-        _, si = prog(c, csq, _codes, _scale, _dsq, _li, q)
-        return exact_rerank_staged(
-            _lv.reshape(-1, d), ("dense", _rowid), si, q, k
-        )
+    def step(q, c, csq, _codes, _scale, _dsq, _li, _lv):
+        # The scan emits bucket-store rows alongside ids: the rerank
+        # gathers by row directly, no id->row table gather.
+        _, si, srows = prog(c, csq, _codes, _scale, _dsq, _li, q)
+        return exact_rerank_rows(_lv.reshape(-1, d), srows, si, q, k)
 
-    ops = (centroids, c_sq, codes, dim_scale, dec_sqn, li, lv, lookup[1])
+    ops = (centroids, c_sq, codes, dim_scale, dec_sqn, li, lv)
 
     import functools
 

@@ -28,7 +28,7 @@ from c99_vectordb_tpu.ops.ivf_scan_pallas import (
     ivf_full_search_program, ivf_sq8_search_program,
 )
 from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
-from c99_vectordb_tpu.ops.rerank import exact_rerank_staged, shortlist_depth
+from c99_vectordb_tpu.ops.rerank import exact_rerank_rows, shortlist_depth
 
 import os
 
@@ -116,15 +116,6 @@ def main():
     codes, dim_scale, dec_sqn = _sq8_stage(lv, li)
     float(jnp.sum(dim_scale))
 
-    # id -> bucket row table (ids are iota; row = where order placed them)
-    from c99_vectordb_tpu.ops.rerank import build_id_lookup
-
-    bucket_row = np.zeros((N,), np.int32)
-    bucket_row[order] = (sorted_lists.astype(np.int64) * pad + slots).astype(
-        np.int32
-    )
-    lookup = build_id_lookup(np.arange(N, dtype=np.int64), bucket_row)
-
     eval_q = gen(jnp.zeros((B,)), 9)
 
     @jax.jit
@@ -179,13 +170,13 @@ def main():
             return exact_prog(c, csq, _lv, _ln, _li, q)
 
         ops_e = (centroids, c_sq, lv, ln, li)
-        ops_q = ops_e + (codes, dim_scale, dec_sqn, lookup[1])
+        ops_q = ops_e + (codes, dim_scale, dec_sqn)
 
-        def sq8_step_l(q, c, csq, _lv, _ln, _li, _codes, _scale, _dsq, _rowid):
-            _, si = sq8_prog(c, csq, _codes, _scale, _dsq, _li, q)
-            return exact_rerank_staged(
-                _lv.reshape(-1, D), ("dense", _rowid), si, q, K
-            )
+        def sq8_step_l(q, c, csq, _lv, _ln, _li, _codes, _scale, _dsq):
+            # rows-mode rerank: the scan emits bucket-store rows, no
+            # id->row table gather (ops/rerank.rerank_program_rows)
+            _, si, srows = sq8_prog(c, csq, _codes, _scale, _dsq, _li, q)
+            return exact_rerank_rows(_lv.reshape(-1, D), srows, si, q, K)
 
         _, ei = jax.jit(exact_step)(eval_q, *ops_e)
         _, qi = jax.jit(sq8_step_l)(eval_q, *ops_q)

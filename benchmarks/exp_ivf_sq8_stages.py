@@ -28,7 +28,7 @@ from c99_vectordb_tpu.ops.ivf_scan_pallas import (
 )
 from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
 from c99_vectordb_tpu.ops.rerank import (
-    build_id_lookup, exact_rerank_staged, shortlist_depth,
+    build_id_lookup, exact_rerank_rows, exact_rerank_staged, shortlist_depth,
 )
 
 N, D, K, B, NLIST, P = 1_048_576, 768, 10, 128, 4096, 1
@@ -142,10 +142,9 @@ def main():
     def s_full(q, cents, csq, _codes, _scale, _dsq, _li, _lv, _rowid):
         probes = coarse_probes(q, cents, csq)
         qi, rs = quantize(q, _scale)
-        _, si = scan(probes, qi, rs, _codes, _dsq, _li)
-        return exact_rerank_staged(
-            _lv.reshape(-1, D), ("dense", _rowid), si, q, K
-        )
+        _, si, srows = scan(probes, qi, rs, _codes, _dsq, _li)
+        del _rowid  # rows come from the scan now (rows-mode rerank)
+        return exact_rerank_rows(_lv.reshape(-1, D), srows, si, q, K)
 
     ops = (centroids, c_sq, codes, dim_scale, dec_sqn, li, lv, lookup[1])
     for name, fn in (

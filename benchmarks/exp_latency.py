@@ -35,9 +35,7 @@ import jax.numpy as jnp
 from c99_vectordb_tpu.models.base import list_pad
 from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program
 from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
-from c99_vectordb_tpu.ops.rerank import (
-    build_id_lookup, exact_rerank_staged, shortlist_depth,
-)
+from c99_vectordb_tpu.ops.rerank import exact_rerank_rows, shortlist_depth
 
 N, D, K = 1_048_576, 768, 10
 NLIST, NCLUST = 4096, 4096
@@ -120,9 +118,6 @@ def main():
     codes, dim_scale, dec_sqn = _sq8_stage(lv, li)
     float(jnp.sum(dim_scale))
 
-    bucket_row = np.zeros((N,), np.int32)
-    bucket_row[order] = (sorted_lists.astype(np.int64) * pad + slots).astype(np.int32)
-    lookup = build_id_lookup(np.arange(N, dtype=np.int64), bucket_row)
     del db, sq
 
     ks = shortlist_depth(K, N)
@@ -133,13 +128,11 @@ def main():
         for b in BATCHES:
             prog = ivf_sq8_search_program(NLIST, pad, D, b, p, ks)
 
-            def step(q, c, csq, _codes, _scale, _dsq, _li, _lv, _rowid):
-                _, si = prog(c, csq, _codes, _scale, _dsq, _li, q)
-                return exact_rerank_staged(
-                    _lv.reshape(-1, D), ("dense", _rowid), si, q, K
-                )
+            def step(q, c, csq, _codes, _scale, _dsq, _li, _lv):
+                _, si, srows = prog(c, csq, _codes, _scale, _dsq, _li, q)
+                return exact_rerank_rows(_lv.reshape(-1, D), srows, si, q, K)
 
-            ops = (centroids, c_sq, codes, dim_scale, dec_sqn, li, lv, lookup[1])
+            ops = (centroids, c_sq, codes, dim_scale, dec_sqn, li, lv)
             out_d, out_i = jax.jit(step)(eval128[:b], *ops)
             got = np.asarray(out_i)
             if p in ref_ids:  # compare the overlapping prefix of queries

@@ -151,13 +151,86 @@ def main():
             return merge_topk(exact, cand_ids, K)
 
         if "rerank" in which:
-            for name, fn in (
+            variants = (
                 ("D plain  rerank", rerank_plain),
                 ("E qsort  rerank", rerank_sorted),
                 ("F gsort  rerank", rerank_gsorted),
-            ):
+            )
+            if "prod" in which:  # comparison run: only D is needed
+                variants = variants[:1]
+            for name, fn in variants:
                 us = timed_us(fn, (cand_ids, vectors, queries), (B * r,))
                 print(f"r={r:4d} {name}: {us:8.1f} us/batch", flush=True)
+
+        if "prod" in which:
+            # G: the PRODUCTION program (ops/rerank.exact_rerank) at the
+            # sq8-IVF composite's exact shapes — bucketed (nlist*pad, D)
+            # store + pow2 id->row table — vs D above. Stage attribution
+            # charged the composite's rerank ~61 us/batch at r=20 where D
+            # measures ~32; this isolates whether the production program
+            # itself is 2x the equivalent inline code or the attribution
+            # included pipeline effects.
+            from c99_vectordb_tpu.models.base import next_pow2
+            from c99_vectordb_tpu.ops.rerank import rerank_program
+
+            n_store = 4096 * 384  # nlist * pad at the 1M config
+            store = jnp.pad(vectors, ((0, n_store - N), (0, 0)))
+            cap = next_pow2(N)
+            row_of_id = jnp.asarray(
+                np.concatenate([
+                    rng.permutation(n_store)[:N].astype(np.int32),
+                    np.zeros((cap - N,), np.int32),
+                ])
+            )
+            prog = rerank_program(n_store, D, cap, B, r, K, "float32")
+
+            def rerank_production(delta, cand_ids, store, row_of_id, queries):
+                cand_ids = cand_ids + (delta.reshape(B, r) * 0.0).astype(jnp.int32)
+                return prog(store, row_of_id, cand_ids, queries)
+
+            us = timed_us(
+                rerank_production, (cand_ids, store, row_of_id, queries),
+                (B * r,),
+            )
+            print(f"r={r:4d} G prod   rerank: {us:8.1f} us/batch", flush=True)
+
+            # H: same program with the id->row translation cut from the
+            # row gather by an optimization barrier. Hypothesis: XLA
+            # fuses gather(gather) into one combined access pattern that
+            # loses the efficient per-row DMA, costing 2x (G vs D).
+            def rerank_barrier(delta, cand_ids, store, row_of_id, queries):
+                cand_ids = cand_ids + (delta.reshape(B, r) * 0.0).astype(jnp.int32)
+                safe = jnp.clip(jnp.maximum(cand_ids, 0), 0, cap - 1)
+                rows = jax.lax.optimization_barrier(row_of_id[safe])
+                vecs = store[rows].astype(jnp.float32)
+                diff = vecs - queries[:, None, :]
+                exact = jnp.sum(diff * diff, axis=-1)
+                exact = jnp.where(cand_ids >= 0, exact, jnp.inf)
+                return merge_topk(exact, cand_ids, K)
+
+            us = timed_us(
+                rerank_barrier, (cand_ids, store, row_of_id, queries),
+                (B * r,),
+            )
+            print(f"r={r:4d} H barrier rerank: {us:8.1f} us/batch", flush=True)
+
+            # I: G's exact structure but gathering straight from the ids
+            # (no table) — isolates whether the second gather or the
+            # padded/larger store is the cost.
+            def rerank_notable(delta, cand_ids, store, row_of_id, queries):
+                cand_ids = cand_ids + (delta.reshape(B, r) * 0.0).astype(jnp.int32)
+                rows = jnp.clip(jnp.maximum(cand_ids, 0), 0, n_store - 1)
+                vecs = store[rows].astype(jnp.float32)
+                diff = vecs - queries[:, None, :]
+                exact = jnp.sum(diff * diff, axis=-1)
+                exact = jnp.where(cand_ids >= 0, exact, jnp.inf)
+                return merge_topk(exact, cand_ids, K)
+
+            us = timed_us(
+                rerank_notable, (cand_ids, store, row_of_id, queries),
+                (B * r,),
+            )
+            print(f"r={r:4d} I notable rerank: {us:8.1f} us/batch", flush=True)
 
 
 if __name__ == "__main__":

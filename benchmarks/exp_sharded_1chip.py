@@ -31,7 +31,7 @@ from c99_vectordb_tpu.ops.ivf_scan_pallas import (
     ivf_full_search_program, ivf_sq8_search_program,
 )
 from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
-from c99_vectordb_tpu.ops.rerank import exact_rerank_staged, shortlist_depth
+from c99_vectordb_tpu.ops.rerank import exact_rerank_rows, shortlist_depth
 from c99_vectordb_tpu.parallel.mesh import make_mesh
 from c99_vectordb_tpu.parallel.sharded import (
     sharded_ivf_search_program, sharded_ivf_sq8_search_program,
@@ -156,10 +156,9 @@ def main():
             return exact_prog(c, csq, _lv, _ln, _li, q)
 
         def sq8_step(q, c, csq, _lv, _li, _codes, _scale, _dsq, _rowid):
-            _, si = sq8_prog(c, csq, _codes, _scale, _dsq, _li, q)
-            return exact_rerank_staged(
-                _lv.reshape(-1, D), ("dense", _rowid), si, q, K
-            )
+            _, si, srows = sq8_prog(c, csq, _codes, _scale, _dsq, _li, q)
+            del _rowid  # rows come from the scan now (rows-mode rerank)
+            return exact_rerank_rows(_lv.reshape(-1, D), srows, si, q, K)
 
         qps_e1 = timed_qps(exact_step, (centroids, c_sq, lv, ln, li), B)
         qps_q1 = timed_qps(

@@ -232,7 +232,9 @@ def main() -> int:
     raw_rec = recall_at_k(np.asarray(raw_i), gt_i)
 
     # Product path: kernel shortlist + exact f32 rerank (ops/rerank.py)
-    from c99_vectordb_tpu.ops.rerank import rerank_program, shortlist_depth
+    from c99_vectordb_tpu.ops.rerank import (
+        rerank_program, rerank_program_rows, shortlist_depth,
+    )
 
     k_slack = shortlist_depth(k, n)
     if on_tpu:
@@ -499,12 +501,12 @@ def main() -> int:
             min(p_, nlist) for p_ in (args.nprobe_sweep[0], 4)
         ):
             sq8_p = ivf_sq8_search_program(nlist, pad, d, b, nprobe, ks_sq8)
-            rr_p = rerank_program(nlist * pad, d, n, b, ks_sq8, k, "float32")
+            rr_p = rerank_program_rows(nlist * pad, d, b, ks_sq8, k, "float32")
 
             def ivf_sq8_step(q, cents, csq, lv, lsq, lids, cod, sc, dsq, rop,
                              _s=sq8_p, _r=rr_p):
-                _, ci = _s(cents, csq, cod, sc, dsq, lids, q)
-                return _r(lv.reshape(nlist * pad, d), rop, ci, q)
+                _, ci, crows = _s(cents, csq, cod, sc, dsq, lids, q)
+                return _r(lv.reshape(nlist * pad, d), crows, ci, q)
 
             ops3 = ivf_ops + (sq8_codes, sq8_scale, sq8_dsq, rr_ops[0])
             _, ai = jax.jit(ivf_sq8_step)(eval_q_dev, *ops3)

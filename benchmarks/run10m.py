@@ -80,7 +80,7 @@ def main() -> int:
         train_kmeans,
         train_kmeans_multi,
     )
-    from c99_vectordb_tpu.ops.rerank import rerank_program
+    from c99_vectordb_tpu.ops.rerank import rerank_program_rows
     from c99_vectordb_tpu.ops.topk import merge_topk
 
     print(
@@ -346,7 +346,7 @@ def main() -> int:
                 adc = adc_dense_search_program(
                     nlist, pad, d, m, ksub, b, nprobe, k_adc
                 )
-                rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
+                rr = rerank_program_rows(n, d, b, k_adc, k, "bfloat16")
                 adc_ops = (
                     centroids, c_sq, books, codes128, item_const_d, list_ids,
                 )
@@ -354,25 +354,27 @@ def main() -> int:
                 from c99_vectordb_tpu.models.ivf_pq import _adc_search_program
 
                 adc = _adc_search_program(nlist, pad, d, m, ksub, b, nprobe, k_adc)
-                rr = rerank_program(n, d, n, b, k_adc, k, "bfloat16")
+                rr = rerank_program_rows(n, d, b, k_adc, k, "bfloat16")
                 adc_ops = (centroids, c_sq, books, list_codes, list_ids)
 
             if rot_dev is None:
 
-                def refined_step(q, ref, ids, *ao):
+                # ids ARE refine-store rows (iota): rows-mode rerank,
+                # no id->row table gather (~1.7 ms/batch at k_adc=1024)
+                def refined_step(q, ref, *ao):
                     cd, ci = adc(*ao, q)
-                    return rr(ref, ids, ci, q)
+                    return rr(ref, ci, ci, q)
 
-                ops = (refine_dev, ids_dev) + adc_ops
+                ops = (refine_dev,) + adc_ops
             else:
                 # ADC runs in the rotated (quantization) space; the exact
                 # bf16 rerank stays in the original space (L2-preserving).
-                def refined_step(q, ref, ids, rotm, *ao):
+                def refined_step(q, ref, rotm, *ao):
                     qr = jnp.dot(q, rotm, preferred_element_type=jnp.float32)
                     cd, ci = adc(*ao, qr)
-                    return rr(ref, ids, ci, q)
+                    return rr(ref, ci, ci, q)
 
-                ops = (refine_dev, ids_dev, rot_dev) + adc_ops
+                ops = (refine_dev, rot_dev) + adc_ops
 
             _, ai = jax.jit(refined_step)(queries, *ops)
             rec = recall(np.asarray(ai))

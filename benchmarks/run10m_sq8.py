@@ -86,7 +86,7 @@ def main() -> int:
 
     from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program
     from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
-    from c99_vectordb_tpu.ops.rerank import rerank_program
+    from c99_vectordb_tpu.ops.rerank import rerank_program_rows
 
     print(
         f"# corpus {n} x {d} ({n_chunks} x {chunk} chunks), nlist {nlist}, "
@@ -486,20 +486,20 @@ def main() -> int:
             hi *= 4
         return b * (hi - lo) / max(t_hi - t_lo, 1e-9)
 
-    # rerank lookup is identity (ids ARE rows in the flat refine store)
-    row_of_id = jnp.arange(n, dtype=jnp.int32)
-
+    # ids ARE rows in the flat refine store: the rows-mode rerank skips
+    # the id->row gather (issue-bound ~13 ns/element = ~330 us/batch at
+    # ks=64x128 — ops/rerank.rerank_program_rows)
     for nprobe in nprobes:
         for ks in ks_list:
             prog = ivf_sq8_search_program(nlist, pad, d, b, nprobe, ks)
-            rr = rerank_program(n, d, n, b, ks, k, "bfloat16")
+            rr = rerank_program_rows(n, d, b, ks, k, "bfloat16")
 
-            def step(q, cents, csq, codes, scale, dsq, li, refine, rid):
-                _, si = prog(cents, csq, codes, scale, dsq, li, q)
-                return rr(refine, rid, si, q)
+            def step(q, cents, csq, codes, scale, dsq, li, refine):
+                _, si, _ = prog(cents, csq, codes, scale, dsq, li, q)
+                return rr(refine, si, si, q)
 
             ops = (centroids, c_sq, codes_dev, dim_scale, dec_sqn, li_dev,
-                   refine_dev, row_of_id)
+                   refine_dev)
             _, ai = jax.jit(step)(queries, *ops)
             r = rec(np.asarray(ai))
             qps = timed_qps(step, ops)

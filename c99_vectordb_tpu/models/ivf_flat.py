@@ -263,7 +263,9 @@ class IVFFlatIndex:
             from ..ops.ivf_scan_pallas import (
                 ivf_full_search_program, ivf_sq8_search_program,
             )
-            from ..ops.rerank import exact_rerank_staged, shortlist_depth
+            from ..ops.rerank import (
+                exact_rerank_rows, exact_rerank_staged, shortlist_depth,
+            )
 
             b = queries.shape[0]
             ks = min(shortlist_depth(k, self.ntotal), nprobe_eff * pad)
@@ -272,10 +274,18 @@ class IVFFlatIndex:
                 prog = ivf_sq8_search_program(
                     nlist_eff, pad, self.dim, b, nprobe_eff, ks
                 )
-                _, si = prog(
+                _, si, srows = prog(
                     centroids, c_sq, codes, dim_scale, dec_sqn, list_ids,
                     jnp.asarray(queries),
                 )
+                # The scan's bucket-store rows skip the id->row table
+                # gather (issue-bound, as costly as the row gather
+                # itself — ops/rerank.rerank_program_rows).
+                dists, out_ids = exact_rerank_rows(
+                    list_vecs.reshape(-1, self.dim), srows, si,
+                    jnp.asarray(queries), k,
+                )
+                return np.asarray(dists), np.asarray(out_ids, dtype=np.int64)
             else:  # bfloat16 scan store
                 # bf16 halves the list DMA, moving the dense/select
                 # crossover up: measured (exp_ivf_bf16_gate.py) dense

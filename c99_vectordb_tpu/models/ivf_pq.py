@@ -455,10 +455,18 @@ class IVFPQIndex:
         if self.refine:
             # Rerank consumes the device shortlist directly — no host trip.
             vecs, id_lookup, _, _ = self._stage_refine()
-            out_d, out_i = exact_rerank_staged(
-                vecs, id_lookup,
-                out_ids.astype(jnp.int32), jnp.asarray(queries), k,
-            )
+            si = out_ids.astype(jnp.int32)
+            if id_lookup[0] == "rows":
+                # id-indexed refine store: the ids ARE the rows
+                from ..ops.rerank import exact_rerank_rows
+
+                out_d, out_i = exact_rerank_rows(
+                    vecs, si, si, jnp.asarray(queries), k
+                )
+            else:
+                out_d, out_i = exact_rerank_staged(
+                    vecs, id_lookup, si, jnp.asarray(queries), k
+                )
             return np.asarray(out_d), np.asarray(out_i, dtype=np.int64)
         return np.asarray(dists)[:, :k], np.asarray(out_ids, dtype=np.int64)[:, :k]
 
@@ -470,17 +478,37 @@ class IVFPQIndex:
         if self._staged_refine is None:
             from ..ops.rerank import build_id_lookup
 
-            cap = next_pow2(max(self.ntotal, 1))
             dtype = np.float32 if self.refine_dtype == "float32" else jnp.bfloat16
-            vecs = np.zeros((cap, self.dim), np.float32)
-            vecs[: self.ntotal] = self._vectors
-            ids = np.full((cap,), -1, np.int32)
-            ids[: self.ntotal] = self._ids.astype(np.int32)
-            valid = np.zeros((cap,), bool)
-            valid[: self.ntotal] = True
+            ids_i = self._ids.astype(np.int64)
+            max_id = int(ids_i.max(initial=-1))
+            if self.ntotal and max_id + 1 <= 64 * self.ntotal + 1024:
+                # Dense id space: stage the store ID-INDEXED (row ==
+                # external id), so the refine gathers rows straight from
+                # the shortlist ids — no id->row table gather, which is
+                # issue-bound at ~13 ns/element and costs as much as the
+                # row gather itself (ops/rerank.rerank_program_rows;
+                # ~330 us/batch at a B=128 top-200 shortlist). Same ~4
+                # bytes/record tradeoff the dense lookup table made.
+                cap = next_pow2(max_id + 1)
+                vecs = np.zeros((cap, self.dim), np.float32)
+                vecs[ids_i] = self._vectors
+                ids = np.full((cap,), -1, np.int32)
+                ids[ids_i] = ids_i.astype(np.int32)
+                valid = np.zeros((cap,), bool)
+                valid[ids_i] = True
+                lookup = ("rows",)
+            else:  # sparse ids: positional store + searchsorted lookup
+                cap = next_pow2(max(self.ntotal, 1))
+                vecs = np.zeros((cap, self.dim), np.float32)
+                vecs[: self.ntotal] = self._vectors
+                ids = np.full((cap,), -1, np.int32)
+                ids[: self.ntotal] = self._ids.astype(np.int32)
+                valid = np.zeros((cap,), bool)
+                valid[: self.ntotal] = True
+                lookup = build_id_lookup(self._ids)
             self._staged_refine = (
                 jax.device_put(jnp.asarray(vecs, dtype=dtype)),
-                build_id_lookup(self._ids),
+                lookup,
                 jax.device_put(ids),
                 jax.device_put(valid),
             )

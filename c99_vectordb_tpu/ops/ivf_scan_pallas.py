@@ -64,7 +64,15 @@ def _shortlist_topk(d2, i2, ks: int):
 
     Pads to width ks with (inf, -1) when the scan width is narrower
     than the requested shortlist (ADVICE round 2, #1 — lax.top_k would
-    raise instead)."""
+    raise instead).
+
+    Returns (keys, ids, pos) — pos is each entry's CANVAS position
+    (column of d2), which _canvas_rows turns into the bucket-store row
+    so the downstream rerank can gather rows WITHOUT an id->row table
+    lookup (the table gather is issue-bound at ~13 ns/element — as
+    expensive as gathering the candidate rows themselves; see
+    ops/rerank.rerank_program_rows). Padded entries carry pos 0 and
+    id -1 (the rerank masks on id < 0)."""
     width = d2.shape[1]
     k_eff = min(ks, width)
     # approx only when the shortlist is a SMALL fraction of the scan
@@ -81,7 +89,21 @@ def _shortlist_topk(d2, i2, ks: int):
         padcfg = ((0, 0), (0, ks - width))
         d = jnp.pad(d, padcfg, constant_values=jnp.inf)
         i = jnp.pad(i, padcfg, constant_values=-1)
-    return d, i
+        pos = jnp.pad(pos, padcfg, constant_values=0)
+    return d, i, pos
+
+
+def _canvas_rows(pos, probes, pad: int):
+    """Bucket-store row (list * pad + slot) of each shortlist canvas
+    position. The probed-list id is selected with nprobe vectorized
+    compares — an axis-0 gather of probes would pay the same ~13
+    ns/element issue cost the whole scheme exists to avoid."""
+    p_idx = (pos // pad).astype(jnp.int32)
+    slot = (pos % pad).astype(jnp.int32)
+    lsel = jnp.zeros(pos.shape, jnp.int32)
+    for p in range(probes.shape[1]):
+        lsel = jnp.where(p_idx == p, probes[:, p : p + 1], lsel)
+    return lsel * pad + slot
 
 
 def _round_up(n: int, m: int) -> int:
@@ -573,7 +595,8 @@ def ivf_scan_program_dense_int8(
             # APPROXIMATE key alone suffices — top_k is far cheaper than
             # the (key, id) lex-sort at wide scans, and boundary ties
             # among quantization-equal candidates are harmless.
-            return _shortlist_topk(d2, i2, ks)
+            d, i, pos = _shortlist_topk(d2, i2, ks)
+            return d, i, _canvas_rows(pos, lists, pad)
 
         return run
 
@@ -644,7 +667,8 @@ def ivf_scan_program_dense_int8(
         # the transpose is one cheap pass over the small dense output
         d2 = out_d.transpose(0, 2, 1, 3).reshape(b, nprobe * pad)
         i2 = out_i.transpose(0, 2, 1, 3).reshape(b, nprobe * pad)
-        return _shortlist_topk(d2, i2, ks)
+        d, i, pos = _shortlist_topk(d2, i2, ks)
+        return d, i, _canvas_rows(pos, lists, pad)
 
     return run
 
@@ -654,7 +678,8 @@ def ivf_sq8_search_program(
     nlist: int, pad: int, dim: int, b: int, nprobe: int, ks: int,
     qps_step: int | None = None,
 ):
-    """Coarse ranking + SQ8 dense scan -> (keys, ids) shortlist (b, ks).
+    """Coarse ranking + SQ8 dense scan -> (keys, ids, rows) shortlist
+    (each (b, ks)).
 
     The caller holds the per-dimension SQ8 scale (dim_scale, (D,) f32)
     and decoded-space row norms; queries are folded (x dim_scale x -2)
@@ -662,7 +687,10 @@ def ivf_sq8_search_program(
     approximate key only (position-order ties); the exact id-aware
     rerank (ops/rerank.py) downstream restores both exactness and the
     lowest-id tie contract — same composite as the flat int8 path
-    (ops/topk_pallas.py)."""
+    (ops/topk_pallas.py). `rows` is each candidate's bucket-store row
+    (list * pad + slot): reranks against the bucketed store gather by
+    it directly (ops/rerank.exact_rerank_rows) instead of paying the
+    issue-bound id->row table gather."""
     if qps_step is None:  # 8-slot steps when the batch and VMEM allow
         fits = 16 * pad * dim + 2 * 8 * pad * 8 <= 13 * 2**20
         qps_step = 8 if b % 8 == 0 and fits else 1

@@ -66,6 +66,57 @@ def rerank_program(n_rows: int, dim: int, cap: int, b: int, r: int, k: int, dtyp
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def rerank_program_rows(n_rows: int, dim: int, b: int, r: int, k: int, dtype: str):
+    """Rerank WITHOUT the id->row translation gather.
+
+    Measured (benchmarks/exp_rerank_gather.py): XLA's scattered gather
+    is per-ELEMENT issue-bound (~13 ns each regardless of payload), so
+    the (b, r) row_of_id table lookup in rerank_program costs as much
+    as gathering the (b, r) 3 KB rows themselves — 61.4 vs 29.8
+    us/batch at r=20, 711 vs 383 at r=200 (and ~1.7 ms at B=128
+    r=1024). Callers that already KNOW the store row of every candidate
+    skip it entirely:
+      - identity stores (ids are 0..n-1 store rows, e.g. the flat bf16
+        refine stores of the 10M benchmarks): pass cand_rows=cand_ids;
+      - position-emitting scans (the IVF shortlist's canvas position
+        maps to bucket row list*pad + slot): pass the computed rows.
+
+    Arguments of the returned program:
+      vectors   (n_rows, dim)   candidate store
+      cand_rows (b, r) int32    store row per candidate (clamped; any
+                                value is safe where cand_ids < 0)
+      cand_ids  (b, r) int32    external ids, -1 = invalid (tie-break +
+                                output identity, same contract as
+                                rerank_program)
+      queries   (b, dim)
+    """
+
+    @jax.jit
+    def run(vectors, cand_rows, cand_ids, queries):
+        rows = jnp.clip(jnp.maximum(cand_rows, 0), 0, n_rows - 1)
+        vecs = vectors[rows].astype(jnp.float32)               # (b, r, dim)
+        diff = vecs - queries[:, None, :].astype(jnp.float32)
+        exact = jnp.sum(diff * diff, axis=-1)
+        exact = jnp.where(cand_ids >= 0, exact, jnp.inf)
+        return merge_topk(exact, cand_ids, k)
+
+    return run
+
+
+def exact_rerank_rows(vectors, cand_rows, cand_ids, queries, k: int):
+    """Convenience wrapper resolving rerank_program_rows from shapes."""
+    program = rerank_program_rows(
+        int(vectors.shape[0]),
+        int(vectors.shape[1]),
+        int(cand_ids.shape[0]),
+        int(cand_ids.shape[1]),
+        int(k),
+        str(vectors.dtype),
+    )
+    return program(vectors, cand_rows, cand_ids, queries)
+
+
 def exact_rerank(vectors, row_of_id, cand_ids, queries, k: int):
     """Convenience wrapper resolving the cached program from shapes."""
     program = rerank_program(
@@ -103,7 +154,10 @@ def rerank_program_sparse(
 
 
 def exact_rerank_staged(vectors, lookup, cand_ids, queries, k: int):
-    """Rerank with a lookup produced by build_id_lookup (dense or sparse)."""
+    """Rerank with a lookup produced by build_id_lookup
+    (identity, dense, or sparse)."""
+    if lookup[0] == "identity":
+        return exact_rerank_rows(vectors, cand_ids, cand_ids, queries, k)
     if lookup[0] == "dense":
         return exact_rerank(vectors, lookup[1], cand_ids, queries, k)
     _, ids_search, row_of_pos = lookup
@@ -124,6 +178,14 @@ def build_id_lookup(ids, rows=None):
 
     `ids` is the stored id array in ASCENDING order; `rows` the matching
     store row per id (defaults to the position). Returns device arrays:
+      ("identity",)                       — ids ARE the store rows
+                                            (ids == 0..n-1 and rows is
+                                            positional): the rerank skips
+                                            the translation gather, which
+                                            costs as much as the row
+                                            gather itself (issue-bound,
+                                            ~13 ns/element — see
+                                            rerank_program_rows)
       ("dense", row_of_id)                — ids dense enough for a direct
                                             table (max_id+1 pow2-padded,
                                             ~4 bytes/record; the CLI's ids
@@ -141,6 +203,13 @@ def build_id_lookup(ids, rows=None):
     row_arr = np.arange(n, dtype=np.int32) if rows is None else np.asarray(rows, np.int32)
     if n == 0:
         return ("dense", _jax.device_put(np.zeros((1,), np.int32)))
+    if (
+        rows is None
+        and ids[0] == 0
+        and ids[-1] == n - 1
+        and np.array_equal(ids, np.arange(n, dtype=ids.dtype))
+    ):
+        return ("identity",)
     max_id = int(ids.max())
     if max_id + 1 <= 64 * n + 1024:
         cap = next_pow2(max_id + 1)

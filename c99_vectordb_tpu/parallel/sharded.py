@@ -459,11 +459,15 @@ def sharded_ivf_sq8_search_program(
         from ..ops.ivf_scan_pallas import ivf_sq8_search_program
 
         prog = ivf_sq8_search_program(nlist, pad_local, dim, b, nprobe, ks)
-        _, si = prog(
+        _, si, srows = prog(
             centroids, c_sq, codes, dim_scale, dec_sqn, list_ids, queries
         )
-        safe = jnp.clip(jnp.maximum(si, 0), 0, cap - 1)
-        rows = row_of_id[0][safe]                          # (b, ks) local rows
+        # srows are (list * pad_local + slot) rows of THIS chip's slot
+        # store — gather directly; the per-chip id->row table (still an
+        # operand for layout compatibility) would cost an issue-bound
+        # ~13 ns/element gather (ops/rerank.rerank_program_rows).
+        del row_of_id
+        rows = jnp.clip(srows, 0, nlist * pad_local - 1)
         vecs = rerank_vecs.reshape(-1, dim)[rows].astype(jnp.float32)
         diff = vecs - queries[:, None, :].astype(jnp.float32)
         exact = jnp.sum(diff * diff, axis=-1)

@@ -235,3 +235,21 @@ def test_item_constants_device_matches_host():
         centroids, assign, codes, books, order, sorted_lists, slots, nlist, pad
     ))
     np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-5)
+
+
+def test_refine_id_indexed_store_with_gapped_ids():
+    # Dense-but-gapped external ids (post-deletion shape): the refine
+    # store stages id-indexed (row == id, lookup ("rows",)) and search
+    # results must match a brute-force oracle on the kept ids.
+    rng = np.random.default_rng(9)
+    points = rng.standard_normal((60, 32)).astype(np.float32)
+    ids = (np.arange(60, dtype=np.int64) * 2 + 1)  # odd ids, gaps everywhere
+    pq = IVFPQIndex(dim=32, nlist=2, nprobe=2, m=4, refine=True)
+    pq.train(points)
+    pq.add(points, ids)
+    assert pq._stage_refine()[1][0] == "rows"
+    q = points[17:19] + 0.01
+    d, i = pq.search(q, k=5)
+    exact = ((q[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    best = np.argsort(exact, axis=1)[:, :5]
+    np.testing.assert_array_equal(np.asarray(i), ids[best])

@@ -223,25 +223,42 @@ class TestPallasIVFScan:
         queries = (points[rng.choice(len(points), 8)] + 0.03).astype(np.float32)
         ks = 20
         prog = ivf_sq8_search_program(16, pad, 64, 8, 3, ks)
-        _, si = prog(
+        _, si, srows = prog(
             centroids, c_sq, jnp.asarray(codes.astype(np.int8)),
             jnp.asarray(dim_scale), jnp.asarray(dec_sqn.astype(np.float32)),
             list_ids, jnp.asarray(queries),
         )
         assert np.asarray(si).shape == (8, ks)
+        # the scan's bucket-store rows must point at the candidate whose
+        # id it reported (this is what lets the rerank skip the id->row
+        # table gather)
+        li_flat = li.reshape(-1)
+        rows_np, si_np = np.asarray(srows), np.asarray(si)
+        assert np.array_equal(
+            li_flat[rows_np[si_np >= 0]], si_np[si_np >= 0]
+        )
         # the single-query kernel must produce the identical shortlist
         # as the default 8-slot multi-query variant
         prog1 = ivf_sq8_search_program(16, pad, 64, 8, 3, ks, qps_step=1)
-        _, si1 = prog1(
+        _, si1, _ = prog1(
             centroids, c_sq, jnp.asarray(codes.astype(np.int8)),
             jnp.asarray(dim_scale), jnp.asarray(dec_sqn.astype(np.float32)),
             list_ids, jnp.asarray(queries),
         )
         np.testing.assert_array_equal(np.asarray(si), np.asarray(si1))
+        # rows-mode rerank (the production route) — no id->row table
+        from c99_vectordb_tpu.ops.rerank import exact_rerank_rows
+
+        d_q, i_q = exact_rerank_rows(
+            list_vecs.reshape(-1, 64), srows, si, jnp.asarray(queries), 10
+        )
+        # the staged-lookup route must agree (it remains the fallback
+        # for stores without position information)
         lookup = ivf._stage()[5]  # the model's own id -> bucket-row table
-        d_q, i_q = exact_rerank_staged(
+        d_l, i_l = exact_rerank_staged(
             list_vecs.reshape(-1, 64), lookup, si, jnp.asarray(queries), 10
         )
+        np.testing.assert_array_equal(np.asarray(i_q), np.asarray(i_l))
         exact = ivf_full_search_program(16, pad, 64, 8, 3, 10, exact=True)
         d_e, i_e = exact(
             centroids, c_sq, list_vecs, list_sqn, list_ids, jnp.asarray(queries)

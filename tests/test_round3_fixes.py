@@ -64,8 +64,9 @@ class TestDenseScanShapeContract:
         qs = np.full((b, 1), 0.01, np.float32)
         ks = 20  # > nprobe * pad
         prog = ivf_scan_program_dense_int8(nlist, pad, dim, b, 1, ks)
-        d, i = prog(lists, qi, qs, codes, sqn, ids)
+        d, i, rows = prog(lists, qi, qs, codes, sqn, ids)
         assert d.shape == (b, ks) and i.shape == (b, ks)
+        assert rows.shape == (b, ks)
         assert np.isinf(np.asarray(d)[:, 6:]).all()
         assert (np.asarray(i)[:, 6:] == -1).all()
 
