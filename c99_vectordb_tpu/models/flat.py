@@ -163,19 +163,31 @@ class FlatIndex:
             q_scan = jnp.asarray(queries)
             if scan_scale is not None:  # SQ8: fold the per-dim scale in
                 q_scan = q_scan * scan_scale
-            dists, out_ids = fused_topk(
+            dists, out_ids, scan_rows = fused_topk(
                 scan_vecs, ids,
                 sq_norms if scan_norms is None else scan_norms,
-                q_scan, k_scan,
+                q_scan, k_scan, return_rows=True,
             )
         else:
             dists, out_ids = topk_program(vecs.shape[0], self.dim, k_scan)(
                 vecs, ids, valid, sq_norms, queries
             )
+            scan_rows = None
         if on_tpu:
-            dists, out_ids = exact_rerank_staged(
-                vecs, id_lookup, out_ids, queries, k_eff
-            )
+            if scan_rows is not None:
+                # The scan store shares row order with the f32 store, so
+                # the kernel's winner rows index the rerank store
+                # directly — no id->row table gather (issue-bound,
+                # ~13 ns/element; ops/rerank.rerank_program_rows).
+                from ..ops.rerank import exact_rerank_rows
+
+                dists, out_ids = exact_rerank_rows(
+                    vecs, scan_rows, out_ids, queries, k_eff
+                )
+            else:
+                dists, out_ids = exact_rerank_staged(
+                    vecs, id_lookup, out_ids, queries, k_eff
+                )
         dists = np.asarray(dists)
         out_ids = np.asarray(out_ids, dtype=np.int64)
         if k_eff < k:

@@ -279,17 +279,22 @@ def fused_topk(
     q_int8: bool | None = None,  # int8 stores: quantize queries per row
     # and run the MXU's double-rate int8 path (None = auto/on for int8
     # stores; False forces the bf16-decode scan for A/B comparison)
-) -> tuple[jax.Array, jax.Array]:
+    return_rows: bool = False,  # also return each winner's db ROW, so a
+    # downstream rerank against a same-order store can gather directly
+    # (ops/rerank.rerank_program_rows) instead of paying the
+    # issue-bound id->row table lookup
+) -> tuple[jax.Array, ...]:
     """Exact batched top-k via the fused kernel.
 
     db: (N, D) float32/bf16 rows ascending by id; ids: (N,) int32 with -1
     for padding rows; sq_norms: (N,) float32 per-row ||x||^2 with +INF on
     padding rows (that is the padding mask — the kernel adds no mask pass
     of its own); queries: (B, D). Returns ascending (distances (B, k),
-    ids (B, k)); empty slots (inf, -1). N must be a multiple of tile_n
-    (callers pad). The whole batch stays VMEM-resident so one corpus scan
-    serves all queries; batches beyond max_resident_b are processed in
-    resident-size chunks.
+    ids (B, k)); empty slots (inf, -1); with return_rows=True a third
+    (B, k) int32 array of db row indices (clamped; meaningless where
+    id == -1). N must be a multiple of tile_n (callers pad). The whole
+    batch stays VMEM-resident so one corpus scan serves all queries;
+    batches beyond max_resident_b are processed in resident-size chunks.
     """
     n, dim = db.shape
     b = queries.shape[0]
@@ -307,13 +312,13 @@ def fused_topk(
             fused_topk(
                 db, ids, sq_norms, queries[s0 : s0 + max_resident_b], k,
                 tile_b=tile_b, tile_n=tile_n, max_resident_b=max_resident_b,
-                q_int8=q_int8,
+                q_int8=q_int8, return_rows=return_rows,
             )
             for s0 in range(0, b, max_resident_b)
         ]
-        return (
-            jnp.concatenate([p[0] for p in parts], axis=0),
-            jnp.concatenate([p[1] for p in parts], axis=0),
+        return tuple(
+            jnp.concatenate([p[j] for p in parts], axis=0)
+            for j in range(len(parts[0]))
         )
 
     tb = min(tile_b, _round_up(b, 8))
@@ -367,6 +372,8 @@ def fused_topk(
     out_i = jnp.where(
         jnp.isinf(out_d), -1, ids.astype(jnp.int32)[rows]
     )
+    if return_rows:
+        return out_d, out_i, rows
     return out_d, out_i
 
 

@@ -149,9 +149,13 @@ def sharded_search_kernels(
     def local(db, ids, sq_norms, row_of_id, queries):
         from ..ops.topk_pallas import fused_topk
 
-        _, si = fused_topk(db, ids, sq_norms, queries, ks)
-        safe = jnp.clip(jnp.maximum(si, 0), 0, cap - 1)
-        rows = row_of_id[0][safe]
+        # The kernel's winner rows index the chip's own shard directly —
+        # no per-chip id->row table gather (issue-bound ~13 ns/element;
+        # ops/rerank.rerank_program_rows). row_of_id stays an operand
+        # for staging-layout compatibility.
+        del row_of_id
+        _, si, rows = fused_topk(db, ids, sq_norms, queries, ks,
+                                 return_rows=True)
         vecs = db[rows].astype(jnp.float32)
         diff = vecs - queries[:, None, :].astype(jnp.float32)
         exact = jnp.sum(diff * diff, axis=-1)
@@ -755,9 +759,10 @@ def sharded_search_sq8_kernels(
     def local(codes, db, ids, dec_norms, row_of_id, scale, queries):
         from ..ops.topk_pallas import fused_topk
 
-        _, si = fused_topk(codes, ids, dec_norms, queries * scale, ks)
-        safe = jnp.clip(jnp.maximum(si, 0), 0, cap - 1)
-        rows = row_of_id[0][safe]
+        # Winner rows come from the kernel (see sharded_search_kernels).
+        del row_of_id
+        _, si, rows = fused_topk(codes, ids, dec_norms, queries * scale, ks,
+                                 return_rows=True)
         vecs = db[rows].astype(jnp.float32)
         diff = vecs - queries[:, None, :].astype(jnp.float32)
         exact = jnp.sum(diff * diff, axis=-1)
