@@ -142,9 +142,22 @@ def main():
             return rerank_program(N, D, N, b, ks, K, "float32")(_db, _ids, ci, q)
         return fn
 
+    def comp_sq8_rows(b, q_int8=True):
+        # rows-mode A/B: same scan, rerank by the kernel's winner rows
+        # (no id->row table gather — ops/rerank.rerank_program_rows)
+        from c99_vectordb_tpu.ops.rerank import rerank_program_rows
+
+        def fn(q, _codes, _scale, _db, _ids, _dsq):
+            _, ci, rows = fused_topk(_codes, _ids, _dsq, q * _scale, ks,
+                                     q_int8=q_int8, return_rows=True)
+            return rerank_program_rows(N, D, b, ks, K, "float32")(
+                _db, rows, ci, q)
+        return fn
+
     import functools
 
     cases = [
+        ("sq8i8+ROWS", comp_sq8_rows, (codes, scale, db, ids, dec_sq)),
         ("sq8i8+rr32", functools.partial(comp_sq8, q_int8=True),
          (codes, scale, db, ids, dec_sq)),
         ("sq8+rr32", comp_sq8, (codes, scale, db, ids, dec_sq)),
