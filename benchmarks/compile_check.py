@@ -225,12 +225,8 @@ def main() -> int:
         )
 
     def sharded_sq8():
-        cap = 32768  # pow2 >= nlist * pad ids
-        rows = jnp.zeros((1, cap), jnp.int32).at[
-            0, jnp.maximum(li.reshape(-1), 0)
-        ].set(jnp.arange(nlist * pad, dtype=jnp.int32))
         prog = sharded_ivf_sq8_search_program(
-            mesh1, nlist, pad, dim, 128, nprobe, k, 20, cap
+            mesh1, nlist, pad, dim, 128, nprobe, k, 20
         )
         return prog(
             shard1(centroids, P(None, None)),
@@ -240,22 +236,17 @@ def main() -> int:
             shard1(dec_sqn, P(None, "data")),
             shard1(li, P(None, "data")),
             shard1(lv, P(None, "data", None)),
-            shard1(rows, P("data", None)),
             shard1(q128, P(None, None)),
         )
 
     def sharded_flat_kernels():
         from c99_vectordb_tpu.parallel.sharded import sharded_search_kernels
 
-        rows = jnp.zeros((1, 8192), jnp.int32).at[0, flat_ids].set(
-            jnp.arange(n_flat, dtype=jnp.int32)
-        )
-        prog = sharded_search_kernels(mesh1, n_flat, dim, 128, k, 20, 8192)
+        prog = sharded_search_kernels(mesh1, n_flat, dim, 128, k, 20)
         return prog(
             shard1(db, P("data", None)),
             shard1(flat_ids, P("data")),
             shard1(sq, P("data")),
-            shard1(rows, P("data", None)),
             shard1(q128, P(None, None)),
         )
 
@@ -264,18 +255,14 @@ def main() -> int:
             sharded_search_sq8_kernels,
         )
 
-        rows = jnp.zeros((1, 8192), jnp.int32).at[0, flat_ids].set(
-            jnp.arange(n_flat, dtype=jnp.int32)
-        )
         prog = sharded_search_sq8_kernels(
-            mesh1, n_flat, dim, 128, k, 20, 8192
+            mesh1, n_flat, dim, 128, k, 20
         )
         return prog(
             shard1(db_i8, P("data", None)),
             shard1(db, P("data", None)),
             shard1(flat_ids, P("data")),
             shard1(sq_i8, P("data")),
-            shard1(rows, P("data", None)),
             shard1(scale, P(None)),
             shard1(q128, P(None, None)),
         )

@@ -114,13 +114,6 @@ def main():
     from c99_vectordb_tpu.models.ivf_flat import _sq8_stage
 
     codes, dim_scale, dec_sqn = _sq8_stage(lv, li)
-    bucket_row = np.zeros((N,), np.int32)
-    bucket_row[order] = (sorted_lists.astype(np.int64) * pad + slots).astype(
-        np.int32
-    )
-    cap = next_pow2(N)
-    row_table = np.zeros((cap,), np.int32)
-    row_table[:N] = bucket_row
     ks = shortlist_depth(K, N)
 
     # 1-device mesh: slot layout for S=1 IS the plain layout, so the
@@ -131,7 +124,6 @@ def main():
     def sh(x, spec):
         return jax.device_put(x, NamedSharding(mesh1, spec))
 
-    row_dev = sh(row_table.reshape(1, cap), P("data", None))
     m_ops = {
         "centroids": sh(centroids, P(None, None)),
         "c_sq": sh(c_sq, P(None)),
@@ -143,8 +135,6 @@ def main():
         "dsq": sh(dec_sqn, P(None, "data")),
     }
 
-    lookup_dev = jnp.asarray(row_table)
-
     for p in (1, 4):
         # ---- single-chip routes
         exact_prog = ivf_full_search_program(
@@ -155,15 +145,14 @@ def main():
         def exact_step(q, c, csq, _lv, _ln, _li):
             return exact_prog(c, csq, _lv, _ln, _li, q)
 
-        def sq8_step(q, c, csq, _lv, _li, _codes, _scale, _dsq, _rowid):
+        def sq8_step(q, c, csq, _lv, _li, _codes, _scale, _dsq):
             _, si, srows = sq8_prog(c, csq, _codes, _scale, _dsq, _li, q)
-            del _rowid  # rows come from the scan now (rows-mode rerank)
             return exact_rerank_rows(_lv.reshape(-1, D), srows, si, q, K)
 
         qps_e1 = timed_qps(exact_step, (centroids, c_sq, lv, ln, li), B)
         qps_q1 = timed_qps(
             sq8_step,
-            (centroids, c_sq, lv, li, codes, dim_scale, dec_sqn, lookup_dev),
+            (centroids, c_sq, lv, li, codes, dim_scale, dec_sqn),
             B,
         )
 
@@ -172,14 +161,14 @@ def main():
             mesh1, NLIST, pad, D, B, p, K, use_kernels=True
         )
         sh_sq8 = sharded_ivf_sq8_search_program(
-            mesh1, NLIST, pad, D, B, p, K, ks, cap
+            mesh1, NLIST, pad, D, B, p, K, ks
         )
 
         def sh_exact_step(q, c, csq, _lv, _ln, _li):
             return sh_exact(c, csq, _lv, _ln, _li, q)
 
-        def sh_sq8_step(q, c, csq, _codes, _scale, _dsq, _li, _lv, _rows):
-            return sh_sq8(c, csq, _codes, _scale, _dsq, _li, _lv, _rows, q)
+        def sh_sq8_step(q, c, csq, _codes, _scale, _dsq, _li, _lv):
+            return sh_sq8(c, csq, _codes, _scale, _dsq, _li, _lv, q)
 
         qps_e8 = timed_qps(
             sh_exact_step,
@@ -190,7 +179,7 @@ def main():
         qps_q8 = timed_qps(
             sh_sq8_step,
             (m_ops["centroids"], m_ops["c_sq"], m_ops["codes"],
-             m_ops["scale"], m_ops["dsq"], m_ops["li"], m_ops["lv"], row_dev),
+             m_ops["scale"], m_ops["dsq"], m_ops["li"], m_ops["lv"]),
             B,
         )
         print(

@@ -79,37 +79,34 @@ def main():
     codes = jnp.clip(jnp.rint(db / scale), -127, 127).astype(jnp.int8)
     dec = codes.astype(jnp.float32) * scale
     dec_sq = jnp.sum(dec * dec, axis=1)
-    rows = ids.reshape(1, N)  # iota ids: the id->row table IS the ids
-
     db_s = sh(db, P("data", None))
     ids_s = sh(ids, P("data"))
     sq_s = sh(sq, P("data"))
     codes_s = sh(codes, P("data", None))
     dec_sq_s = sh(dec_sq, P("data"))
-    rows_s = sh(rows, P("data", None))
     scale_s = sh(scale, P(None))
     q0 = sh(jnp.zeros((B, D), jnp.float32), P(None, None))
     del db, codes, dec
 
     ks = 20
     xla_prog = sharded_search_program(mesh1, N, D, B, K)
-    ker_prog = sharded_search_kernels(mesh1, N, D, B, K, ks, N)
-    sq8_prog = sharded_search_sq8_kernels(mesh1, N, D, B, K, ks, N)
+    ker_prog = sharded_search_kernels(mesh1, N, D, B, K, ks)
+    sq8_prog = sharded_search_sq8_kernels(mesh1, N, D, B, K, ks)
 
     def xla_step(q, db, ids, sq):
         return xla_prog(db, ids, sq, q)
 
-    def ker_step(q, db, ids, sq, rows):
-        return ker_prog(db, ids, sq, rows, q)
+    def ker_step(q, db, ids, sq):
+        return ker_prog(db, ids, sq, q)
 
-    def sq8_step(q, codes, db, ids, dsq, rows, scale):
-        return sq8_prog(codes, db, ids, dsq, rows, scale, q)
+    def sq8_step(q, codes, db, ids, dsq, scale):
+        return sq8_prog(codes, db, ids, dsq, scale, q)
 
     for name, step, ops in [
         ("xla_local_scan", xla_step, (db_s, ids_s, sq_s)),
-        ("fused_kernel_f32", ker_step, (db_s, ids_s, sq_s, rows_s)),
+        ("fused_kernel_f32", ker_step, (db_s, ids_s, sq_s)),
         ("fused_kernel_sq8", sq8_step,
-         (codes_s, db_s, ids_s, dec_sq_s, rows_s, scale_s)),
+         (codes_s, db_s, ids_s, dec_sq_s, scale_s)),
     ]:
         qps = timed_qps(step, ops, B)
         print(f"{name}: {qps:,.0f} QPS", flush=True)

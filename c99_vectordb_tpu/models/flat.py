@@ -152,7 +152,12 @@ class FlatIndex:
         # slacked shortlist and restore exactness with an f32 rerank
         # (ops/rerank.py). CPU XLA computes true f32 — no rerank needed.
         k_scan = shortlist_depth(k_eff, vecs.shape[0]) if on_tpu else k_eff
-        if on_tpu and vecs.shape[0] >= 1024:
+        # The fused kernel's in-VMEM top-k is bounded by its scan tile:
+        # round_up(k_scan, 128) must fit tile_n (>= 1024). Deeper
+        # requests (k ~> 450) take the XLA scan + staged rerank below —
+        # same guard the sharded flat route applies (parallel/sharded.py).
+        fused_ok = vecs.shape[0] >= 1024 and k_scan <= 1024
+        if on_tpu and fused_ok:
             # Fused Pallas kernel: streams DB tiles HBM->VMEM with the
             # running top-k on chip; the padded pow2 capacity >= 1024 is
             # always a tile multiple. (Smaller DBs: one XLA matmul wins.)

@@ -453,20 +453,15 @@ class IVFPQIndex:
                 centroids, c_sq, codebooks, list_codes, list_ids, q_adc
             )
         if self.refine:
-            # Rerank consumes the device shortlist directly — no host trip.
+            # Rerank consumes the device shortlist directly — no host
+            # trip. An id-indexed refine store stages lookup
+            # ("identity",), which exact_rerank_staged dispatches to the
+            # rows-mode rerank (ids ARE rows — no table gather).
             vecs, id_lookup, _, _ = self._stage_refine()
-            si = out_ids.astype(jnp.int32)
-            if id_lookup[0] == "rows":
-                # id-indexed refine store: the ids ARE the rows
-                from ..ops.rerank import exact_rerank_rows
-
-                out_d, out_i = exact_rerank_rows(
-                    vecs, si, si, jnp.asarray(queries), k
-                )
-            else:
-                out_d, out_i = exact_rerank_staged(
-                    vecs, id_lookup, si, jnp.asarray(queries), k
-                )
+            out_d, out_i = exact_rerank_staged(
+                vecs, id_lookup, out_ids.astype(jnp.int32),
+                jnp.asarray(queries), k,
+            )
             return np.asarray(out_d), np.asarray(out_i, dtype=np.int64)
         return np.asarray(dists)[:, :k], np.asarray(out_ids, dtype=np.int64)[:, :k]
 
@@ -481,14 +476,17 @@ class IVFPQIndex:
             dtype = np.float32 if self.refine_dtype == "float32" else jnp.bfloat16
             ids_i = self._ids.astype(np.int64)
             max_id = int(ids_i.max(initial=-1))
-            if self.ntotal and max_id + 1 <= 64 * self.ntotal + 1024:
-                # Dense id space: stage the store ID-INDEXED (row ==
+            if self.ntotal and max_id + 1 <= 2 * self.ntotal + 1024:
+                # TIGHT id space: stage the store ID-INDEXED (row ==
                 # external id), so the refine gathers rows straight from
                 # the shortlist ids — no id->row table gather, which is
                 # issue-bound at ~13 ns/element and costs as much as the
                 # row gather itself (ops/rerank.rerank_program_rows;
-                # ~330 us/batch at a B=128 top-200 shortlist). Same ~4
-                # bytes/record tradeoff the dense lookup table made.
+                # ~330 us/batch at a B=128 top-200 shortlist). Unlike
+                # the 4-byte/slot lookup table (64x gate), empty slots
+                # here cost a full dim*4-byte vector row, so the gate is
+                # <= 2x inflation; gappier id spaces keep the positional
+                # store + table below.
                 cap = next_pow2(max_id + 1)
                 vecs = np.zeros((cap, self.dim), np.float32)
                 vecs[ids_i] = self._vectors
@@ -496,8 +494,8 @@ class IVFPQIndex:
                 ids[ids_i] = ids_i.astype(np.int32)
                 valid = np.zeros((cap,), bool)
                 valid[ids_i] = True
-                lookup = ("rows",)
-            else:  # sparse ids: positional store + searchsorted lookup
+                lookup = ("identity",)  # ids ARE rows (ops/rerank)
+            else:  # gappy/sparse ids: positional store + id lookup
                 cap = next_pow2(max(self.ntotal, 1))
                 vecs = np.zeros((cap, self.dim), np.float32)
                 vecs[: self.ntotal] = self._vectors

@@ -47,6 +47,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.registry import register
+from ..ops.rerank import exact_rerank_rows
 from ..ops.topk import merge_topk
 
 
@@ -132,42 +133,36 @@ def sharded_search_program(mesh: Mesh, n: int, dim: int, b: int, k: int):
 
 @functools.lru_cache(maxsize=None)
 def sharded_search_kernels(
-    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int, cap: int
+    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int
 ):
     """Data-parallel exact search routed through the fused Pallas kernel
     per shard (TPU route). Each chip: fused scan + top-ks shortlist over
     its row shard (ops/topk_pallas.fused_topk — the (B, n_local) score
     matrix never touches HBM, unlike the XLA matmul + lax.top_k local
-    path), then an exact f32 rerank of its own shortlist (row_of_id is
-    a per-chip dense id -> local-row table; every shortlisted id is
-    locally resident by construction), then the k-winner all_gather
+    path), then an exact f32 rerank of its own shortlist (the kernel's
+    winner ROWS index the chip's shard directly — every shortlisted row
+    is locally resident by construction), then the k-winner all_gather
     merge. Exactness comes from the per-shard rerank, so results match
     the XLA sharded_search_program bit-for-bit. Requires the per-shard
     row count to be a 1024 multiple (staging pads) and +inf sq_norms on
     padding rows (the kernel's mask)."""
 
-    def local(db, ids, sq_norms, row_of_id, queries):
+    def local(db, ids, sq_norms, queries):
         from ..ops.topk_pallas import fused_topk
 
         # The kernel's winner rows index the chip's own shard directly —
         # no per-chip id->row table gather (issue-bound ~13 ns/element;
-        # ops/rerank.rerank_program_rows). row_of_id stays an operand
-        # for staging-layout compatibility.
-        del row_of_id
+        # ops/rerank.rerank_program_rows).
         _, si, rows = fused_topk(db, ids, sq_norms, queries, ks,
                                  return_rows=True)
-        vecs = db[rows].astype(jnp.float32)
-        diff = vecs - queries[:, None, :].astype(jnp.float32)
-        exact = jnp.sum(diff * diff, axis=-1)
-        exact = jnp.where(si >= 0, exact, jnp.inf)
-        local_d, local_i = merge_topk(exact, si, k)
+        local_d, local_i = exact_rerank_rows(db, rows, si, queries, k)
         return _merge_gathered(local_d, local_i, k, "data")
 
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(
-            P("data", None), P("data"), P("data"), P("data", None),
+            P("data", None), P("data"), P("data"),
             P(None, None),
         ),
         out_specs=(P(None, None), P(None, None)),
@@ -437,7 +432,7 @@ def sharded_ivf_search_2level(
 @functools.lru_cache(maxsize=None)
 def sharded_ivf_sq8_search_program(
     mesh: Mesh, nlist: int, pad_local: int, dim: int, b: int, nprobe: int,
-    k: int, ks: int, cap: int,
+    k: int, ks: int,
 ):
     """Slot-sharded SQ8 IVF search: per-chip int8 dense scan + per-chip
     EXACT rerank + global merge.
@@ -446,10 +441,10 @@ def sharded_ivf_sq8_search_program(
     ivf_sq8_search_program: both MXU operands int8 — the double-rate
     systolic path — over its (nlist, pad_local) slice of every list,
     then an approximate top-ks shortlist). Because a chip only ever
-    scans slots it owns, every shortlist id is locally resident, so the
-    exact rerank gathers from the chip's own slot store (row_of_id is a
-    PER-CHIP dense id -> local-flat-row table) — zero cross-chip row
-    traffic; only the k merged winners ride the all_gather. The rerank
+    scans slots it owns, every shortlist row is locally resident, so
+    the exact rerank gathers the chip's own slot store by the scan's
+    (list * pad_local + slot) rows — zero cross-chip row traffic and no
+    id->row table; only the k merged winners ride the all_gather. The rerank
     re-scores the shortlist exactly in f32 (or at the bf16 store's
     rounding ceiling); shortlist completeness carries the same measured
     (not worst-case) guarantees as the single-chip scan_dtype="int8"
@@ -458,7 +453,7 @@ def sharded_ivf_sq8_search_program(
 
     def local(
         centroids, c_sq, codes, dim_scale, dec_sqn, list_ids,
-        rerank_vecs, row_of_id, queries,
+        rerank_vecs, queries,
     ):
         from ..ops.ivf_scan_pallas import ivf_sq8_search_program
 
@@ -467,16 +462,11 @@ def sharded_ivf_sq8_search_program(
             centroids, c_sq, codes, dim_scale, dec_sqn, list_ids, queries
         )
         # srows are (list * pad_local + slot) rows of THIS chip's slot
-        # store — gather directly; the per-chip id->row table (still an
-        # operand for layout compatibility) would cost an issue-bound
-        # ~13 ns/element gather (ops/rerank.rerank_program_rows).
-        del row_of_id
-        rows = jnp.clip(srows, 0, nlist * pad_local - 1)
-        vecs = rerank_vecs.reshape(-1, dim)[rows].astype(jnp.float32)
-        diff = vecs - queries[:, None, :].astype(jnp.float32)
-        exact = jnp.sum(diff * diff, axis=-1)
-        exact = jnp.where(si >= 0, exact, jnp.inf)
-        local_d, local_i = merge_topk(exact, si, k)
+        # store — gather directly (an id->row table gather would cost an
+        # issue-bound ~13 ns/element; ops/rerank.rerank_program_rows).
+        local_d, local_i = exact_rerank_rows(
+            rerank_vecs.reshape(-1, dim), srows, si, queries, k
+        )
         return _merge_gathered(local_d, local_i, k, "data")
 
     shard_fn = jax.shard_map(
@@ -490,7 +480,6 @@ def sharded_ivf_sq8_search_program(
             P(None, "data"),        # decoded-space row norms, slot-sharded
             P(None, "data"),        # list ids, slot-sharded
             P(None, "data", None),  # rerank store, slot-sharded
-            P("data", None),        # per-chip id -> local-row table
             P(None, None),          # queries replicated
         ),
         out_specs=(P(None, None), P(None, None)),
@@ -747,7 +736,7 @@ class _ShardedBase:
 
 @functools.lru_cache(maxsize=None)
 def sharded_search_sq8_kernels(
-    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int, cap: int
+    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int
 ):
     """sharded_search_kernels' SQ8 variant: each chip scans its int8
     code shard with the fused kernel's double-rate int8 MXU path (both
@@ -756,18 +745,13 @@ def sharded_search_sq8_kernels(
     its own shortlist from its f32 row shard. Results are exact — the
     multi-chip analog of FlatIndex(scan_dtype="int8")."""
 
-    def local(codes, db, ids, dec_norms, row_of_id, scale, queries):
+    def local(codes, db, ids, dec_norms, scale, queries):
         from ..ops.topk_pallas import fused_topk
 
         # Winner rows come from the kernel (see sharded_search_kernels).
-        del row_of_id
         _, si, rows = fused_topk(codes, ids, dec_norms, queries * scale, ks,
                                  return_rows=True)
-        vecs = db[rows].astype(jnp.float32)
-        diff = vecs - queries[:, None, :].astype(jnp.float32)
-        exact = jnp.sum(diff * diff, axis=-1)
-        exact = jnp.where(si >= 0, exact, jnp.inf)
-        local_d, local_i = merge_topk(exact, si, k)
+        local_d, local_i = exact_rerank_rows(db, rows, si, queries, k)
         return _merge_gathered(local_d, local_i, k, "data")
 
     shard_fn = jax.shard_map(
@@ -775,7 +759,7 @@ def sharded_search_sq8_kernels(
         mesh=mesh,
         in_specs=(
             P("data", None), P("data", None), P("data"), P("data"),
-            P("data", None), P(None), P(None, None),
+            P(None), P(None, None),
         ),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
@@ -840,23 +824,12 @@ class ShardedFlatIndex(_ShardedBase):
             # +inf norms on padding rows ARE the fused kernel's mask
             # (models/flat.py staging does the same).
             sq[n:] = np.inf
-            # Per-chip id -> local-row tables for the kernel route's
-            # per-shard exact rerank (rows are id-sorted, so chip
-            # r // per owns global row r at local row r % per).
-            max_id = int(self._ids.max(initial=0))
-            idcap = next_pow2(max_id + 1)
-            row_of_id = np.zeros((shards, idcap), np.int32)
-            rows = np.arange(n)
-            row_of_id[rows // per, self._ids.astype(np.int64)] = (
-                rows % per
-            ).astype(np.int32)
             row_sharding = NamedSharding(self.mesh, P("data", None))
             vec_sharding = NamedSharding(self.mesh, P("data"))
             self._staged = (
                 jax.device_put(db, row_sharding),
                 jax.device_put(idp, vec_sharding),
                 jax.device_put(sq, vec_sharding),
-                jax.device_put(row_of_id, row_sharding),
             )
             if self.scan_dtype == "int8":
                 # Global symmetric per-dimension SQ8 (models/flat.py):
@@ -875,7 +848,7 @@ class ShardedFlatIndex(_ShardedBase):
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
         staged = self._stage()
-        db, idp, sq, row_of_id = staged[:4]
+        db, idp, sq = staged[:3]
         shards = self._shards
         per = db.shape[0] // shards
         q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
@@ -888,18 +861,16 @@ class ShardedFlatIndex(_ShardedBase):
             # in-VMEM top-ks is bounded by its 1024-lane tile.
             ks = min(shortlist_depth(k, self.ntotal), per, 1024)
             if self.scan_dtype == "int8":
-                codes, dec_sq, scale = staged[4:]
+                codes, dec_sq, scale = staged[3:]
                 program = sharded_search_sq8_kernels(
-                    self.mesh, db.shape[0], self.dim, queries.shape[0], k,
-                    ks, int(row_of_id.shape[1]),
+                    self.mesh, db.shape[0], self.dim, queries.shape[0], k, ks
                 )
-                d, i = program(codes, db, idp, dec_sq, row_of_id, scale, q)
+                d, i = program(codes, db, idp, dec_sq, scale, q)
             else:
                 program = sharded_search_kernels(
-                    self.mesh, db.shape[0], self.dim, queries.shape[0], k,
-                    ks, int(row_of_id.shape[1]),
+                    self.mesh, db.shape[0], self.dim, queries.shape[0], k, ks
                 )
-                d, i = program(db, idp, sq, row_of_id, q)
+                d, i = program(db, idp, sq, q)
         else:
             # CPU (and deep-k) route: exact f32 XLA scan — the scan
             # store is a TPU-only optimization, like FlatIndex's.
@@ -1045,21 +1016,6 @@ class ShardedIVFIndex(_ShardedBase):
                 from ..models.ivf_flat import _sq8_stage
 
                 codes_dev, scale_dev, dec_sqn_dev = _sq8_stage(lv_dev, li_dev)
-                # Per-chip id -> local-flat-row table (a chip's shortlist
-                # only ever contains ids from its own slots).
-                from ..models.base import next_pow2
-
-                max_id = int(self._ids.max(initial=0))
-                cap = next_pow2(max_id + 1)
-                row_of_id = np.zeros((shards, cap), np.int32)
-                chip = slots // pad_local
-                local_flat = (
-                    sorted_lists.astype(np.int64) * pad_local
-                    + slots % pad_local
-                )
-                row_of_id[chip, self._ids[sort].astype(np.int64)] = (
-                    local_flat.astype(np.int32)
-                )
                 rerank_store = (
                     lv_dev
                     if self.rerank_dtype == "float32"
@@ -1073,9 +1029,6 @@ class ShardedIVFIndex(_ShardedBase):
                     dec_sqn_dev,
                     li_dev,
                     rerank_store,
-                    jax.device_put(
-                        row_of_id, NamedSharding(self.mesh, P(slot_ax, None))
-                    ),
                 )
             else:
                 self._staged = common + (
@@ -1116,13 +1069,11 @@ class ShardedIVFIndex(_ShardedBase):
         if self.scan_dtype == "int8":
             from ..ops.rerank import shortlist_depth
 
-            cap = int(staged[7].shape[1])
             ks = min(
                 shortlist_depth(k, self.ntotal), nprobe_eff * pad_local
             )
             program = sharded_ivf_sq8_search_program(
-                self.mesh, nlist, pad_local, self.dim, b, nprobe_eff, k, ks,
-                cap,
+                self.mesh, nlist, pad_local, self.dim, b, nprobe_eff, k, ks
             )
         elif len(self._axes) > 1:
             # ("host", "chip") mesh: hierarchical merge — only k

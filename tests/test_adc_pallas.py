@@ -247,9 +247,26 @@ def test_refine_id_indexed_store_with_gapped_ids():
     pq = IVFPQIndex(dim=32, nlist=2, nprobe=2, m=4, refine=True)
     pq.train(points)
     pq.add(points, ids)
-    assert pq._stage_refine()[1][0] == "rows"
+    assert pq._stage_refine()[1][0] == "identity"
     q = points[17:19] + 0.01
     d, i = pq.search(q, k=5)
     exact = ((q[:, None, :] - points[None, :, :]) ** 2).sum(-1)
     best = np.argsort(exact, axis=1)[:, :5]
     np.testing.assert_array_equal(np.asarray(i), ids[best])
+
+
+def test_refine_store_not_inflated_for_wide_id_gaps():
+    # Stride-64 ids pass the 4-byte dense-TABLE gate but must NOT take
+    # the id-indexed VECTOR store (next_pow2(max_id) rows at dim*4 B
+    # each would inflate refine memory ~64-128x — review finding).
+    rng = np.random.default_rng(4)
+    points = rng.standard_normal((50, 16)).astype(np.float32)
+    ids = np.arange(50, dtype=np.int64) * 64
+    pq = IVFPQIndex(dim=16, nlist=2, nprobe=2, m=4, refine=True)
+    pq.train(points)
+    pq.add(points, ids)
+    vecs, lookup, _, _ = pq._stage_refine()
+    assert lookup[0] != "identity"
+    assert vecs.shape[0] <= 2 * 64  # pow2(ntotal)-sized positional store
+    d, i = pq.search(points[5:6] + 0.01, k=3)
+    assert i[0, 0] == ids[5]

@@ -572,15 +572,14 @@ class TestSlotSharding:
         idx = ShardedFlatIndex(dim=64, mesh=mesh)
         idx.load(vectors, ids)
         want_d, want_i = idx.search(queries, 10)  # XLA route on CPU
-        db, idp, sq, row_of_id = idx._stage()
+        db, idp, sq = idx._stage()[:3]
         per = db.shape[0] // 8
         ks = min(20, per, 1024)
         prog = sharded_search_kernels(
-            mesh, db.shape[0], 64, queries.shape[0], 10, ks,
-            int(row_of_id.shape[1]),
+            mesh, db.shape[0], 64, queries.shape[0], 10, ks
         )
         q = jax.device_put(queries, NamedSharding(mesh, P(None, None)))
-        d, i = prog(db, idp, sq, row_of_id, q)
+        d, i = prog(db, idp, sq, q)
         np.testing.assert_array_equal(np.asarray(i), want_i)
         np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-5, atol=1e-5)
 
@@ -595,15 +594,14 @@ class TestSlotSharding:
         idx = ShardedFlatIndex(dim=64, scan_dtype="int8", mesh=mesh)
         idx.load(vectors, ids)
         want_d, want_i = idx.search(queries, 10)  # CPU: exact XLA route
-        codes, dec_sq, scale = idx._stage()[4:]
-        db, idp, _, row_of_id = idx._stage()[:4]
+        codes, dec_sq, scale = idx._stage()[3:]
+        db, idp, _ = idx._stage()[:3]
         per = db.shape[0] // 8
         prog = sharded_search_sq8_kernels(
-            mesh, db.shape[0], 64, queries.shape[0], 10, min(20, per),
-            int(row_of_id.shape[1]),
+            mesh, db.shape[0], 64, queries.shape[0], 10, min(20, per)
         )
         q = jax.device_put(queries, NamedSharding(mesh, P(None, None)))
-        d, i = prog(codes, db, idp, dec_sq, row_of_id, scale, q)
+        d, i = prog(codes, db, idp, dec_sq, scale, q)
         np.testing.assert_array_equal(np.asarray(i), want_i)
         np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-5, atol=1e-5)
 
