@@ -73,7 +73,14 @@ def train_opq_rotation(
     ksub_eff = min(ksub, max(1, ns))
     rot = jnp.eye(dim, dtype=jnp.float32)
     for it in range(max(1, iters)):
-        xr = jnp.dot(x, rot, preferred_element_type=jnp.float32)
+        # HIGHEST keeps the rotated training view exact f32 on TPU (the
+        # old host path was f32 throughout); one (65k, D) x (D, D)
+        # matmul per iteration is negligible next to the k-means stage.
+        xr = jnp.dot(
+            x, rot,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         subs = jnp.transpose(xr.reshape(ns, m, dsub), (1, 0, 2))
         books = train_kmeans_multi(
             subs, ksub_eff, iters=3, seed=seed + 7 + it, out_device=True
@@ -476,7 +483,8 @@ class IVFPQIndex:
             dtype = np.float32 if self.refine_dtype == "float32" else jnp.bfloat16
             ids_i = self._ids.astype(np.int64)
             max_id = int(ids_i.max(initial=-1))
-            if self.ntotal and max_id + 1 <= 2 * self.ntotal + 1024:
+            pos_cap = next_pow2(max(self.ntotal, 1))
+            if self.ntotal and next_pow2(max_id + 1) <= 2 * pos_cap:
                 # TIGHT id space: stage the store ID-INDEXED (row ==
                 # external id), so the refine gathers rows straight from
                 # the shortlist ids — no id->row table gather, which is
@@ -484,9 +492,11 @@ class IVFPQIndex:
                 # row gather itself (ops/rerank.rerank_program_rows;
                 # ~330 us/batch at a B=128 top-200 shortlist). Unlike
                 # the 4-byte/slot lookup table (64x gate), empty slots
-                # here cost a full dim*4-byte vector row, so the gate is
-                # <= 2x inflation; gappier id spaces keep the positional
-                # store + table below.
+                # here cost a full dim*4-byte vector row, so the gate
+                # compares the ACTUAL staged capacities (<= 2x the
+                # positional pow2 cap — comparing raw counts instead can
+                # admit ~4x at pow2 boundaries, ADVICE r3); gappier id
+                # spaces keep the positional store + table below.
                 cap = next_pow2(max_id + 1)
                 vecs = np.zeros((cap, self.dim), np.float32)
                 vecs[ids_i] = self._vectors

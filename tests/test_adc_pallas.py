@@ -239,7 +239,7 @@ def test_item_constants_device_matches_host():
 
 def test_refine_id_indexed_store_with_gapped_ids():
     # Dense-but-gapped external ids (post-deletion shape): the refine
-    # store stages id-indexed (row == id, lookup ("rows",)) and search
+    # store stages id-indexed (row == id, lookup ("identity",)) and search
     # results must match a brute-force oracle on the kept ids.
     rng = np.random.default_rng(9)
     points = rng.standard_normal((60, 32)).astype(np.float32)
