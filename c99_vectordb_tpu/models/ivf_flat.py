@@ -13,9 +13,24 @@ no data-dependent shapes. Search is one jitted program:
 Work is ~B * nprobe * pad * D MACs versus B * N * D for Flat — the
 classic IVF trade: nprobe/nlist of the compute at recall < 1.0.
 
-Raw vectors are retained (the YAML DB is small relative to them and the
-CLI contract's `ranked_all` needs exact full rankings), so recall output
-stays exact while batched `search` takes the IVF fast path.
+Two storage modes (models/devbuild.py):
+
+  * HOST mode (numpy inputs — the CLI scale): raw vectors are retained
+    on host; staging buckets them once and pushes the device stores.
+  * DEVICE mode (first add/train input is a jax.Array — corpus scale):
+    train, assignment, bucketing, scatter, and quantization all run on
+    device and NO n-sized array ever crosses this container's
+    1-30 MB/s host link. After staging, the bucketed store IS the
+    storage (source chunks are freed); with rerank_dtype="bfloat16"
+    rows are retained in bf16 — the deployment memory shape of the 10M
+    benchmarks.
+
+Incremental add (the reference's O(insert) `add_with_ids`,
+/root/reference/memo_cli.py:282,437): rows added after staging park in a
+device-side tail (O(batch) donated writes) that search scores exactly —
+masked to the same probed lists the main scan visits — and merges
+lexicographically; a full restage folds the tail in lazily once it
+outgrows tail_restage_threshold. Staging is never invalidated by an add.
 """
 
 from __future__ import annotations
@@ -32,6 +47,18 @@ from ..ops.distances import ranked_program, scores_via_matmul
 from ..ops.kmeans import assign_clusters, train_kmeans
 from ..ops.topk import merge_topk
 from .base import list_pad, next_pow2
+from .devbuild import (
+    ChunkStore,
+    GrowTail,
+    bucketize_device,
+    build_id_lookup_device,
+    is_device_array,
+    merge_tail,
+    scatter_list_ids_device,
+    scatter_lists_device,
+    tail_restage_threshold,
+    tail_scores,
+)
 from .registry import register
 
 
@@ -41,11 +68,11 @@ def _ivf_search_program(nlist: int, pad: int, dim: int, b: int, nprobe: int, k: 
     def run(
         centroids: jax.Array,   # (nlist, D)
         c_sq: jax.Array,        # (nlist,)
-        list_vecs: jax.Array,   # (nlist, pad, D)
+        list_vecs: jax.Array,   # (nlist, pad, D) — any float dtype
         list_ids: jax.Array,    # (nlist, pad) int32, -1 padding
         queries: jax.Array,     # (B, D)
     ):
-        coarse = scores_via_matmul(queries, centroids, c_sq)      # (B, nlist)
+        coarse = scores_via_matmul(queries, centroids.astype(jnp.float32), c_sq)
         _, probes = jax.lax.top_k(-coarse, nprobe)                # (B, nprobe)
 
         init = (
@@ -56,9 +83,13 @@ def _ivf_search_program(nlist: int, pad: int, dim: int, b: int, nprobe: int, k: 
         def probe_step(carry, p):
             best_d, best_i = carry
             lists = probes[:, p]                                   # (B,)
-            vecs = list_vecs[lists]                                # (B, pad, D) gather
+            # Cast AFTER the gather: exact f32 distances of the stored
+            # values even when the store itself is bf16 — the CPU branch
+            # must rank the same value set the TPU rerank scores, not a
+            # bf16-arithmetic approximation of it (VERDICT r3 weak #5).
+            vecs = list_vecs[lists].astype(jnp.float32)            # (B, pad, D)
             ids = list_ids[lists]                                  # (B, pad)
-            diff = vecs - queries[:, None, :]
+            diff = vecs - queries[:, None, :].astype(jnp.float32)
             d = jnp.sum(diff * diff, axis=-1)                      # (B, pad)
             d = jnp.where(ids >= 0, d, jnp.inf)
             merged = merge_topk(
@@ -81,13 +112,56 @@ def _to_bf16(v):
 
 @jax.jit
 def _sq8_stage(lv, li):
-    """Symmetric per-dimension SQ8 of the bucketed lists, on device."""
+    """Symmetric per-dimension SQ8 of the bucketed lists, on device.
+
+    Scale/statistics compute in f32 whatever the store dtype (bf16
+    stores in device mode quantize their bf16-rounded values — the same
+    values the rerank scores)."""
+    lv = lv.astype(jnp.float32)
     live = (li >= 0)[:, :, None]
     maxabs = jnp.max(jnp.abs(jnp.where(live, lv, 0.0)), axis=(0, 1))
     scale = jnp.maximum(maxabs, 1e-30) / 127.0
     codes = jnp.clip(jnp.rint(lv / scale), -127, 127)
     dec = codes * scale
     return codes.astype(jnp.int8), scale, jnp.sum(dec * dec, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _bucket_row_program(n_pad: int, pad: int):
+    @jax.jit
+    def run(order, lists, slots):
+        rows = (lists * pad + slots).astype(jnp.int32)
+        return jnp.zeros((n_pad,), jnp.int32).at[order].set(rows)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _list_sqn_program(nlist: int, pad: int, dim: int, dtype: str):
+    @jax.jit
+    def run(lv):
+        lv32 = lv.astype(jnp.float32)
+        return jnp.sum(lv32 * lv32, axis=-1)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _extract_rows_program(nlist: int, pad: int, dim: int, n: int, dtype: str):
+    """Staged lists -> compact (n, D) rows + (n,) ids + (n,) assign.
+
+    Row order is canvas order (list-major) — callers never depend on
+    insertion order; merges sort by (distance, id)."""
+
+    @jax.jit
+    def run(store, list_ids):
+        flat_v = store.reshape(nlist * pad, dim)
+        flat_i = list_ids.reshape(nlist * pad)
+        perm = jnp.argsort(flat_i < 0, stable=True).astype(jnp.int32)[:n]
+        assign = (perm // pad).astype(jnp.int32)
+        return flat_v[perm], flat_i[perm], assign
+
+    return run
 
 
 @register
@@ -121,17 +195,28 @@ class IVFFlatIndex:
         self.nprobe = int(nprobe)
         self.scan_dtype = scan_dtype
         self.rerank_dtype = rerank_dtype
+        # Host mode storage (numpy mirrors, the CLI scale).
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
-        self._centroids: np.ndarray | None = None   # (nlist_eff, D)
         self._assign: np.ndarray | None = None      # (ntotal,) int32
+        # Device mode storage (corpus scale; see module docstring).
+        self._mode = "host"
+        self._dev_vecs = ChunkStore()
+        self._dev_ids = ChunkStore()
+        self._dev_assign = ChunkStore()
+        self._n_dev = 0
+        self._centroids = None                      # np or device (nlist_eff, D)
         self._staged = None
+        self._tail: GrowTail | None = None
+        self._restage_needed = False
         self._ranked_cache = None
 
     # -- introspection ------------------------------------------------------
 
     @property
     def ntotal(self) -> int:
+        if self._mode == "device":
+            return self._n_dev
         return int(self._vectors.shape[0])
 
     @property
@@ -139,25 +224,155 @@ class IVFFlatIndex:
         return self._centroids is not None
 
     def ids(self) -> np.ndarray:
+        if self._mode == "device":
+            if self._n_dev == 0:
+                return np.zeros((0,), np.int64)
+            _, ids, _ = self._rows_all()
+            return np.asarray(ids).astype(np.int64)
         return self._ids.copy()
+
+    # -- device retention dtype ----------------------------------------------
+
+    @property
+    def _keep_dtype(self):
+        """Device-mode row retention dtype: bf16 when the rerank store is
+        bf16 (the store IS the retained corpus — the 10M deployment
+        shape), f32 otherwise."""
+        return jnp.bfloat16 if self.rerank_dtype == "bfloat16" else jnp.float32
+
+    def _rows_all(self):
+        """Device mode: every stored row as (vecs, ids, assign) device
+        arrays — from pending chunks, the staged lists, and the tail."""
+        parts_v, parts_i, parts_a = [], [], []
+        if self._staged is not None:
+            store, list_ids, pad = self._staged[2], self._staged[3], self._staged[6]
+            nlist_eff = int(self._staged[0].shape[0])
+            n_staged = self._n_dev - len(self._dev_vecs) - (
+                self._tail.count if self._tail else 0
+            )
+            if n_staged:
+                v, i, a = _extract_rows_program(
+                    nlist_eff, pad, self.dim, n_staged, str(store.dtype)
+                )(store, list_ids)
+                parts_v.append(v)
+                parts_i.append(i)
+                parts_a.append(a)
+        if self._tail and self._tail.count:
+            c = self._tail.count
+            parts_v.append(self._tail["vecs"][:c])
+            parts_i.append(self._tail["ids"][:c])
+            parts_a.append(self._tail["assign"][:c])
+        if len(self._dev_vecs):
+            parts_v.append(self._dev_vecs.consolidated(self._keep_dtype))
+            parts_i.append(self._dev_ids.consolidated(jnp.int32))
+            parts_a.append(self._dev_assign.consolidated(jnp.int32))
+        cat = lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps)
+        return cat(parts_v), cat(parts_i), cat(parts_a)
 
     # -- training / mutation --------------------------------------------------
 
-    def train(self, data: np.ndarray, *, iters: int = 10, seed: int = 0) -> None:
-        data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
+    def train(self, data, *, iters: int = 10, seed: int = 0) -> None:
+        if is_device_array(data) and self.ntotal == 0:
+            self._mode = "device"
+        if self._mode == "device":
+            data = (
+                data if is_device_array(data)
+                else jnp.asarray(np.ascontiguousarray(data, np.float32))
+            ).astype(jnp.float32).reshape(-1, self.dim)
+            nlist_eff = min(self.nlist, max(1, int(data.shape[0])))
+            self._centroids = train_kmeans(
+                data, nlist_eff, iters=iters, seed=seed, out_device=True
+            )
+            if self.ntotal:
+                # Retrain: pull every row back out of the staged layout,
+                # re-assign on device, re-park as pending chunks.
+                vecs, idsa, _ = self._rows_all()
+                assign = assign_clusters(
+                    vecs.astype(jnp.float32), self._centroids, out_device=True
+                )
+                self._dev_vecs.clear(); self._dev_ids.clear(); self._dev_assign.clear()
+                self._dev_vecs.append(vecs)
+                self._dev_ids.append(idsa)
+                self._dev_assign.append(assign)
+            self._staged = None
+            self._tail = None
+            self._restage_needed = False
+            self._ranked_cache = None
+            return
+        data = np.ascontiguousarray(np.asarray(data), dtype=np.float32).reshape(
+            -1, self.dim
+        )
         nlist_eff = min(self.nlist, max(1, data.shape[0]))
         self._centroids = train_kmeans(data, nlist_eff, iters=iters, seed=seed)
         if self.ntotal:
             self._assign = assign_clusters(self._vectors, self._centroids)
         self._staged = None
+        self._tail = None
+        self._restage_needed = False
         self._ranked_cache = None
 
-    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+    def _add_device(self, vectors, ids) -> None:
+        vectors = vectors.reshape(-1, self.dim)
+        if not is_device_array(ids):
+            ids = jnp.asarray(np.asarray(ids, np.int64).astype(np.int32))
+        ids = ids.astype(jnp.int32).reshape(-1)
+        if not self.is_trained:
+            self.train(vectors)
+        assign = assign_clusters(
+            vectors.astype(jnp.float32), self._centroids, out_device=True
+        )
+        kept = vectors.astype(self._keep_dtype)
+        if self._staged is not None:
+            if self._tail is None:
+                self._tail = GrowTail({
+                    "vecs": (self.dim, str(jnp.dtype(self._keep_dtype))),
+                    "ids": (None, "int32"),
+                    "assign": (None, "int32"),
+                })
+            self._tail.append(vecs=kept, ids=ids, assign=assign)
+            if self._tail.count > tail_restage_threshold(self.ntotal):
+                self._restage_needed = True
+        else:
+            self._dev_vecs.append(kept)
+            self._dev_ids.append(ids)
+            self._dev_assign.append(assign)
+        self._n_dev += int(vectors.shape[0])
+        self._ranked_cache = None
+
+    def add(self, vectors, ids) -> None:
+        if is_device_array(vectors) and self._mode == "host" and self.ntotal == 0:
+            self._mode = "device"
+        if self._mode == "device":
+            if not is_device_array(vectors):
+                vectors = jnp.asarray(
+                    np.ascontiguousarray(vectors, np.float32)
+                )
+            self._add_device(vectors, ids)
+            return
+        vectors = np.ascontiguousarray(
+            np.asarray(vectors), dtype=np.float32
+        ).reshape(-1, self.dim)
         ids = np.asarray(ids, dtype=np.int64).reshape(-1)
         if not self.is_trained:
             self.train(vectors)
         new_assign = assign_clusters(vectors, self._centroids)
+        if self._staged is not None:
+            # O(batch) incremental path: park the new rows in the device
+            # tail instead of invalidating the whole staging (which would
+            # re-upload the corpus on next search).
+            if self._tail is None:
+                self._tail = GrowTail({
+                    "vecs": (self.dim, "float32"),
+                    "ids": (None, "int32"),
+                    "assign": (None, "int32"),
+                })
+            self._tail.append(
+                vecs=jnp.asarray(vectors),
+                ids=jnp.asarray(ids.astype(np.int32)),
+                assign=jnp.asarray(new_assign),
+            )
+            if self._tail.count > tail_restage_threshold(self.ntotal):
+                self._restage_needed = True
         self._vectors = np.concatenate([self._vectors, vectors], axis=0)
         self._ids = np.concatenate([self._ids, ids])
         old_assign = (
@@ -171,80 +386,139 @@ class IVFFlatIndex:
             self._vectors = self._vectors[order]
             self._ids = self._ids[order]
             self._assign = self._assign[order]
-        self._staged = None
         self._ranked_cache = None
 
     # -- device staging ---------------------------------------------------------
 
     def _stage(self):
-        """Bucket rows into dense padded inverted lists on device."""
-        if self._staged is None:
-            nlist_eff = self._centroids.shape[0]
-            counts = np.bincount(self._assign, minlength=nlist_eff)
-            pad = list_pad(int(counts.max(initial=1)))
-            list_vecs = np.zeros((nlist_eff, pad, self.dim), np.float32)
-            list_ids = np.full((nlist_eff, pad), -1, np.int32)
-            # Vectorized bucketing: stable sort by list keeps ascending-id
-            # order inside each list; slot = rank within the list.
-            order = np.argsort(self._assign, kind="stable")
-            sorted_lists = self._assign[order]
-            starts = np.zeros((nlist_eff,), np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            slots = np.arange(len(order)) - starts[sorted_lists]
-            list_vecs[sorted_lists, slots] = self._vectors[order]
-            list_ids[sorted_lists, slots] = self._ids[order]
-            c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
-            list_sqn = np.einsum("lpd,lpd->lp", list_vecs, list_vecs)
-            # Rerank lookup (ops/rerank.py): external id -> row in the
-            # bucketed store viewed flat as (nlist*pad, D).
-            from ..ops.rerank import build_id_lookup
-
-            n = self.ntotal
-            bucket_row = np.zeros((n,), np.int32)
-            bucket_row[order] = (sorted_lists * pad + slots).astype(np.int32)
-            # Quantized scan stores. The f32 lists cross the (slow,
-            # hazard #3) host->device link exactly ONCE; every derived
-            # store — bf16 scan/rerank copy, SQ8 codes — is computed on
-            # device. The bucketed store doubles as the rerank candidate
-            # store; with a non-f32 scan and rerank_dtype="bfloat16" the
-            # single bf16 copy is shared and NO f32 copy stays on
-            # device. (The CPU search path ignores scan_extra and scans
-            # the store directly.)
-            li_dev = jax.device_put(list_ids)
-            lv_dev = jax.device_put(list_vecs)
-            if self.scan_dtype == "float32":
-                store = lv_dev
-                scan_extra = None
-            elif self.scan_dtype == "bfloat16":
-                scan_store = _to_bf16(lv_dev)
-                scan_extra = ("bfloat16", scan_store)
-                store = lv_dev if self.rerank_dtype == "float32" else scan_store
-            else:  # int8 SQ8, symmetric per-dimension (models/flat.py)
-                codes, dim_scale, dec_sqn = _sq8_stage(lv_dev, li_dev)
-                scan_extra = ("int8", codes, dim_scale, dec_sqn)
-                store = (
-                    lv_dev if self.rerank_dtype == "float32"
-                    else _to_bf16(lv_dev)
-                )
-            del lv_dev
-            self._staged = (
-                jax.device_put(self._centroids.astype(np.float32)),
-                jax.device_put(c_sq.astype(np.float32)),
-                store,
-                li_dev,
-                jax.device_put(list_sqn.astype(np.float32)),
-                build_id_lookup(self._ids, bucket_row),
-                pad,
-                scan_extra,
-            )
+        if self._staged is None or self._restage_needed:
+            # A restage folds the tail in lazily. In device mode the old
+            # staged store IS the storage, so _stage_device reads rows
+            # out of it (_rows_all) before replacing it.
+            if self._mode == "device":
+                self._stage_device()
+            else:
+                self._stage_host()
+            self._tail = None
+            self._restage_needed = False
         return self._staged
+
+    def _stage_device(self):
+        """Bucket rows into padded inverted lists entirely on device —
+        only the (nlist,) counts cross the host link."""
+        vecs, idsa, assign = self._rows_all()
+        nlist_eff = int(self._centroids.shape[0])
+        order, lists, slots, counts = bucketize_device(assign, nlist_eff)
+        pad = list_pad(int(counts.max(initial=1)))
+        store = scatter_lists_device(vecs, order, lists, slots, nlist_eff, pad)
+        li_dev = scatter_list_ids_device(idsa, order, lists, slots, nlist_eff, pad)
+        c_sq = jnp.sum(
+            self._centroids.astype(jnp.float32) ** 2, axis=1
+        )
+        list_sqn = _list_sqn_program(nlist_eff, pad, self.dim, str(store.dtype))(
+            store
+        )
+        n = int(vecs.shape[0])
+        bucket_row = _bucket_row_program(int(order.shape[0]), pad)(
+            order, lists, slots
+        )[:n]
+        id_lookup = build_id_lookup_device(idsa, bucket_row)
+        if self.scan_dtype == "float32":
+            scan_extra = None
+        elif self.scan_dtype == "bfloat16":
+            scan_store = store if store.dtype == jnp.bfloat16 else _to_bf16(store)
+            scan_extra = ("bfloat16", scan_store)
+        else:
+            codes, dim_scale, dec_sqn = _sq8_stage(store, li_dev)
+            scan_extra = ("int8", codes, dim_scale, dec_sqn)
+        self._staged = (
+            self._centroids.astype(jnp.float32),
+            c_sq,
+            store,
+            li_dev,
+            list_sqn,
+            id_lookup,
+            pad,
+            scan_extra,
+        )
+        # The bucketed store is now the storage: free the source chunks.
+        self._dev_vecs.clear()
+        self._dev_ids.clear()
+        self._dev_assign.clear()
+
+    def _stage_host(self):
+        """Host-mode staging (the CLI scale): bucket on host, push once."""
+        nlist_eff = self._centroids.shape[0]
+        counts = np.bincount(self._assign, minlength=nlist_eff)
+        pad = list_pad(int(counts.max(initial=1)))
+        list_vecs = np.zeros((nlist_eff, pad, self.dim), np.float32)
+        list_ids = np.full((nlist_eff, pad), -1, np.int32)
+        # Vectorized bucketing: stable sort by list keeps ascending-id
+        # order inside each list; slot = rank within the list.
+        order = np.argsort(self._assign, kind="stable")
+        sorted_lists = self._assign[order]
+        starts = np.zeros((nlist_eff,), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        slots = np.arange(len(order)) - starts[sorted_lists]
+        list_vecs[sorted_lists, slots] = self._vectors[order]
+        list_ids[sorted_lists, slots] = self._ids[order]
+        c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
+        list_sqn = np.einsum("lpd,lpd->lp", list_vecs, list_vecs)
+        # Rerank lookup (ops/rerank.py): external id -> row in the
+        # bucketed store viewed flat as (nlist*pad, D).
+        from ..ops.rerank import build_id_lookup
+
+        n = self.ntotal
+        bucket_row = np.zeros((n,), np.int32)
+        bucket_row[order] = (sorted_lists * pad + slots).astype(np.int32)
+        # Quantized scan stores. The f32 lists cross the (slow,
+        # hazard #3) host->device link exactly ONCE; every derived
+        # store — bf16 scan/rerank copy, SQ8 codes — is computed on
+        # device. The bucketed store doubles as the rerank candidate
+        # store; with a non-f32 scan and rerank_dtype="bfloat16" the
+        # single bf16 copy is shared and NO f32 copy stays on
+        # device. (The CPU search path casts the store to f32 after
+        # the gather, so it ranks exact distances of the same stored
+        # values the TPU rerank scores.)
+        li_dev = jax.device_put(list_ids)
+        lv_dev = jax.device_put(list_vecs)
+        if self.scan_dtype == "float32":
+            store = lv_dev
+            scan_extra = None
+        elif self.scan_dtype == "bfloat16":
+            scan_store = _to_bf16(lv_dev)
+            scan_extra = ("bfloat16", scan_store)
+            store = lv_dev if self.rerank_dtype == "float32" else scan_store
+        else:  # int8 SQ8, symmetric per-dimension (models/flat.py)
+            codes, dim_scale, dec_sqn = _sq8_stage(lv_dev, li_dev)
+            scan_extra = ("int8", codes, dim_scale, dec_sqn)
+            store = (
+                lv_dev if self.rerank_dtype == "float32"
+                else _to_bf16(lv_dev)
+            )
+        del lv_dev
+        self._staged = (
+            jax.device_put(self._centroids.astype(np.float32)),
+            jax.device_put(c_sq.astype(np.float32)),
+            store,
+            li_dev,
+            jax.device_put(list_sqn.astype(np.float32)),
+            build_id_lookup(self._ids, bucket_row),
+            pad,
+            scan_extra,
+        )
 
     # -- search -------------------------------------------------------------------
 
     def search(
-        self, queries: np.ndarray, k: int, *, nprobe: int | None = None
+        self, queries, k: int, *, nprobe: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        if is_device_array(queries):
+            queries = queries.astype(jnp.float32).reshape(-1, self.dim)
+        else:
+            queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(
+                -1, self.dim
+            )
         if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
@@ -285,7 +559,6 @@ class IVFFlatIndex:
                     list_vecs.reshape(-1, self.dim), srows, si,
                     jnp.asarray(queries), k,
                 )
-                return np.asarray(dists), np.asarray(out_ids, dtype=np.int64)
             else:  # bfloat16 scan store
                 # bf16 halves the list DMA, moving the dense/select
                 # crossover up: measured (exp_ivf_bf16_gate.py) dense
@@ -298,10 +571,10 @@ class IVFFlatIndex:
                     centroids, c_sq, scan_extra[1], list_sqn, list_ids,
                     jnp.asarray(queries),
                 )
-            dists, out_ids = exact_rerank_staged(
-                list_vecs.reshape(-1, self.dim), id_lookup, si,
-                jnp.asarray(queries), k,
-            )
+                dists, out_ids = exact_rerank_staged(
+                    list_vecs.reshape(-1, self.dim), id_lookup, si,
+                    jnp.asarray(queries), k,
+                )
         elif jax.default_backend() == "tpu":
             # Pallas scalar-prefetch scan: streams probed lists HBM->VMEM
             # at full bandwidth (XLA's probe gather runs far below it).
@@ -331,6 +604,15 @@ class IVFFlatIndex:
                 nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k
             )
             dists, out_ids = program(centroids, c_sq, list_vecs, list_ids, queries)
+        if self._tail and self._tail.count:
+            # Incremental-add rows: exact distances, visible only to
+            # queries that probe their assigned list — the same rows a
+            # fresh build's scan would see — then one (distance, id)
+            # lexicographic merge.
+            td = tail_scores(
+                self._tail, centroids, c_sq, jnp.asarray(queries), nprobe_eff
+            )
+            dists, out_ids = merge_tail(dists, out_ids, td, self._tail["ids"], k)
         return np.asarray(dists), np.asarray(out_ids, dtype=np.int64)
 
     def _ranked_staged(self):
@@ -340,18 +622,33 @@ class IVFFlatIndex:
         host->device link at 1M x 768).
 
         When search staging already holds an f32 copy of every row (the
-        bucketed store with rerank_dtype="float32"), that copy is REUSED
-        flat as (nlist*pad, D) — zero extra device memory; row order is
-        irrelevant because ranked_program sorts by (distance, id).
-        Otherwise (not yet staged, or the bucketed store is bf16) a
-        dedicated pow2-padded f32 staging is built once."""
+        bucketed store with rerank_dtype="float32" and an empty tail),
+        that copy is REUSED flat as (nlist*pad, D) — zero extra device
+        memory; row order is irrelevant because ranked_program sorts by
+        (distance, id). Otherwise a dedicated pow2-padded f32 staging is
+        built once."""
         if self._ranked_cache is not None:
             return self._ranked_cache
-        if self._staged is not None and self._staged[2].dtype == jnp.float32:
+        tail_empty = not (self._tail and self._tail.count)
+        if (
+            self._staged is not None
+            and self._staged[2].dtype == jnp.float32
+            and tail_empty
+            and not self._restage_needed
+        ):
             store, list_ids = self._staged[2], self._staged[3]
             vecs = store.reshape(-1, self.dim)
             ids = list_ids.reshape(-1)
             self._ranked_cache = (vecs, ids, ids >= 0)
+        elif self._mode == "device":
+            vecs, idsa, _ = self._rows_all()
+            cap = next_pow2(max(self.ntotal, 1))
+            n = self.ntotal
+            vecs32 = vecs.astype(jnp.float32)
+            if cap != n:
+                vecs32 = jnp.pad(vecs32, ((0, cap - n), (0, 0)))
+                idsa = jnp.pad(idsa, (0, cap - n), constant_values=-1)
+            self._ranked_cache = (vecs32, idsa, idsa >= 0)
         else:
             cap = next_pow2(max(self.ntotal, 1))
             vecs = np.zeros((cap, self.dim), np.float32)
@@ -385,10 +682,23 @@ class IVFFlatIndex:
         params = {"dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe,
                   "scan_dtype": self.scan_dtype,
                   "rerank_dtype": self.rerank_dtype}
+        if self._mode == "device" and self.ntotal:
+            # Serialization inherently crosses the host link — the ONE
+            # place device mode pays it. bf16-retained rows widen to f32.
+            vecs, idsa, assign = self._rows_all()
+            arrays = {
+                "vectors": np.asarray(vecs.astype(jnp.float32)),
+                "ids": np.asarray(idsa).astype(np.int64),
+                "centroids": np.asarray(self._centroids, dtype=np.float32),
+                "assign": np.asarray(assign),
+            }
+            return params, arrays
         arrays = {
             "vectors": self._vectors,
             "ids": self._ids,
-            "centroids": self._centroids if self._centroids is not None else np.zeros((0, self.dim), np.float32),
+            "centroids": np.asarray(self._centroids, dtype=np.float32)
+            if self._centroids is not None
+            else np.zeros((0, self.dim), np.float32),
             "assign": self._assign if self._assign is not None else np.zeros((0,), np.int32),
         }
         return params, arrays

@@ -1,0 +1,270 @@
+"""Device-resident build + incremental-add tests (models/devbuild.py).
+
+VERDICT round 3 items #1 (O(batch) add without full restage; device
+arrays end-to-end through train/add/_stage) and weak #5 (CPU quantized-
+store divergence). Runs on the forced-CPU backend, where "device array"
+means a committed jax.Array — the same code path the TPU takes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c99_vectordb_tpu.models.devbuild import (
+    ChunkStore,
+    GrowTail,
+    bucketize_device,
+    build_id_lookup_device,
+    tail_restage_threshold,
+)
+from c99_vectordb_tpu.models.ivf_flat import IVFFlatIndex
+
+
+def _corpus(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, d)).astype(np.float32)
+
+
+def _oracle(points, ids, q, k):
+    d = ((q[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    out_d = np.sort(d, axis=1)[:, :k]
+    out_i = ids[np.argsort(d, axis=1)[:, :k]]
+    return out_d, out_i
+
+
+# -- plumbing -------------------------------------------------------------------
+
+
+def test_chunkstore_consolidation_and_modes():
+    cs = ChunkStore()
+    cs.append(np.ones((3, 4), np.float32))
+    assert not cs.device_mode
+    cs.append(jnp.zeros((2, 4), jnp.float32))
+    assert cs.device_mode and len(cs) == 5
+    out = cs.consolidated()
+    assert isinstance(out, jax.Array) and out.shape == (5, 4)
+    np.testing.assert_array_equal(np.asarray(out[:3]), 1.0)
+
+
+def test_growtail_append_and_growth():
+    tail = GrowTail({"vecs": (4, "float32"), "ids": (None, "int32")})
+    for i in range(3):
+        tail.append(
+            vecs=jnp.full((600, 4), float(i)),
+            ids=jnp.arange(600, dtype=jnp.int32) + i * 600,
+        )
+    assert tail.count == 1800 and tail.cap >= 1800
+    ids = np.asarray(tail["ids"])
+    np.testing.assert_array_equal(ids[:1800], np.arange(1800))
+    assert np.all(ids[1800:] == -1)  # id fill marks empty capacity invalid
+
+
+def test_bucketize_device_matches_host():
+    rng = np.random.default_rng(3)
+    assign = rng.integers(0, 7, size=100).astype(np.int32)
+    order, lists, slots, counts = bucketize_device(jnp.asarray(assign), 7)
+    np.testing.assert_array_equal(counts, np.bincount(assign, minlength=7))
+    o = np.asarray(order)[:100]
+    np.testing.assert_array_equal(np.asarray(lists)[:100], assign[np.argsort(assign, kind="stable")])
+    np.testing.assert_array_equal(o, np.argsort(assign, kind="stable"))
+
+
+def test_build_id_lookup_device_identity_and_dense():
+    iota = jnp.arange(32, dtype=jnp.int32)
+    assert build_id_lookup_device(iota)[0] == "identity"
+    gapped = iota * 3
+    kind, table = build_id_lookup_device(gapped)
+    assert kind == "dense"
+    np.testing.assert_array_equal(np.asarray(table)[np.asarray(gapped)], np.arange(32))
+    kind, table = build_id_lookup_device(iota, rows=iota[::-1])
+    assert kind == "dense"  # explicit rows: never identity
+
+
+# -- device-mode build parity ------------------------------------------------------
+
+
+@pytest.mark.parametrize("scan_dtype", ["float32", "int8"])
+def test_ivf_flat_device_build_matches_host_build(scan_dtype):
+    points = _corpus(512, 32, seed=1)
+    ids = np.arange(512, dtype=np.int64)
+    q = _corpus(8, 32, seed=2)
+
+    host = IVFFlatIndex(dim=32, nlist=8, nprobe=8, scan_dtype=scan_dtype)
+    host.train(points)
+    host.add(points, ids)
+    hd, hi = host.search(q, k=10)
+
+    dev = IVFFlatIndex(dim=32, nlist=8, nprobe=8, scan_dtype=scan_dtype)
+    dev.train(jnp.asarray(points))
+    assert dev._mode == "device"
+    dev.add(jnp.asarray(points), jnp.asarray(ids.astype(np.int32)))
+    dd, di = dev.search(q, k=10)
+
+    np.testing.assert_array_equal(hi, di)
+    np.testing.assert_allclose(hd, dd, rtol=1e-5, atol=1e-5)
+    # nprobe == nlist: exhaustive, so the oracle must agree too.
+    od, oi = _oracle(points, ids, q, 10)
+    np.testing.assert_array_equal(di, oi)
+
+
+def test_ivf_flat_device_mode_state_roundtrip_and_ids():
+    from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+    points = _corpus(300, 16, seed=5)
+    ids = np.arange(300, dtype=np.int64)
+    dev = IVFFlatIndex(dim=16, nlist=4, nprobe=4)
+    dev.add(jnp.asarray(points), jnp.asarray(ids.astype(np.int32)))
+    dev.search(_corpus(2, 16, seed=6), k=3)          # stage (frees chunks)
+    np.testing.assert_array_equal(np.sort(dev.ids()), ids)
+    assert dev.ntotal == 300
+
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        path = Path(td) / "x.memo"
+        write_index(dev, path)
+        back = read_index(path)
+    q = _corpus(4, 16, seed=7)
+    bd, bi = back.search(q, k=5)
+    dd, di = dev.search(q, k=5)
+    np.testing.assert_array_equal(bi, di)
+    np.testing.assert_allclose(bd, dd, rtol=1e-5, atol=1e-5)
+
+
+# -- incremental add -----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("device_input", [False, True])
+def test_ivf_flat_incremental_add_matches_fresh_build(device_input):
+    d = 24
+    base = _corpus(600, d, seed=10)
+    extra = _corpus(50, d, seed=11)
+    allpts = np.concatenate([base, extra])
+    all_ids = np.arange(650, dtype=np.int64)
+    q = _corpus(6, d, seed=12)
+
+    inc = IVFFlatIndex(dim=d, nlist=6, nprobe=3)
+    if device_input:
+        inc.train(jnp.asarray(base))
+        inc.add(jnp.asarray(base), jnp.asarray(np.arange(600, dtype=np.int32)))
+    else:
+        inc.train(base)
+        inc.add(base, all_ids[:600])
+    inc.search(q, k=5)                                  # stage
+    staged_before = inc._staged
+    if device_input:
+        inc.add(jnp.asarray(extra), jnp.asarray(np.arange(600, 650, dtype=np.int32)))
+    else:
+        inc.add(extra, all_ids[600:])
+    # The add must NOT have invalidated staging (O(batch), not O(N)).
+    assert inc._staged is staged_before
+    assert inc._tail is not None and inc._tail.count == 50
+    assert inc.ntotal == 650
+
+    fresh = IVFFlatIndex(dim=d, nlist=6, nprobe=3)
+    fresh.train(base)                                   # same quantizer
+    fresh.add(allpts, all_ids)
+
+    id_, dd_ = inc.search(q, k=5), fresh.search(q, k=5)
+    np.testing.assert_array_equal(id_[1], dd_[1])
+    np.testing.assert_allclose(id_[0], dd_[0], rtol=1e-5, atol=1e-5)
+
+    # ranked_all sees the tail rows too (exhaustive, oracle-exact).
+    dists, ids_r = inc.ranked_all(q[0])
+    assert dists.shape[0] == 650
+    od, oi = _oracle(allpts, all_ids, q[:1], 10)
+    np.testing.assert_array_equal(ids_r[:10], oi[0])
+
+
+def test_ivf_flat_tail_overflow_triggers_restage():
+    d = 16
+    base = _corpus(256, d, seed=20)
+    inc = IVFFlatIndex(dim=d, nlist=4, nprobe=4)
+    inc.train(base)
+    inc.add(base, np.arange(256, dtype=np.int64))
+    q = _corpus(2, d, seed=21)
+    inc.search(q, k=3)
+    thresh = tail_restage_threshold(256)
+    big = _corpus(thresh + 100, d, seed=22)
+    inc.add(big, np.arange(256, 256 + thresh + 100, dtype=np.int64))
+    assert inc._restage_needed
+    dd, di = inc.search(q, k=3)                          # restages lazily
+    assert inc._tail is None and not inc._restage_needed
+    allpts = np.concatenate([base, big])
+    od, oi = _oracle(allpts, np.arange(len(allpts)), q, 3)
+    np.testing.assert_array_equal(di, oi)
+    np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-5)
+
+
+def test_ivf_flat_device_incremental_restage_preserves_rows():
+    # Device mode: after staging the bucketed store IS the storage; a
+    # tail-overflow restage must reconstruct every row from it.
+    d = 16
+    base = _corpus(200, d, seed=30)
+    inc = IVFFlatIndex(dim=d, nlist=4, nprobe=4)
+    inc.add(jnp.asarray(base), jnp.asarray(np.arange(200, dtype=np.int32)))
+    q = _corpus(3, d, seed=31)
+    inc.search(q, k=4)
+    assert len(inc._dev_vecs) == 0                       # chunks freed
+    thresh = tail_restage_threshold(200)
+    big = _corpus(thresh + 10, d, seed=32)
+    inc.add(jnp.asarray(big), jnp.asarray(np.arange(200, 210 + thresh, dtype=np.int32)))
+    dd, di = inc.search(q, k=4)
+    allpts = np.concatenate([base, big])
+    od, oi = _oracle(allpts, np.arange(len(allpts)), q, 4)
+    np.testing.assert_array_equal(di, oi)
+    np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-5)
+    assert inc.ntotal == 210 + thresh
+
+
+def test_ivf_flat_tail_respects_probe_visibility():
+    # A tail row in an unprobed list must stay invisible — fresh-build
+    # parity means reproducing the IVF miss, not fixing it.
+    d = 8
+    rng = np.random.default_rng(40)
+    # Two well-separated clusters -> 2 lists.
+    a = rng.standard_normal((64, d)).astype(np.float32) + 20.0
+    b = rng.standard_normal((64, d)).astype(np.float32) - 20.0
+    idx = IVFFlatIndex(dim=d, nlist=2, nprobe=1)
+    idx.train(np.concatenate([a, b]))
+    idx.add(a, np.arange(64, dtype=np.int64))
+    q = (a[:1] + 0.05).astype(np.float32)
+    idx.search(q, k=3)                                   # stage
+    # Add one row NEXT TO THE QUERY but force-assigned to the far list?
+    # Assignment is nearest-centroid, so instead add a far row and check
+    # it does not appear for the near query (its list is unprobed).
+    far = (b[:1] - 0.05).astype(np.float32)
+    idx.add(far, np.asarray([999], np.int64))
+    assert idx._tail is not None and idx._tail.count == 1
+    _, ids_near = idx.search(q, k=3)
+    assert 999 not in ids_near
+    qa = (far + 0.01).astype(np.float32)
+    _, ids_far = idx.search(qa, k=1)
+    assert ids_far[0, 0] == 999                          # visible when probed
+
+
+# -- weak #5: the CPU branch ranks the stored values exactly --------------------------
+
+
+def test_cpu_quantized_store_scan_is_exact_on_store_values():
+    # scan_dtype=int8 + rerank_dtype=bfloat16: the CPU branch must return
+    # exact distances of the bf16 store values (what the TPU rerank
+    # scores), not bf16-arithmetic approximations with no error bar.
+    d = 32
+    points = _corpus(256, d, seed=50)
+    ids = np.arange(256, dtype=np.int64)
+    idx = IVFFlatIndex(
+        dim=d, nlist=4, nprobe=4, scan_dtype="int8", rerank_dtype="bfloat16"
+    )
+    idx.train(points)
+    idx.add(points, ids)
+    q = _corpus(5, d, seed=51)
+    dd, di = idx.search(q, k=8)
+    store_vals = np.asarray(jnp.asarray(points).astype(jnp.bfloat16).astype(jnp.float32))
+    od, oi = _oracle(store_vals, ids, q, 8)
+    np.testing.assert_array_equal(di, oi)
+    np.testing.assert_allclose(dd, od, rtol=1e-5, atol=1e-5)
