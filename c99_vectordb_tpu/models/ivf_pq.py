@@ -16,6 +16,22 @@ Distance estimate: d(q, x) ~= sum_j || r_j - codebook_j[code_j] ||^2
 with r = q - coarse_centroid — the standard residual-ADC estimator.
 
 Train/encode reuse the on-device k-means of ops/kmeans.py per subspace.
+
+Storage modes (models/devbuild.py, VERDICT r3 #1): numpy inputs keep the
+host-mirror semantics (the CLI scale); a jax.Array first input switches
+to DEVICE mode — train, rotate, encode, bucket, scatter, item constants
+and the refine store all build on device (the recipe proven at 9.1 s for
+a 1M x 384 build in benchmarks/run10m.py vs 124.7 s through the host
+link), and after staging the code canvas + refine store ARE the storage.
+
+Incremental add (the reference's O(insert) add_with_ids,
+/root/reference/memo_cli.py:282,437): rows added after staging are
+encoded immediately, their raw values scattered into the live refine
+store in place (donated updates), and their ADC reconstructions parked
+in a device tail that the search merges into the shortlist — scored by
+the same estimator, masked to the same probed lists — so results match a
+fresh build. A lazy restage folds the tail into the lists past
+tail_restage_threshold. Staging is never invalidated by an add.
 """
 
 from __future__ import annotations
@@ -38,6 +54,17 @@ from ..ops.kmeans import (
 from ..ops.rerank import exact_rerank_staged
 from ..ops.topk import merge_topk
 from .base import list_pad, next_pow2
+from .devbuild import (
+    ChunkStore,
+    GrowTail,
+    bucketize_device,
+    is_device_array,
+    merge_tail,
+    scatter_list_ids_device,
+    scatter_lists_device,
+    tail_restage_threshold,
+    tail_scores,
+)
 from .registry import register
 
 LANE_K = 128  # shortlists beyond ~a lane tile use the dense ADC variant
@@ -145,6 +172,22 @@ def _rotate_program(dim: int, b: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _rotate_exact_program(dim: int, n: int):
+    """Build/encode-side rotation at HIGHEST precision — the host path
+    rotated in exact f32, and PQ codes should not depend on backend."""
+
+    @jax.jit
+    def run(data, rotation):
+        return jnp.dot(
+            data, rotation,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
 def _adc_search_program(
     nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int, k: int
 ):
@@ -190,6 +233,96 @@ def _adc_search_program(
 
         (best_d, best_i), _ = jax.lax.scan(probe_step, init, jnp.arange(nprobe))
         return best_d, best_i
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _residual_subs_program(n: int, dim: int, m: int):
+    dsub = dim // m
+
+    @jax.jit
+    def run(data, centroids, assign):
+        res = data - centroids[assign]
+        return res.reshape(n, m, dsub).transpose(1, 0, 2)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _decode_recon_program(n: int, dim: int, m: int, ksub: int):
+    """codes (n, m) + assign -> reconstruction centroid[a] + decode(codes)
+    in the quantization space: exact-scoring these rows reproduces the
+    ADC estimate (d_adc = ||q_rot - x_hat||^2), which is how the tail
+    stays estimator-faithful to a fresh build."""
+    dsub = dim // m
+
+    @jax.jit
+    def run(codes, assign, centroids, codebooks):
+        y = jnp.take_along_axis(
+            codebooks[None], codes.astype(jnp.int32)[:, :, None, None], axis=2
+        )[:, :, 0, :]                                     # (n, m, dsub)
+        return centroids[assign] + y.reshape(n, dim)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _refine_scatter_program(cap: int, dim: int, n: int, dtype: str):
+    @jax.jit
+    def run(vecs, positions, ids):
+        store = jnp.zeros((cap, dim), jnp.dtype(dtype))
+        store = store.at[positions].set(vecs.astype(jnp.dtype(dtype)))
+        ids_arr = jnp.full((cap,), -1, jnp.int32).at[positions].set(ids)
+        valid = jnp.zeros((cap,), bool).at[positions].set(True)
+        return store, ids_arr, valid
+
+    return run
+
+
+def _donate_first() -> tuple:
+    return (0,) if jax.default_backend() == "tpu" else ()
+
+
+@functools.lru_cache(maxsize=None)
+def _refine_update_program(cap: int, dim: int, batch: int, dtype: str):
+    @functools.partial(jax.jit, donate_argnums=_donate_first())
+    def run(store, rows, positions):
+        return store.at[positions].set(rows.astype(jnp.dtype(dtype)))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _refine_meta_update_program(cap: int, batch: int):
+    @jax.jit
+    def run(ids_arr, valid, positions, new_ids):
+        return (
+            ids_arr.at[positions].set(new_ids),
+            valid.at[positions].set(True),
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_rows_to_program(cap_old: int, cap_new: int, dim: int, dtype: str):
+    @jax.jit
+    def run(store):
+        return jnp.pad(store, ((0, cap_new - cap_old), (0, 0)))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _pad_meta_to_program(cap_old: int, cap_new: int):
+    @jax.jit
+    def run(ids_arr, valid):
+        extra = cap_new - cap_old
+        return (
+            jnp.pad(ids_arr, (0, extra), constant_values=-1),
+            jnp.pad(valid, (0, extra)),
+        )
 
     return run
 
@@ -243,19 +376,32 @@ class IVFPQIndex:
         self.opq_iters = int(opq_iters)
         self._rotation: np.ndarray | None = None  # (D, D); x_rot = x @ R
         self._rotation_dev: jax.Array | None = None
+        # Host-mode mirrors (numpy; the CLI scale).
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
         self._codes = np.zeros((0, self.m), dtype=np.uint8)
         self._assign: np.ndarray | None = None
-        self._centroids: np.ndarray | None = None
-        self._codebooks: np.ndarray | None = None   # (m, ksub_eff, dsub)
+        # Device-mode chunk stores (corpus scale; freed after staging).
+        self._mode = "host"
+        self._dev_vecs = ChunkStore()       # kept rows (refine only)
+        self._dev_ids = ChunkStore()
+        self._dev_assign = ChunkStore()
+        self._dev_codes = ChunkStore()
+        self._n_dev = 0
+        self._centroids = None              # np or device (nlist_eff, D)
+        self._codebooks = None              # np or device (m, ksub_eff, dsub)
         self._staged = None
         self._staged_refine = None
+        self._refine_rows = 0               # rows materialized (positional)
+        self._tail: GrowTail | None = None
+        self._restage_needed = False
 
     # -- introspection -------------------------------------------------------
 
     @property
     def ntotal(self) -> int:
+        if self._mode == "device":
+            return self._n_dev
         return int(self._ids.shape[0])
 
     @property
@@ -263,6 +409,11 @@ class IVFPQIndex:
         return self._centroids is not None and self._codebooks is not None
 
     def ids(self) -> np.ndarray:
+        if self._mode == "device":
+            if self._n_dev == 0:
+                return np.zeros((0,), np.int64)
+            ids, _, _ = self._codes_all()
+            return np.asarray(ids).astype(np.int64)
         return self._ids.copy()
 
     @property
@@ -271,7 +422,7 @@ class IVFPQIndex:
 
     # -- training --------------------------------------------------------------
 
-    def _train_opq_rotation(self, data: np.ndarray, *, iters: int, seed: int) -> None:
+    def _train_opq_rotation(self, data, *, iters: int, seed: int) -> None:
         self._rotation = train_opq_rotation(
             data, self.m, ksub=self.ksub, iters=iters, seed=seed
         )
@@ -283,7 +434,18 @@ class IVFPQIndex:
             return data
         return np.ascontiguousarray(data @ self._rotation)
 
-    def _rotate_queries(self, queries: np.ndarray):
+    def _rotate_device(self, data):
+        """Device-side build/encode rotation (HIGHEST — codes must not
+        depend on backend rounding)."""
+        if self._rotation is None:
+            return data
+        if self._rotation_dev is None:
+            self._rotation_dev = jax.device_put(self._rotation)
+        return _rotate_exact_program(self.dim, int(data.shape[0]))(
+            data.astype(jnp.float32), self._rotation_dev
+        )
+
+    def _rotate_queries(self, queries):
         """Query rotation ON DEVICE (one (B, D) x (D, D) MXU matmul) — the
         search hot path must not pay a host matmul + an extra transfer."""
         if self._rotation is None:
@@ -294,8 +456,53 @@ class IVFPQIndex:
             jnp.asarray(queries), self._rotation_dev
         )
 
-    def train(self, data: np.ndarray, *, iters: int = 10, seed: int = 0) -> None:
-        data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
+    def _centroids_dev(self):
+        if not is_device_array(self._centroids):
+            self._centroids = jax.device_put(
+                np.ascontiguousarray(self._centroids, np.float32)
+            )
+        return self._centroids
+
+    def _codebooks_dev(self):
+        if not is_device_array(self._codebooks):
+            self._codebooks = jax.device_put(
+                np.ascontiguousarray(self._codebooks, np.float32)
+            )
+        return self._codebooks
+
+    def train(self, data, *, iters: int = 10, seed: int = 0) -> None:
+        if is_device_array(data) and self.ntotal == 0:
+            self._mode = "device"
+        if self._mode == "device" and not is_device_array(data):
+            data = jnp.asarray(np.ascontiguousarray(data, np.float32))
+        if self._mode == "device":
+            data = data.astype(jnp.float32).reshape(-1, self.dim)
+            n = int(data.shape[0])
+            if self.opq and self._rotation is None:
+                self._train_opq_rotation(data, iters=self.opq_iters, seed=seed)
+            data = self._rotate_device(data)
+            nlist_eff = min(self.nlist, max(1, n))
+            self._centroids = train_kmeans(
+                data, nlist_eff, iters=iters, seed=seed, out_device=True
+            )
+            assign = assign_clusters(data, self._centroids, out_device=True)
+            subs = _residual_subs_program(n, self.dim, self.m)(
+                data, self._centroids, assign
+            )
+            ksub_eff = min(self.ksub, max(1, n))
+            self._codebooks = train_kmeans_multi(
+                subs, ksub_eff, iters=iters, seed=seed + 1, out_device=True
+            )
+            if self.ntotal:
+                self._reencode_all_device()
+            self._staged = None
+            self._staged_refine = None
+            self._tail = None
+            self._restage_needed = False
+            return
+        data = np.ascontiguousarray(
+            np.asarray(data), dtype=np.float32
+        ).reshape(-1, self.dim)
         if self.opq and self._rotation is None:
             self._train_opq_rotation(data, iters=self.opq_iters, seed=seed)
         data = self._rotate(data)
@@ -313,29 +520,129 @@ class IVFPQIndex:
         self._codebooks = train_kmeans_multi(subs, ksub_eff, iters=iters, seed=seed + 1)
         self._staged = None
         self._staged_refine = None
+        self._tail = None
+        self._restage_needed = False
 
-    def _encode(self, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(N, D) -> (assignments (N,), codes (N, m) uint8).
+    def _reencode_all_device(self) -> None:
+        """Retrain support in device mode: raw rows (refine store /
+        chunks) re-encode under the new quantizer. refine=False indexes
+        cannot re-encode (no raw rows survive) — the codes stay valid
+        for the OLD quantizer, so retraining them is rejected."""
+        if not self.refine:
+            raise ValueError(
+                "retraining a refine=False device-mode IVFPQIndex would "
+                "orphan its codes (raw vectors are not retained); build "
+                "a fresh index instead"
+            )
+        vecs, idsa = self._raw_rows_all()
+        assign, codes = self._encode(vecs)
+        self._dev_vecs.clear(); self._dev_ids.clear()
+        self._dev_assign.clear(); self._dev_codes.clear()
+        self._dev_vecs.append(vecs)
+        self._dev_ids.append(idsa)
+        self._dev_assign.append(assign)
+        self._dev_codes.append(codes)
+
+    def _encode(self, data):
+        """(N, D) -> (assignments (N,), codes (N, m) uint8); numpy in ->
+        numpy out, device in -> device out.
 
         Operates in the (optionally OPQ-rotated) quantization space."""
+        if is_device_array(data):
+            n = int(data.shape[0])
+            data = self._rotate_device(data.astype(jnp.float32))
+            assign = assign_clusters(data, self._centroids_dev(), out_device=True)
+            subs = _residual_subs_program(n, self.dim, self.m)(
+                data, self._centroids_dev(), assign
+            )
+            codes = assign_clusters_multi(
+                subs, self._codebooks_dev(), out_device=True
+            ).T.astype(jnp.uint8)
+            return assign, codes
         data = self._rotate(data)
-        assign = assign_clusters(data, self._centroids)
-        residuals = data - self._centroids[assign]
+        centroids = np.asarray(self._centroids)
+        assign = assign_clusters(data, centroids)
+        residuals = data - centroids[assign]
         dsub = self.dim // self.m
         subs = np.ascontiguousarray(
             residuals.reshape(data.shape[0], self.m, dsub).transpose(1, 0, 2)
         )
-        codes = assign_clusters_multi(subs, self._codebooks).T.astype(np.uint8)
+        codes = assign_clusters_multi(subs, np.asarray(self._codebooks)).T.astype(np.uint8)
         return assign, np.ascontiguousarray(codes)
 
     # -- mutation ------------------------------------------------------------------
 
-    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+    def _tail_park(self, ids_dev, assign_dev, codes_dev, raw_rows_dev) -> None:
+        """Post-staging add: encode-time products go to the device tail;
+        raw rows go straight into the live refine store."""
+        n = int(ids_dev.shape[0])
+        recon = _decode_recon_program(
+            n, self.dim, self.m, int(jnp.shape(self._codebooks_dev())[1])
+        )(codes_dev, assign_dev, self._centroids_dev(), self._codebooks_dev())
+        if self._tail is None:
+            self._tail = GrowTail({
+                "recon": (self.dim, "float32"),
+                "ids": (None, "int32"),
+                "assign": (None, "int32"),
+                "codes": (self.m, "uint8"),
+            })
+        self._tail.append(
+            recon=recon, ids=ids_dev, assign=assign_dev, codes=codes_dev
+        )
+        if self.refine and raw_rows_dev is not None:
+            self._refine_append(raw_rows_dev, ids_dev)
+        if self._tail.count > tail_restage_threshold(self.ntotal):
+            self._restage_needed = True
+
+    def _add_device(self, vectors, ids) -> None:
+        vectors = vectors.reshape(-1, self.dim)
+        if not is_device_array(ids):
+            ids = jnp.asarray(np.asarray(ids, np.int64).astype(np.int32))
+        ids = ids.astype(jnp.int32).reshape(-1)
+        if not self.is_trained:
+            self.train(vectors)
+        assign, codes = self._encode(vectors)
+        kept = vectors.astype(
+            jnp.bfloat16 if self.refine_dtype == "bfloat16" else jnp.float32
+        ) if self.refine else None
+        if self._staged is not None:
+            self._tail_park(ids, assign, codes, kept)
+        else:
+            if self.refine:
+                self._dev_vecs.append(kept)
+            self._dev_ids.append(ids)
+            self._dev_assign.append(assign)
+            self._dev_codes.append(codes)
+            if self._staged_refine is not None and self.refine:
+                self._refine_append(kept, ids)
+        self._n_dev += int(vectors.shape[0])
+
+    def add(self, vectors, ids) -> None:
+        if is_device_array(vectors) and self._mode == "host" and self.ntotal == 0:
+            self._mode = "device"
+        if self._mode == "device":
+            if not is_device_array(vectors):
+                vectors = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
+            self._add_device(vectors, ids)
+            return
+        vectors = np.ascontiguousarray(
+            np.asarray(vectors), dtype=np.float32
+        ).reshape(-1, self.dim)
         ids = np.asarray(ids, dtype=np.int64).reshape(-1)
         if not self.is_trained:
             self.train(vectors)
         assign, codes = self._encode(vectors)
+        if self._staged is not None:
+            self._tail_park(
+                jnp.asarray(ids.astype(np.int32)),
+                jnp.asarray(assign),
+                jnp.asarray(codes),
+                jnp.asarray(vectors) if self.refine else None,
+            )
+        elif self._staged_refine is not None and self.refine:
+            self._refine_append(
+                jnp.asarray(vectors), jnp.asarray(ids.astype(np.int32))
+            )
         old_assign = self._assign if self._assign is not None else np.zeros((0,), np.int32)
         self._ids = np.concatenate([self._ids, ids])
         self._codes = np.concatenate([self._codes, codes], axis=0)
@@ -349,64 +656,196 @@ class IVFPQIndex:
             self._assign = self._assign[order]
             if self.refine:
                 self._vectors = self._vectors[order]
-        self._staged = None
-        self._staged_refine = None
 
     # -- device staging ----------------------------------------------------------------
 
+    def _codes_all(self):
+        """Device mode: every stored row's (ids, assign, codes) as device
+        arrays — from the staged canvas, the tail, and pending chunks."""
+        parts_i, parts_a, parts_c = [], [], []
+        if self._staged is not None:
+            ids_s, assign_s, codes_s = self._staged_codes_rows()
+            if ids_s is not None:
+                parts_i.append(ids_s)
+                parts_a.append(assign_s)
+                parts_c.append(codes_s)
+        if self._tail and self._tail.count:
+            c = self._tail.count
+            parts_i.append(self._tail["ids"][:c])
+            parts_a.append(self._tail["assign"][:c])
+            parts_c.append(self._tail["codes"][:c])
+        if len(self._dev_ids):
+            parts_i.append(self._dev_ids.consolidated(jnp.int32))
+            parts_a.append(self._dev_assign.consolidated(jnp.int32))
+            parts_c.append(self._dev_codes.consolidated(jnp.uint8))
+        cat = lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps)
+        return cat(parts_i), cat(parts_a), cat(parts_c)
+
+    def _staged_codes_rows(self):
+        """Rows held by the current staging, reconstructed from the code
+        canvas (device mode never retains a row-major code matrix)."""
+        from ..ops.adc_pallas import unstage_codes128_device
+
+        n_staged = self._n_dev - len(self._dev_ids) - (
+            self._tail.count if self._tail else 0
+        )
+        if n_staged <= 0:
+            return None, None, None
+        (_, _, _, list_codes, list_ids, codes128, _, pad) = self._staged
+        nlist_eff = int(self._staged[0].shape[0])
+        if list_codes is None:
+            list_codes = unstage_codes128_device(
+                codes128, self.m, int(jnp.shape(self._codebooks_dev())[1])
+            )
+        from .ivf_flat import _extract_rows_program
+
+        codes, ids_s, assign_s = _extract_rows_program(
+            nlist_eff, pad, self.m, n_staged, str(list_codes.dtype)
+        )(list_codes, list_ids)
+        return ids_s, assign_s, codes
+
+    def _raw_rows_all(self):
+        """Device mode, refine on: every raw (kept-dtype) row + id.
+
+        Invariant: once `_staged_refine` exists it is COMPLETE (built
+        from every chunk, kept current by _refine_append), so it is the
+        sole source; before it exists the chunks are."""
+        if self._staged_refine is not None:
+            vecs, _, ids_arr, valid = self._staged_refine
+            n_mat = int(np.asarray(jnp.sum(valid)))
+            if n_mat == 0:
+                raise ValueError("empty refine store")
+            from .ivf_flat import _extract_rows_program
+
+            v, i, _ = _extract_rows_program(
+                1, int(vecs.shape[0]), self.dim, n_mat, str(vecs.dtype)
+            )(vecs.reshape(1, -1, self.dim), ids_arr.reshape(1, -1))
+            return v, i
+        if not len(self._dev_vecs):
+            raise ValueError("no raw rows retained (refine=False device mode)")
+        return (
+            self._dev_vecs.consolidated(),
+            self._dev_ids.consolidated(jnp.int32),
+        )
+
     def _stage(self):
-        if self._staged is None:
-            nlist_eff = self._centroids.shape[0]
-            counts = np.bincount(self._assign, minlength=nlist_eff)
-            pad = list_pad(int(counts.max(initial=1)))
-            # uint8 on device: the whole padded code table is pad*nlist*m bytes
-            list_codes = np.zeros((nlist_eff, pad, self.m), np.uint8)
-            list_ids = np.full((nlist_eff, pad), -1, np.int32)
-            order = np.argsort(self._assign, kind="stable")
-            sorted_lists = self._assign[order]
-            starts = np.zeros((nlist_eff,), np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            slots = np.arange(len(order)) - starts[sorted_lists]
-            list_codes[sorted_lists, slots] = self._codes[order]
-            list_ids[sorted_lists, slots] = self._ids[order]
-            c_sq = np.einsum("nd,nd->n", self._centroids, self._centroids)
-
-            # Pallas ADC layout: codes padded to 128 subspace lanes + the
-            # per-item constant (ops/adc_pallas.py docstring).
-            from ..ops.adc_pallas import CODE_LANES, build_item_constants
-
-            codes128 = np.zeros((nlist_eff, CODE_LANES, pad), np.uint8)
-            codes128[:, : self.m, :] = list_codes.transpose(0, 2, 1)
-            ksub_eff = self._codebooks.shape[1]
-            if ksub_eff == 16 and self.m % 2 == 0:
-                # 4-bit codebooks: nibble-pack for the Pallas route —
-                # m/2 bytes/vector on device and half the per-step code
-                # DMA (Quick-ADC storage; ops/adc_pallas._qdot_nibble).
-                from ..ops.adc_pallas import pack_nibbles
-
-                codes128 = pack_nibbles(codes128)
-            item_const = build_item_constants(
-                self._centroids, self._assign, self._codes, self._codebooks,
-                order, sorted_lists, slots, nlist_eff, pad,
-            )
-            self._staged = (
-                jax.device_put(self._centroids.astype(np.float32)),
-                jax.device_put(c_sq.astype(np.float32)),
-                jax.device_put(self._codebooks),
-                jax.device_put(list_codes),
-                jax.device_put(list_ids),
-                jax.device_put(codes128),
-                jax.device_put(item_const),
-                pad,
-            )
+        if self._staged is None or self._restage_needed:
+            if self._mode == "device":
+                self._stage_device()
+            else:
+                self._stage_host()
+            self._tail = None
+            self._restage_needed = False
         return self._staged
+
+    def _stage_device(self):
+        """Bucket codes into the padded canvases entirely on device —
+        only the (nlist,) counts cross the host link (the recipe of
+        benchmarks/run10m.py, productized; VERDICT r3 #1/weak #3)."""
+        from ..ops.adc_pallas import (
+            build_item_constants_device, stage_codes128_device,
+        )
+
+        # Build the refine store BEFORE consuming the chunks (in device
+        # mode the chunks are freed below; the refine store then holds
+        # the only raw copies).
+        if self.refine and self._staged_refine is None:
+            self._stage_refine()
+        idsa, assign, codes = self._codes_all()
+        nlist_eff = int(self._centroids_dev().shape[0])
+        ksub_eff = int(jnp.shape(self._codebooks_dev())[1])
+        order, lists, slots, counts = bucketize_device(assign, nlist_eff)
+        pad = list_pad(int(counts.max(initial=1)))
+        list_codes = scatter_lists_device(
+            codes, order, lists, slots, nlist_eff, pad
+        )
+        li_dev = scatter_list_ids_device(
+            idsa, order, lists, slots, nlist_eff, pad
+        )
+        c_sq = jnp.sum(self._centroids_dev().astype(jnp.float32) ** 2, axis=1)
+        # order/lists/slots carry n_pad entries; padded entries gather a
+        # clamped (garbage) constant and scatter out of bounds (dropped).
+        item_const = build_item_constants_device(
+            self._centroids_dev(), assign, codes, self._codebooks_dev(),
+            order, lists, slots, nlist_eff, pad,
+        )
+        codes128 = stage_codes128_device(list_codes, self.m, ksub_eff)
+        keep_unpacked = jax.default_backend() != "tpu" or not (
+            ksub_eff == 256 or (ksub_eff == 16 and self.m % 2 == 0)
+        )
+        self._staged = (
+            self._centroids_dev().astype(jnp.float32),
+            c_sq,
+            self._codebooks_dev(),
+            list_codes if keep_unpacked else None,
+            li_dev,
+            codes128,
+            item_const,
+            pad,
+        )
+        self._dev_vecs.clear()
+        self._dev_ids.clear()
+        self._dev_assign.clear()
+        self._dev_codes.clear()
+
+    def _stage_host(self):
+        nlist_eff = np.asarray(self._centroids).shape[0]
+        counts = np.bincount(self._assign, minlength=nlist_eff)
+        pad = list_pad(int(counts.max(initial=1)))
+        # uint8 on device: the whole padded code table is pad*nlist*m bytes
+        list_codes = np.zeros((nlist_eff, pad, self.m), np.uint8)
+        list_ids = np.full((nlist_eff, pad), -1, np.int32)
+        order = np.argsort(self._assign, kind="stable")
+        sorted_lists = self._assign[order]
+        starts = np.zeros((nlist_eff,), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        slots = np.arange(len(order)) - starts[sorted_lists]
+        list_codes[sorted_lists, slots] = self._codes[order]
+        list_ids[sorted_lists, slots] = self._ids[order]
+        centroids = np.asarray(self._centroids, dtype=np.float32)
+        codebooks = np.asarray(self._codebooks, dtype=np.float32)
+        c_sq = np.einsum("nd,nd->n", centroids, centroids)
+
+        # Pallas ADC layout: codes padded to 128 subspace lanes + the
+        # per-item constant (ops/adc_pallas.py docstring).
+        from ..ops.adc_pallas import CODE_LANES, build_item_constants
+
+        codes128 = np.zeros((nlist_eff, CODE_LANES, pad), np.uint8)
+        codes128[:, : self.m, :] = list_codes.transpose(0, 2, 1)
+        ksub_eff = codebooks.shape[1]
+        if ksub_eff == 16 and self.m % 2 == 0:
+            # 4-bit codebooks: nibble-pack for the Pallas route —
+            # m/2 bytes/vector on device and half the per-step code
+            # DMA (Quick-ADC storage; ops/adc_pallas._qdot_nibble).
+            from ..ops.adc_pallas import pack_nibbles
+
+            codes128 = pack_nibbles(codes128)
+        item_const = build_item_constants(
+            centroids, self._assign, self._codes, codebooks,
+            order, sorted_lists, slots, nlist_eff, pad,
+        )
+        self._staged = (
+            jax.device_put(centroids),
+            jax.device_put(c_sq.astype(np.float32)),
+            jax.device_put(codebooks),
+            jax.device_put(list_codes),
+            jax.device_put(list_ids),
+            jax.device_put(codes128),
+            jax.device_put(item_const),
+            pad,
+        )
 
     # -- search -----------------------------------------------------------------------
 
     def search(
-        self, queries: np.ndarray, k: int, *, nprobe: int | None = None
+        self, queries, k: int, *, nprobe: int | None = None
     ) -> tuple[np.ndarray, np.ndarray]:
-        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        if is_device_array(queries):
+            queries = queries.astype(jnp.float32).reshape(-1, self.dim)
+        else:
+            queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(
+                -1, self.dim
+            )
         if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
@@ -452,12 +891,28 @@ class IVFPQIndex:
                 centroids, c_sq, codebooks, codes128, item_const, list_ids, q_adc
             )
         else:
+            if list_codes is None:
+                from ..ops.adc_pallas import unstage_codes128_device
+
+                list_codes = unstage_codes128_device(codes128, self.m, ksub_eff)
             program = _adc_search_program(
                 nlist_eff, pad, self.dim, self.m, ksub_eff,
                 queries.shape[0], nprobe_eff, k_adc,
             )
             dists, out_ids = program(
                 centroids, c_sq, codebooks, list_codes, list_ids, q_adc
+            )
+        if self._tail and self._tail.count:
+            # Incremental-add rows join the shortlist scored by the SAME
+            # estimator (exact distance to their ADC reconstruction ==
+            # the ADC estimate), masked to the probed lists — so the
+            # merged shortlist equals a fresh build's.
+            td = tail_scores(
+                self._tail, centroids, c_sq, jnp.asarray(q_adc), nprobe_eff,
+                vec_field="recon",
+            )
+            dists, out_ids = merge_tail(
+                dists, out_ids, td, self._tail["ids"], k_adc
             )
         if self.refine:
             # Rerank consumes the device shortlist directly — no host
@@ -472,55 +927,178 @@ class IVFPQIndex:
             return np.asarray(out_d), np.asarray(out_i, dtype=np.int64)
         return np.asarray(dists)[:, :k], np.asarray(out_ids, dtype=np.int64)[:, :k]
 
+    # -- refine store -------------------------------------------------------------------
+
     def _stage_refine(self):
         """Refine-store device buffers: (vectors, id_lookup, ids, valid).
 
         Vectors pad to pow2 capacity so growth reuses executables; the
-        id -> row lookup comes from ops/rerank.build_id_lookup."""
+        id -> row lookup comes from ops/rerank.build_id_lookup. In device
+        mode the store builds from the device chunks directly (scatter,
+        no host traffic) and is updated IN PLACE by incremental adds."""
         if self._staged_refine is None:
-            from ..ops.rerank import build_id_lookup
-
-            dtype = np.float32 if self.refine_dtype == "float32" else jnp.bfloat16
-            ids_i = self._ids.astype(np.int64)
-            max_id = int(ids_i.max(initial=-1))
-            pos_cap = next_pow2(max(self.ntotal, 1))
-            if self.ntotal and next_pow2(max_id + 1) <= 2 * pos_cap:
-                # TIGHT id space: stage the store ID-INDEXED (row ==
-                # external id), so the refine gathers rows straight from
-                # the shortlist ids — no id->row table gather, which is
-                # issue-bound at ~13 ns/element and costs as much as the
-                # row gather itself (ops/rerank.rerank_program_rows;
-                # ~330 us/batch at a B=128 top-200 shortlist). Unlike
-                # the 4-byte/slot lookup table (64x gate), empty slots
-                # here cost a full dim*4-byte vector row, so the gate
-                # compares the ACTUAL staged capacities (<= 2x the
-                # positional pow2 cap — comparing raw counts instead can
-                # admit ~4x at pow2 boundaries, ADVICE r3); gappier id
-                # spaces keep the positional store + table below.
-                cap = next_pow2(max_id + 1)
-                vecs = np.zeros((cap, self.dim), np.float32)
-                vecs[ids_i] = self._vectors
-                ids = np.full((cap,), -1, np.int32)
-                ids[ids_i] = ids_i.astype(np.int32)
-                valid = np.zeros((cap,), bool)
-                valid[ids_i] = True
-                lookup = ("identity",)  # ids ARE rows (ops/rerank)
-            else:  # gappy/sparse ids: positional store + id lookup
-                cap = next_pow2(max(self.ntotal, 1))
-                vecs = np.zeros((cap, self.dim), np.float32)
-                vecs[: self.ntotal] = self._vectors
-                ids = np.full((cap,), -1, np.int32)
-                ids[: self.ntotal] = self._ids.astype(np.int32)
-                valid = np.zeros((cap,), bool)
-                valid[: self.ntotal] = True
-                lookup = build_id_lookup(self._ids)
-            self._staged_refine = (
-                jax.device_put(jnp.asarray(vecs, dtype=dtype)),
-                lookup,
-                jax.device_put(ids),
-                jax.device_put(valid),
-            )
+            if self._mode == "device":
+                self._stage_refine_device()
+            else:
+                self._stage_refine_host()
         return self._staged_refine
+
+    def _refine_layout(self, ids_np_or_max, ntotal: int):
+        """Shared id-indexed vs positional gate (ADVICE r3: compare the
+        ACTUAL staged capacities — id-indexed only when its pow2 cap is
+        <= 2x the positional pow2 cap)."""
+        max_id = int(ids_np_or_max)
+        pos_cap = next_pow2(max(ntotal, 1))
+        if ntotal and next_pow2(max_id + 1) <= 2 * pos_cap:
+            return "identity", next_pow2(max_id + 1)
+        return "positional", pos_cap
+
+    def _stage_refine_host(self):
+        from ..ops.rerank import build_id_lookup
+
+        dtype = np.float32 if self.refine_dtype == "float32" else jnp.bfloat16
+        ids_i = self._ids.astype(np.int64)
+        max_id = int(ids_i.max(initial=-1))
+        layout, cap = self._refine_layout(max_id, self.ntotal)
+        if layout == "identity":
+            # TIGHT id space: stage the store ID-INDEXED (row ==
+            # external id), so the refine gathers rows straight from
+            # the shortlist ids — no id->row table gather, which is
+            # issue-bound at ~13 ns/element and costs as much as the
+            # row gather itself (ops/rerank.rerank_program_rows;
+            # ~330 us/batch at a B=128 top-200 shortlist). Unlike
+            # the 4-byte/slot lookup table (64x gate), empty slots
+            # here cost a full dim*4-byte vector row, so the gate
+            # compares the ACTUAL staged capacities (<= 2x the
+            # positional pow2 cap — comparing raw counts instead can
+            # admit ~4x at pow2 boundaries, ADVICE r3); gappier id
+            # spaces keep the positional store + table below.
+            vecs = np.zeros((cap, self.dim), np.float32)
+            vecs[ids_i] = self._vectors
+            ids = np.full((cap,), -1, np.int32)
+            ids[ids_i] = ids_i.astype(np.int32)
+            valid = np.zeros((cap,), bool)
+            valid[ids_i] = True
+            lookup = ("identity",)  # ids ARE rows (ops/rerank)
+            self._refine_rows = 0
+        else:  # gappy/sparse ids: positional store + id lookup
+            vecs = np.zeros((cap, self.dim), np.float32)
+            vecs[: self.ntotal] = self._vectors
+            ids = np.full((cap,), -1, np.int32)
+            ids[: self.ntotal] = self._ids.astype(np.int32)
+            valid = np.zeros((cap,), bool)
+            valid[: self.ntotal] = True
+            lookup = build_id_lookup(self._ids)
+            self._refine_rows = self.ntotal
+        self._staged_refine = (
+            jax.device_put(jnp.asarray(vecs, dtype=dtype)),
+            lookup,
+            jax.device_put(ids),
+            jax.device_put(valid),
+        )
+
+    def _stage_refine_device(self):
+        from .devbuild import build_id_lookup_device
+
+        vecs = self._dev_vecs.consolidated()
+        idsa = self._dev_ids.consolidated(jnp.int32)
+        n = int(vecs.shape[0])
+        dtype = "bfloat16" if self.refine_dtype == "bfloat16" else "float32"
+        max_id = int(jnp.max(idsa)) if n else -1
+        layout, cap = self._refine_layout(max_id, n)
+        if layout == "identity":
+            positions = idsa
+            lookup = ("identity",)
+            self._refine_rows = 0
+        else:
+            positions = jnp.arange(n, dtype=jnp.int32)
+            lookup = build_id_lookup_device(idsa)
+            if lookup[0] == "identity":
+                # ids are iota: positional IS id-indexed here.
+                lookup = ("identity",)
+            self._refine_rows = n
+        store, ids_arr, valid = _refine_scatter_program(
+            cap, self.dim, n, dtype
+        )(vecs, positions, idsa)
+        self._staged_refine = (store, lookup, ids_arr, valid)
+
+    def _refine_append(self, rows_dev, ids_dev) -> None:
+        """Scatter freshly-added raw rows into the LIVE refine store
+        (donated in-place updates, O(batch)); grows pow2 on demand."""
+        vecs, lookup, ids_arr, valid = self._staged_refine
+        cap = int(vecs.shape[0])
+        dtype = str(vecs.dtype)
+        batch = int(ids_dev.shape[0])
+        new_total = self.ntotal + batch  # ntotal not yet bumped by caller
+        if lookup == ("identity",):
+            max_new = int(jnp.max(ids_dev))
+            if max_new >= cap:
+                need = next_pow2(max_new + 1)
+                if need > 2 * next_pow2(max(new_total, 1)):
+                    # Gate broken by gappy growth: rebuild positional.
+                    self._refine_rebuild_positional(rows_dev, ids_dev)
+                    return
+                vecs = _pad_rows_to_program(cap, need, self.dim, dtype)(vecs)
+                ids_arr, valid = _pad_meta_to_program(cap, need)(ids_arr, valid)
+                cap = need
+            positions = ids_dev
+        elif lookup[0] == "sparse":
+            # searchsorted layout cannot absorb appends: rebuild.
+            self._refine_rebuild_positional(rows_dev, ids_dev)
+            return
+        else:  # positional store + dense id->row table
+            start = self._refine_rows
+            if start + batch > cap:
+                need = next_pow2(start + batch)
+                vecs = _pad_rows_to_program(cap, need, self.dim, dtype)(vecs)
+                ids_arr, valid = _pad_meta_to_program(cap, need)(ids_arr, valid)
+                cap = need
+            positions = jnp.arange(start, start + batch, dtype=jnp.int32)
+            self._refine_rows = start + batch
+            table = lookup[1]
+            max_new = int(jnp.max(ids_dev))
+            if max_new >= int(table.shape[0]):
+                table = jnp.pad(
+                    table, (0, next_pow2(max_new + 1) - int(table.shape[0]))
+                )
+            lookup = ("dense", table.at[ids_dev].set(positions))
+        vecs = _refine_update_program(cap, self.dim, batch, dtype)(
+            vecs, rows_dev, positions
+        )
+        ids_arr, valid = _refine_meta_update_program(cap, batch)(
+            ids_arr, valid, positions, ids_dev
+        )
+        self._staged_refine = (vecs, lookup, ids_arr, valid)
+
+    def _refine_rebuild_positional(self, rows_dev, ids_dev) -> None:
+        """Fallback when an append breaks the id-indexed gate: compact
+        the existing store + the new rows into a positional layout."""
+        from .devbuild import build_id_lookup_device
+        from .ivf_flat import _extract_rows_program
+
+        vecs, _, ids_arr, valid = self._staged_refine
+        n_old = int(np.asarray(jnp.sum(valid)))
+        dtype = str(vecs.dtype)
+        if n_old:
+            old_v, old_i, _ = _extract_rows_program(
+                1, int(vecs.shape[0]), self.dim, n_old, dtype
+            )(vecs.reshape(1, -1, self.dim), ids_arr.reshape(1, -1))
+            all_v = jnp.concatenate([old_v, rows_dev.astype(old_v.dtype)])
+            all_i = jnp.concatenate([old_i, ids_dev])
+        else:
+            all_v, all_i = rows_dev, ids_dev
+        n = int(all_v.shape[0])
+        cap = next_pow2(max(n, 1))
+        positions = jnp.arange(n, dtype=jnp.int32)
+        store, ids_new, valid_new = _refine_scatter_program(
+            cap, self.dim, n, "bfloat16" if dtype == "bfloat16" else "float32"
+        )(all_v, positions, all_i)
+        self._refine_rows = n
+        self._staged_refine = (
+            store, build_id_lookup_device(all_i, positions), ids_new, valid_new
+        )
+
+    # -- full ranking -----------------------------------------------------------------
 
     def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Full exact ranking of every stored vector.
@@ -545,8 +1123,14 @@ class IVFPQIndex:
             return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
         q_adc = np.asarray(self._rotate_queries(query.reshape(1, self.dim)))[0]
         (
-            centroids, _, codebooks, list_codes, list_ids, _, _, pad
+            centroids, _, codebooks, list_codes, list_ids, codes128, _, pad
         ) = self._stage()
+        if list_codes is None:
+            from ..ops.adc_pallas import unstage_codes128_device
+
+            list_codes = unstage_codes128_device(
+                codes128, self.m, int(codebooks.shape[1])
+            )
         program = _adc_ranked_program(
             int(centroids.shape[0]), pad, self.dim, self.m,
             int(codebooks.shape[1]),
@@ -555,7 +1139,21 @@ class IVFPQIndex:
             centroids, codebooks, list_codes, list_ids, jnp.asarray(q_adc)
         )
         n = self.ntotal
-        return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
+        dists = np.asarray(dists)[:n]
+        out_ids = np.asarray(out_ids, dtype=np.int64)[:n]
+        if self._tail and self._tail.count:
+            # ranked_all is exhaustive: tail rows merge UNMASKED, scored
+            # by the same ADC estimate (exact distance to reconstruction).
+            c = self._tail.count
+            recon = self._tail["recon"][:c]
+            tq = jnp.asarray(q_adc, dtype=jnp.float32)
+            td = np.asarray(jnp.sum((recon - tq[None, :]) ** 2, axis=1))
+            ti = np.asarray(self._tail["ids"][:c], dtype=np.int64)
+            alld = np.concatenate([dists, td])
+            alli = np.concatenate([out_ids, ti])
+            perm = np.lexsort((alli, alld))
+            dists, out_ids = alld[perm][:n], alli[perm][:n]
+        return dists, out_ids
 
     # -- serialization --------------------------------------------------------------------
 
@@ -568,12 +1166,43 @@ class IVFPQIndex:
             "opq": self.opq, "opq_iters": self.opq_iters,
         }
         empty_books = np.zeros((self.m, 0, self.dim // self.m), np.float32)
+        if self._mode == "device" and self.ntotal:
+            # Serialization crosses the host link — the ONE place device
+            # mode pays it. Codes come back out of the canvas; raw rows
+            # (refine only) out of the refine store, id-aligned.
+            idsa, assign, codes = self._codes_all()
+            ids_np = np.asarray(idsa).astype(np.int64)
+            order = np.argsort(ids_np, kind="stable")
+            vectors = np.zeros((0, self.dim), np.float32)
+            if self.refine:
+                raw_v, raw_i = self._raw_rows_all()
+                raw_v = np.asarray(raw_v.astype(jnp.float32))
+                raw_i = np.asarray(raw_i)
+                sorter = np.argsort(raw_i, kind="stable")
+                pos = sorter[np.searchsorted(raw_i, ids_np[order], sorter=sorter)]
+                vectors = raw_v[pos]
+            arrays = {
+                "ids": ids_np[order],
+                "codes": np.asarray(codes)[order],
+                "assign": np.asarray(assign)[order],
+                "centroids": np.asarray(self._centroids, dtype=np.float32),
+                "codebooks": np.asarray(self._codebooks, dtype=np.float32),
+                "vectors": vectors,
+                "rotation": self._rotation
+                if self._rotation is not None
+                else np.zeros((0, self.dim), np.float32),
+            }
+            return params, arrays
         arrays = {
             "ids": self._ids,
             "codes": self._codes,
             "assign": self._assign if self._assign is not None else np.zeros((0,), np.int32),
-            "centroids": self._centroids if self._centroids is not None else np.zeros((0, self.dim), np.float32),
-            "codebooks": self._codebooks if self._codebooks is not None else empty_books,
+            "centroids": np.asarray(self._centroids, np.float32)
+            if self._centroids is not None
+            else np.zeros((0, self.dim), np.float32),
+            "codebooks": np.asarray(self._codebooks, np.float32)
+            if self._codebooks is not None
+            else empty_books,
             "vectors": self._vectors,
             "rotation": self._rotation
             if self._rotation is not None

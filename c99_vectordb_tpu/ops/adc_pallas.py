@@ -139,6 +139,48 @@ def _qdot_mode(ksub: int, m: int) -> str:
     return "flat"
 
 
+def stage_codes128_device(list_codes, m: int, ksub: int):
+    """(nlist, pad, m) device uint8 codes -> the kernel's subspace-major
+    (nlist, CODE_LANES, pad) canvas (CODE_LANES/2 rows, nibble-packed,
+    for 4-bit codebooks) in ONE jitted program — corpus-scale builds
+    must not materialize the unpacked canvas next to the packed one
+    (benchmarks/run10m.py measured that OOMing a v5e at 10M)."""
+    nibble = ksub == 16 and m % 2 == 0
+
+    @jax.jit
+    def run(c):
+        if nibble:
+            c = c[:, :, 0::2] | (c[:, :, 1::2] << 4)
+        rows = c.shape[2]
+        canvas_rows = CODE_LANES // 2 if nibble else CODE_LANES
+        return jnp.pad(
+            c.transpose(0, 2, 1), ((0, 0), (0, canvas_rows - rows), (0, 0))
+        )
+
+    return run(list_codes)
+
+
+def unstage_codes128_device(codes128, m: int, ksub: int):
+    """Inverse of stage_codes128_device: canvas -> (nlist, pad, m) uint8.
+
+    Off the hot path (restage / ranked_all reconstruction in device
+    mode, where the row-major code matrix is not retained)."""
+    nibble = ksub == 16 and m % 2 == 0
+
+    @jax.jit
+    def run(c):
+        if nibble:
+            packed = c[:, : m // 2, :]
+            lo = packed & 15
+            hi = (packed >> 4) & 15
+            nlist, _, pad = packed.shape
+            inter = jnp.stack([lo, hi], axis=2).reshape(nlist, m, pad)
+            return inter.transpose(0, 2, 1).astype(jnp.uint8)
+        return c[:, :m, :].transpose(0, 2, 1).astype(jnp.uint8)
+
+    return run(codes128)
+
+
 def pack_nibbles(codes128):
     """(nlist, CODE_LANES, pad) uint8 4-bit codes -> (nlist,
     CODE_LANES // 2, pad) packed: subspace 2j in the lo nibble of row j,
@@ -521,7 +563,7 @@ def adc_dense_program(nlist: int, pad: int, m: int, ksub: int, b: int, nprobe: i
 @functools.lru_cache(maxsize=None)
 def adc_dense_search_program(
     nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int,
-    k_adc: int, qps_step: int | None = None,
+    k_adc: int, qps_step: int | None = None, return_rows: bool = False,
 ):
     """Coarse prologue + dense ADC scan + shortlist selection: the fast
     path for refine flows with deep shortlists (k_adc >> 10).
@@ -529,7 +571,13 @@ def adc_dense_search_program(
     qps_step=None auto-picks 8-slot grid steps when the batch divides
     and VMEM allows — the hi/lo qdot made the dense scan step-cost-
     bound, so amortizing the fixed step across 8 queries pays (measured
-    below; see _adc_dense_kernel_multi)."""
+    below; see _adc_dense_kernel_multi).
+
+    return_rows=True additionally returns each shortlist candidate's
+    bucket row (probed_list * pad + slot) — recovered from the dense
+    position by pure arithmetic, so per-shard refines can gather their
+    LOCAL slot store without an id->row table (the slot-sharded PQ
+    route, parallel/sharded.py)."""
     if qps_step is None:
         fits = 8 * 2 * (CODE_LANES * pad + 1024 * m + 8 * pad) <= 13 * 2**20
         qps_step = 8 if b % 8 == 0 and fits else 1
@@ -573,7 +621,16 @@ def adc_dense_search_program(
         else:
             neg_top, pos = jax.lax.top_k(-dense_d, kk)
             d_top = -neg_top
-        return d_top, jnp.take_along_axis(dense_i, pos, axis=1)
+        top_i = jnp.take_along_axis(dense_i, pos, axis=1)
+        if return_rows:
+            # Dense column c = probe_rank * pad + slot; bucket row =
+            # probed_list * pad + slot (axis-1 gathers only — cheap).
+            rows = (
+                jnp.take_along_axis(probes, pos // pad, axis=1) * pad
+                + pos % pad
+            ).astype(jnp.int32)
+            return d_top, top_i, rows
+        return d_top, top_i
 
     return run
 

@@ -268,3 +268,174 @@ def test_cpu_quantized_store_scan_is_exact_on_store_values():
     od, oi = _oracle(store_vals, ids, q, 8)
     np.testing.assert_array_equal(di, oi)
     np.testing.assert_allclose(dd, od, rtol=1e-5, atol=1e-5)
+
+
+# -- IVF-PQ device mode + incremental add -----------------------------------------
+
+
+def _pq(dim=32, **kw):
+    from c99_vectordb_tpu.models.ivf_pq import IVFPQIndex
+
+    kw.setdefault("nlist", 4)
+    kw.setdefault("nprobe", 4)
+    kw.setdefault("m", 4)
+    return IVFPQIndex(dim=dim, **kw)
+
+
+def test_ivf_pq_device_build_matches_host_build():
+    points = _corpus(512, 32, seed=60)
+    ids = np.arange(512, dtype=np.int64)
+    q = _corpus(6, 32, seed=61)
+
+    host = _pq()
+    host.train(points)
+    host.add(points, ids)
+    hd, hi = host.search(q, k=10)
+
+    dev = _pq()
+    dev.train(jnp.asarray(points))
+    assert dev._mode == "device"
+    dev.add(jnp.asarray(points), jnp.asarray(ids.astype(np.int32)))
+    dd, di = dev.search(q, k=10)
+
+    np.testing.assert_array_equal(hi, di)
+    np.testing.assert_allclose(hd, dd, rtol=1e-4, atol=1e-5)
+    # Chunks freed after staging; codes reconstructible for state().
+    assert len(dev._dev_vecs) == 0 and len(dev._dev_codes) == 0
+    p_h, a_h = host.state()
+    p_d, a_d = dev.state()
+    np.testing.assert_array_equal(a_h["ids"], a_d["ids"])
+    np.testing.assert_array_equal(a_h["codes"], a_d["codes"])
+    np.testing.assert_array_equal(a_h["assign"], a_d["assign"])
+    np.testing.assert_allclose(a_h["vectors"], a_d["vectors"], rtol=1e-6)
+
+
+def test_ivf_pq_device_build_opq_and_norefine():
+    points = _corpus(400, 32, seed=62)
+    ids32 = jnp.asarray(np.arange(400, dtype=np.int32))
+    q = _corpus(4, 32, seed=63)
+    for kw in ({"opq": True, "opq_iters": 2}, {"refine": False}):
+        host = _pq(**kw)
+        host.train(points)
+        host.add(points, np.arange(400, dtype=np.int64))
+        dev = _pq(**kw)
+        dev.train(jnp.asarray(points))
+        dev.add(jnp.asarray(points), ids32)
+        hd, hi = host.search(q, k=5)
+        dd, di = dev.search(q, k=5)
+        np.testing.assert_array_equal(hi, di)
+        np.testing.assert_allclose(hd, dd, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("device_input", [False, True])
+def test_ivf_pq_incremental_add_matches_fresh_build(device_input):
+    d = 32
+    base = _corpus(600, d, seed=70)
+    extra = _corpus(50, d, seed=71)
+    allpts = np.concatenate([base, extra])
+    all_ids = np.arange(650, dtype=np.int64)
+    q = _corpus(6, d, seed=72)
+
+    inc = _pq(dim=d)
+    if device_input:
+        inc.train(jnp.asarray(base))
+        inc.add(jnp.asarray(base), jnp.asarray(np.arange(600, dtype=np.int32)))
+    else:
+        inc.train(base)
+        inc.add(base, all_ids[:600])
+    inc.search(q, k=5)                                   # stage
+    staged_before = inc._staged
+    if device_input:
+        inc.add(jnp.asarray(extra), jnp.asarray(np.arange(600, 650, dtype=np.int32)))
+    else:
+        inc.add(extra, all_ids[600:])
+    assert inc._staged is staged_before                  # O(batch), no restage
+    assert inc._tail is not None and inc._tail.count == 50
+    assert inc.ntotal == 650
+
+    fresh = _pq(dim=d)
+    fresh.train(base)                                    # same quantizer
+    fresh.add(allpts, all_ids)
+
+    (di_d, di_i) = inc.search(q, k=5)
+    (df_d, df_i) = fresh.search(q, k=5)
+    np.testing.assert_array_equal(di_i, df_i)
+    np.testing.assert_allclose(di_d, df_d, rtol=1e-4, atol=1e-5)
+
+    # ranked_all (refine store scan) sees the tail rows.
+    dists, ids_r = inc.ranked_all(q[0])
+    assert dists.shape[0] == 650
+    od, oi = _oracle(allpts, all_ids, q[:1], 10)
+    np.testing.assert_array_equal(ids_r[:10], oi[0])
+
+
+def test_ivf_pq_incremental_add_pure_code_ranked_all():
+    d = 16
+    base = _corpus(300, d, seed=80)
+    extra = _corpus(30, d, seed=81)
+    inc = _pq(dim=d, refine=False)
+    inc.train(base)
+    inc.add(base, np.arange(300, dtype=np.int64))
+    q = _corpus(1, d, seed=82)[0]
+    inc.search(q.reshape(1, -1), k=3)                     # stage
+    inc.add(extra, np.arange(300, 330, dtype=np.int64))
+    dists, ids_r = inc.ranked_all(q)
+    assert dists.shape[0] == 330
+    assert set(np.arange(300, 330)) <= set(ids_r.tolist())
+    fresh = _pq(dim=d, refine=False)
+    fresh.train(base)
+    fresh.add(np.concatenate([base, extra]), np.arange(330, dtype=np.int64))
+    fd, fi = fresh.ranked_all(q)
+    np.testing.assert_array_equal(ids_r, fi)
+    np.testing.assert_allclose(dists, fd, rtol=1e-4, atol=1e-5)
+
+
+def test_ivf_pq_tail_overflow_restage_device():
+    d = 16
+    base = _corpus(256, d, seed=90)
+    inc = _pq(dim=d)
+    inc.add(jnp.asarray(base), jnp.asarray(np.arange(256, dtype=np.int32)))
+    q = _corpus(3, d, seed=91)
+    inc.search(q, k=4)
+    thresh = tail_restage_threshold(256)
+    big = _corpus(thresh + 20, d, seed=92)
+    inc.add(jnp.asarray(big), jnp.asarray(np.arange(256, 276 + thresh, dtype=np.int32)))
+    assert inc._restage_needed
+    dd, di = inc.search(q, k=4)                           # restages lazily
+    assert inc._tail is None
+    fresh = _pq(dim=d)
+    fresh.train(base)
+    allpts = np.concatenate([base, big])
+    fresh.add(allpts, np.arange(len(allpts), dtype=np.int64))
+    # Same quantizer? inc trained on base (auto-train at first add).
+    # Quantizers match only if inc's auto-train saw base alone — it did.
+    fd, fi = fresh.search(q, k=4)
+    np.testing.assert_array_equal(di, fi)
+    np.testing.assert_allclose(dd, fd, rtol=1e-4, atol=1e-5)
+    assert inc.ntotal == 276 + thresh
+
+
+def test_ivf_pq_refine_store_growth_and_gapped_append():
+    # Appends that outgrow the id-indexed refine store capacity and then
+    # break the id-density gate entirely (positional rebuild).
+    d = 16
+    base = _corpus(64, d, seed=95)
+    idx = _pq(dim=d, nlist=2, nprobe=2)
+    idx.train(base)
+    idx.add(base, np.arange(64, dtype=np.int64))
+    q = _corpus(2, d, seed=96)
+    idx.search(q, k=3)
+    assert idx._stage_refine()[1][0] == "identity"
+    # Grow within the gate: ids 64..95.
+    more = _corpus(32, d, seed=97)
+    idx.add(more, np.arange(64, 96, dtype=np.int64))
+    idx.search(q, k=3)
+    # Break the gate: one far-away id forces a positional rebuild.
+    far = _corpus(1, d, seed=98)
+    idx.add(far, np.asarray([100_000], np.int64))
+    dd, di = idx.search(q, k=3)
+    allpts = np.concatenate([base, more, far])
+    all_ids = np.concatenate([np.arange(96), [100_000]]).astype(np.int64)
+    od, oi = _oracle(allpts, all_ids, q, 3)
+    np.testing.assert_array_equal(di, oi)
+    np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-5)
