@@ -267,11 +267,31 @@ def main() -> int:
             shard1(q128, P(None, None)),
         )
 
+    def sharded_pq_kernels():
+        from c99_vectordb_tpu.parallel.sharded import sharded_pq_search_program
+
+        prog = sharded_pq_search_program(
+            mesh1, nlist, pad, dim, m, ksub, 128, nprobe, k, 200,
+            use_kernels=True,
+        )
+        return prog(
+            shard1(centroids, P(None, None)),
+            shard1(c_sq, P(None)),
+            shard1(books, P(None, None, None)),
+            shard1(codes128, P(None, None, "data")),
+            shard1(item_const, P(None, "data")),
+            shard1(li, P(None, "data")),
+            shard1(lv, P(None, "data", None)),
+            shard1(q128, P(None, None)),
+            shard1(q128, P(None, None)),
+        )
+
     checks += [
         ("sharded_ivf_f32_kernels_1chip", sharded_f32),
         ("sharded_ivf_sq8_1chip", sharded_sq8),
         ("sharded_flat_kernels_1chip", sharded_flat_kernels),
         ("sharded_flat_sq8_1chip", sharded_flat_sq8_kernels),
+        ("sharded_pq_kernels_1chip", sharded_pq_kernels),
     ]
 
     failures = []
