@@ -113,10 +113,38 @@ class MemoDB:
         store.save(self.records_path)
         return ids
 
+    def metadata_mask(self, filter: str | dict[str, Any]) -> np.ndarray:
+        """(max_id+1,) bool mask of records matching the filter (blank
+        bodies excluded) — the device-side filter-pushdown operand for
+        index.search(..., id_mask=...). Build it once per filter and
+        reuse the SAME array across searches: the index families cache
+        their masked scan staging by mask identity."""
+        active = parse_filter(filter) if isinstance(filter, str) else filter
+        store = self._store()
+        mask = np.zeros((max(len(store), 1),), bool)
+        for doc_id, body, metadata in store:
+            if is_blank_body(body or ""):
+                continue
+            if metadata and matches(metadata, active):
+                mask[doc_id] = True
+        return mask
+
     def recall(
-        self, query: str, k: int = 2, filter: str | dict[str, Any] | None = None
+        self,
+        query: str,
+        k: int = 2,
+        filter: str | dict[str, Any] | None = None,
+        pushdown: bool = False,
     ) -> list[Hit]:
-        """Ranked semantic recall with optional metadata post-filtering."""
+        """Ranked semantic recall with optional metadata filtering.
+
+        pushdown=False (default) preserves CLI parity: exhaustive ranking
+        + host-side post-filter. pushdown=True intersects a metadata
+        bitmask INSIDE the device scan (index.search(id_mask=...)), so
+        filtered recall scales with the index's fast path instead of the
+        full ranking — the right mode at corpus scale. Results match the
+        post-filter oracle wherever the index's search is exact (flat
+        family; IVF families inherit their nprobe approximation)."""
         store = self._store()
         index = self._index()
         if index.ntotal == 0:
@@ -124,6 +152,26 @@ class MemoDB:
         active = (
             parse_filter(filter) if isinstance(filter, str) else filter
         )
+        if pushdown and active is not None:
+            import inspect
+
+            if "id_mask" in inspect.signature(index.search).parameters:
+                mask = self.metadata_mask(active)
+                d, i = index.search(
+                    embed_text(query).reshape(1, -1), k, id_mask=mask
+                )
+                hits: list[Hit] = []
+                for dist, doc_id in zip(d[0].tolist(), i[0].tolist()):
+                    if doc_id < 0 or doc_id >= len(store):
+                        continue
+                    hits.append(
+                        Hit(
+                            int(doc_id), float(dist),
+                            store.bodies[doc_id] or "",
+                            store.meta_at(doc_id),
+                        )
+                    )
+                return hits
         dists, ids = index.ranked_all(embed_text(query))
         hits: list[Hit] = []
         for dist, doc_id in zip(dists.tolist(), ids.tolist()):

@@ -142,8 +142,9 @@ def make_index(corpus_size: int | None = None):
     if kind == "sharded_ivf_pq":
         from .parallel.sharded import ShardedIVFPQIndex
 
+        opq = os.environ.get("C99VDB_OPQ", "").strip() not in ("", "0", "false")
         return ShardedIVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m,
-                                 ksub=ksub)
+                                 ksub=ksub, opq=opq)
     raise ValueError(f"unknown C99VDB_INDEX '{kind}'")
 
 
@@ -341,10 +342,25 @@ def cmd_recall(
 
     # One device program: embed query -> score all rows -> full ranking
     # (the reference's k=ntotal exhaustive search, memo_cli.py:288-298).
+    # The ranking SORT runs on device; the host only pulls doubling
+    # O(k)-sized chunks of the sorted arrays as the display loop consumes
+    # them (filter/blank misses widen into the next chunk) — at 1M
+    # records the old full pull moved ~8 MB through a 1-30 MB/s link to
+    # print k rows (VERDICT r3 next #5). Byte output is identical: the
+    # chunks ARE the same sorted arrays.
     from .utils.timing import stage
 
+    ranked_handle = None
     with stage(verbose, "embed+search"):
-        dists, ids = index.ranked_all(embed_text(query))
+        q_vec = embed_text(query)
+        ranked_dev = getattr(index, "ranked_all_device", None)
+        if ranked_dev is not None:
+            try:
+                ranked_handle = ranked_dev(q_vec)
+            except AttributeError:  # e.g. refine=False IVFPQIndex
+                ranked_handle = None
+        if ranked_handle is None:
+            dists, ids = index.ranked_all(q_vec)
 
     active_filter: dict[str, Any] | None = None
     if filter_expr is not None:
@@ -353,9 +369,29 @@ def cmd_recall(
         except Exception as e:
             return _fail(f"invalid --filter expression: {e}")
 
+    def _ranked_pairs():
+        """(dist, id) pairs in ranked order, pulled chunk-wise when the
+        family supports device-resident rankings (full-pull otherwise)."""
+        if ranked_handle is None:
+            yield from zip(dists.tolist(), ids.tolist())
+            return
+        d_dev, i_dev, n = ranked_handle
+        ofs = 0
+        chunk = max(64, 4 * k)
+        while ofs < n:
+            step = min(chunk, n - ofs)
+            d_np = np.asarray(d_dev[ofs : ofs + step])
+            i_np = np.asarray(i_dev[ofs : ofs + step])
+            pulled_rows[0] += step
+            yield from zip(d_np.tolist(), i_np.tolist())
+            ofs += step
+            chunk *= 2
+
+    pulled_rows = [0]
+
     shown = 0
     yaml_results: list[dict[str, Any]] = []
-    for dist, doc_id in zip(dists.tolist(), ids.tolist()):
+    for dist, doc_id in _ranked_pairs():
         if shown >= k:
             break
         if dist < SCORE_SKIP_THRESHOLD:  # vestigial parity branch, never true under L2
@@ -378,6 +414,12 @@ def cmd_recall(
                 print(f"      {line}")
         shown += 1
 
+    if ranked_handle is not None:
+        vlog(
+            verbose,
+            f"recall ranking pulled {pulled_rows[0]}/{index.ntotal} rows "
+            "host-side (chunked device ranking)",
+        )
     if as_yaml:
         print(yaml.safe_dump({"results": yaml_results}, sort_keys=False).strip())
     return 0

@@ -359,6 +359,74 @@ def merge_tail(main_d, main_i, tail_d, tail_ids, k: int):
     )(jnp.asarray(main_d), jnp.asarray(main_i), tail_d, tail_ids)
 
 
+# -- filtered-search mask staging ----------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _mask_norms_program(shape: tuple, cap: int, dtype: str):
+    """(norms, ids, id_mask) -> norms with +inf where the row's external
+    id is masked out (or padding). +inf row norms ARE the scan kernels'
+    exclusion mechanism (flat fused kernel, IVF list scans, ADC item
+    constants), so filter pushdown needs NO kernel changes: one masked
+    copy of a small (n,)-sized operand per filter, staged once and
+    cached, scans at full speed."""
+
+    @jax.jit
+    def run(norms, ids, id_mask):
+        safe = jnp.clip(jnp.maximum(ids, 0), 0, id_mask.shape[0] - 1)
+        keep = id_mask[safe] & (ids >= 0)
+        return jnp.where(keep, norms, jnp.asarray(jnp.inf, norms.dtype))
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _mask_rows_program(shape: tuple, cap: int):
+    @jax.jit
+    def run(ids, id_mask):
+        safe = jnp.clip(jnp.maximum(ids, 0), 0, id_mask.shape[0] - 1)
+        return id_mask[safe] & (ids >= 0)
+
+    return run
+
+
+def mask_norms(norms, ids, id_mask):
+    """Masked copy of a norms/constants operand (same shape as ids)."""
+    return _mask_norms_program(
+        tuple(norms.shape), int(id_mask.shape[0]), str(norms.dtype)
+    )(norms, ids, jnp.asarray(id_mask))
+
+
+def mask_rows(ids, id_mask):
+    """Boolean keep-mask in the ids operand's layout."""
+    return _mask_rows_program(tuple(ids.shape), int(id_mask.shape[0]))(
+        ids, jnp.asarray(id_mask)
+    )
+
+
+class MaskCache:
+    """Per-index cache of filter-mask stagings.
+
+    Keyed by the mask ARRAY OBJECT (kept referenced, so identity is
+    stable); passing the same mask object across searches reuses the
+    staged masked operands — repeated filtered searches run at full
+    scan speed after the first."""
+
+    def __init__(self):
+        self._mask = None
+        self._value = None
+
+    def get(self, id_mask, build):
+        if self._mask is not id_mask:
+            self._value = build()
+            self._mask = id_mask
+        return self._value
+
+    def clear(self):
+        self._mask = None
+        self._value = None
+
+
 # -- device id lookup ------------------------------------------------------------
 
 

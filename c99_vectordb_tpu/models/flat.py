@@ -51,6 +51,9 @@ class FlatIndex:
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
         self._device = None
+        from .devbuild import MaskCache
+
+        self._mask_cache = MaskCache()
 
     # -- introspection ----------------------------------------------------
 
@@ -75,6 +78,7 @@ class FlatIndex:
             self._vectors = self._vectors[order]
             self._ids = self._ids[order]
         self._device = None  # invalidate cached device buffers
+        self._mask_cache.clear()
 
     # -- device staging ----------------------------------------------------
 
@@ -138,13 +142,38 @@ class FlatIndex:
 
     # -- search -------------------------------------------------------------
 
-    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def search(
+        self, queries: np.ndarray, k: int, *, id_mask=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """id_mask: optional (cap,) bool keyed by EXTERNAL id — rows whose
+        id is False (or >= cap) are excluded exactly (metadata filter
+        pushdown). Mechanism: a masked copy of the (n,)-sized scan-norms
+        operand (+inf = the kernels' exclusion marker), staged once per
+        mask object and cached — filtered scans run at full speed with
+        zero kernel changes. Pass the SAME mask array across calls to
+        reuse the staging."""
         queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
         if self.ntotal == 0:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
         (vecs, ids, valid, sq_norms, id_lookup, scan_vecs, scan_norms,
          scan_scale) = self._staged()
+        if id_mask is not None:
+            from .devbuild import mask_norms, mask_rows
+
+            def _build():
+                return (
+                    mask_norms(sq_norms, ids, id_mask),
+                    None if scan_norms is None
+                    else mask_norms(scan_norms, ids, id_mask),
+                    valid & mask_rows(ids, id_mask),
+                )
+
+            sq_norms_eff, scan_norms_eff, valid_eff = self._mask_cache.get(
+                id_mask, _build
+            )
+        else:
+            sq_norms_eff, scan_norms_eff, valid_eff = sq_norms, scan_norms, valid
         k_eff = min(k, vecs.shape[0])
         on_tpu = jax.default_backend() == "tpu"
         # TPU matmuls multiply in bf16 at DEFAULT precision, so the scan's
@@ -170,12 +199,12 @@ class FlatIndex:
                 q_scan = q_scan * scan_scale
             dists, out_ids, scan_rows = fused_topk(
                 scan_vecs, ids,
-                sq_norms if scan_norms is None else scan_norms,
+                sq_norms_eff if scan_norms_eff is None else scan_norms_eff,
                 q_scan, k_scan, return_rows=True,
             )
         else:
             dists, out_ids = topk_program(vecs.shape[0], self.dim, k_scan)(
-                vecs, ids, valid, sq_norms, queries
+                vecs, ids, valid_eff, sq_norms_eff, queries
             )
             scan_rows = None
         if on_tpu:
@@ -201,13 +230,21 @@ class FlatIndex:
             out_ids = np.pad(out_ids, pad, constant_values=-1)
         return dists, out_ids
 
-    def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        if self.ntotal == 0:
-            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+    def ranked_all_device(self, query: np.ndarray):
+        """Full exact ranking, left ON DEVICE: (dists, ids_i32, n).
+
+        The recall CLI streams this in O(k)-sized chunks instead of
+        pulling the whole n-length ranking through the 1-30 MB/s host
+        link (VERDICT r3 next #5); ranked_all is the full-pull wrapper."""
         query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
         vecs, ids, valid = self._staged()[:3]
         dists, out_ids = ranked_program(vecs.shape[0], self.dim)(vecs, ids, valid, query)
-        n = self.ntotal
+        return dists, out_ids, self.ntotal
+
+    def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if self.ntotal == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+        dists, out_ids, n = self.ranked_all_device(query)
         return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
 
     # -- serialization -------------------------------------------------------

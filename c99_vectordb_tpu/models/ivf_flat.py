@@ -63,7 +63,10 @@ from .registry import register
 
 
 @functools.lru_cache(maxsize=None)
-def _ivf_search_program(nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int):
+def _ivf_search_program(
+    nlist: int, pad: int, dim: int, b: int, nprobe: int, k: int,
+    masked: bool = False,
+):
     @jax.jit
     def run(
         centroids: jax.Array,   # (nlist, D)
@@ -71,6 +74,7 @@ def _ivf_search_program(nlist: int, pad: int, dim: int, b: int, nprobe: int, k: 
         list_vecs: jax.Array,   # (nlist, pad, D) — any float dtype
         list_ids: jax.Array,    # (nlist, pad) int32, -1 padding
         queries: jax.Array,     # (B, D)
+        keep: jax.Array | None = None,  # (nlist, pad) bool when masked
     ):
         coarse = scores_via_matmul(queries, centroids.astype(jnp.float32), c_sq)
         _, probes = jax.lax.top_k(-coarse, nprobe)                # (B, nprobe)
@@ -92,6 +96,8 @@ def _ivf_search_program(nlist: int, pad: int, dim: int, b: int, nprobe: int, k: 
             diff = vecs - queries[:, None, :].astype(jnp.float32)
             d = jnp.sum(diff * diff, axis=-1)                      # (B, pad)
             d = jnp.where(ids >= 0, d, jnp.inf)
+            if masked:
+                d = jnp.where(keep[lists], d, jnp.inf)
             merged = merge_topk(
                 jnp.concatenate([best_d, d], axis=1),
                 jnp.concatenate([best_i, ids], axis=1),
@@ -210,6 +216,9 @@ class IVFFlatIndex:
         self._tail: GrowTail | None = None
         self._restage_needed = False
         self._ranked_cache = None
+        from .devbuild import MaskCache
+
+        self._mask_cache = MaskCache()
 
     # -- introspection ------------------------------------------------------
 
@@ -401,6 +410,7 @@ class IVFFlatIndex:
                 self._stage_host()
             self._tail = None
             self._restage_needed = False
+            self._mask_cache.clear()  # masked copies derive from staged arrays
         return self._staged
 
     def _stage_device(self):
@@ -511,8 +521,14 @@ class IVFFlatIndex:
     # -- search -------------------------------------------------------------------
 
     def search(
-        self, queries, k: int, *, nprobe: int | None = None
+        self, queries, k: int, *, nprobe: int | None = None, id_mask=None
     ) -> tuple[np.ndarray, np.ndarray]:
+        """id_mask: optional (cap,) bool keyed by EXTERNAL id — metadata
+        filter pushdown (models/flat.py search docstring): masked rows
+        get +inf scan norms (the kernels' exclusion marker) via a
+        once-per-mask staged copy of the (n,)-sized norms operand, so
+        filtered scans run at full speed. Pass the SAME mask array
+        across calls to reuse the staging."""
         if is_device_array(queries):
             queries = queries.astype(jnp.float32).reshape(-1, self.dim)
         else:
@@ -526,6 +542,22 @@ class IVFFlatIndex:
             centroids, c_sq, list_vecs, list_ids, list_sqn, id_lookup, pad,
             scan_extra,
         ) = self._stage()
+        if id_mask is not None:
+            from .devbuild import mask_norms, mask_rows
+
+            def _build():
+                return (
+                    mask_norms(list_sqn, list_ids, id_mask),
+                    None if scan_extra is None or scan_extra[0] != "int8"
+                    else mask_norms(scan_extra[3], list_ids, id_mask),
+                    mask_rows(list_ids, id_mask),
+                )
+
+            list_sqn, m_dec_sqn, keep_rows = self._mask_cache.get(
+                id_mask, _build
+            )
+            if scan_extra is not None and scan_extra[0] == "int8":
+                scan_extra = ("int8", scan_extra[1], scan_extra[2], m_dec_sqn)
         nlist_eff = centroids.shape[0]
         nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
         if jax.default_backend() == "tpu" and scan_extra is not None:
@@ -601,9 +633,17 @@ class IVFFlatIndex:
             )
         else:
             program = _ivf_search_program(
-                nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k
+                nlist_eff, pad, self.dim, queries.shape[0], nprobe_eff, k,
+                masked=id_mask is not None,
             )
-            dists, out_ids = program(centroids, c_sq, list_vecs, list_ids, queries)
+            if id_mask is not None:
+                dists, out_ids = program(
+                    centroids, c_sq, list_vecs, list_ids, queries, keep_rows
+                )
+            else:
+                dists, out_ids = program(
+                    centroids, c_sq, list_vecs, list_ids, queries
+                )
         if self._tail and self._tail.count:
             # Incremental-add rows: exact distances, visible only to
             # queries that probe their assigned list — the same rows a
@@ -612,6 +652,12 @@ class IVFFlatIndex:
             td = tail_scores(
                 self._tail, centroids, c_sq, jnp.asarray(queries), nprobe_eff
             )
+            if id_mask is not None:
+                from .devbuild import mask_rows as _mask_rows
+
+                td = jnp.where(
+                    _mask_rows(self._tail["ids"], id_mask)[None, :], td, jnp.inf
+                )
             dists, out_ids = merge_tail(dists, out_ids, td, self._tail["ids"], k)
         return np.asarray(dists), np.asarray(out_ids, dtype=np.int64)
 
@@ -664,16 +710,21 @@ class IVFFlatIndex:
             )
         return self._ranked_cache
 
-    def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Exact full ranking over retained raw vectors (CLI recall path)."""
-        if self.ntotal == 0:
-            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+    def ranked_all_device(self, query: np.ndarray):
+        """Full exact ranking, left ON DEVICE: (dists, ids_i32, n) — the
+        recall CLI streams it chunk-wise (models/flat.py docstring)."""
         query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
         vecs, ids, valid = self._ranked_staged()
         dists, out_ids = ranked_program(int(vecs.shape[0]), self.dim)(
             vecs, ids, valid, jnp.asarray(query)
         )
-        n = self.ntotal
+        return dists, out_ids, self.ntotal
+
+    def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Exact full ranking over retained raw vectors (CLI recall path)."""
+        if self.ntotal == 0:
+            return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
+        dists, out_ids, n = self.ranked_all_device(query)
         return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
 
     # -- serialization ----------------------------------------------------------------

@@ -189,7 +189,8 @@ def _rotate_exact_program(dim: int, n: int):
 
 @functools.lru_cache(maxsize=None)
 def _adc_search_program(
-    nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int, k: int
+    nlist: int, pad: int, dim: int, m: int, ksub: int, b: int, nprobe: int,
+    k: int, masked: bool = False,
 ):
     dsub = dim // m
 
@@ -201,6 +202,7 @@ def _adc_search_program(
         list_codes: jax.Array,   # (nlist, pad, m) uint8
         list_ids: jax.Array,     # (nlist, pad) int32
         queries: jax.Array,      # (B, D)
+        keep: jax.Array | None = None,  # (nlist, pad) bool when masked
     ):
         coarse = scores_via_matmul(queries, centroids, c_sq)       # (B, nlist)
         _, probes = jax.lax.top_k(-coarse, nprobe)                 # (B, nprobe)
@@ -224,6 +226,8 @@ def _adc_search_program(
             gathered = jnp.take_along_axis(lut, codes.transpose(0, 2, 1), axis=2)
             d = jnp.sum(gathered, axis=1)                          # (B, pad)
             d = jnp.where(ids >= 0, d, jnp.inf)
+            if masked:
+                d = jnp.where(keep[lists], d, jnp.inf)
             merged = merge_topk(
                 jnp.concatenate([best_d, d], axis=1),
                 jnp.concatenate([best_i, ids], axis=1),
@@ -395,6 +399,9 @@ class IVFPQIndex:
         self._refine_rows = 0               # rows materialized (positional)
         self._tail: GrowTail | None = None
         self._restage_needed = False
+        from .devbuild import MaskCache
+
+        self._mask_cache = MaskCache()
 
     # -- introspection -------------------------------------------------------
 
@@ -736,6 +743,7 @@ class IVFPQIndex:
                 self._stage_host()
             self._tail = None
             self._restage_needed = False
+            self._mask_cache.clear()  # masked copies derive from staged arrays
         return self._staged
 
     def _stage_device(self):
@@ -838,8 +846,14 @@ class IVFPQIndex:
     # -- search -----------------------------------------------------------------------
 
     def search(
-        self, queries, k: int, *, nprobe: int | None = None
+        self, queries, k: int, *, nprobe: int | None = None, id_mask=None
     ) -> tuple[np.ndarray, np.ndarray]:
+        """id_mask: optional (cap,) bool keyed by EXTERNAL id — metadata
+        filter pushdown (models/flat.py search docstring). Masked rows
+        take a +inf per-item ADC constant (the kernels' exclusion
+        marker) via a once-per-mask staged copy — filtered scans run at
+        full speed. Pass the SAME mask array across calls to reuse the
+        staging."""
         if is_device_array(queries):
             queries = queries.astype(jnp.float32).reshape(-1, self.dim)
         else:
@@ -857,6 +871,17 @@ class IVFPQIndex:
             centroids, c_sq, codebooks, list_codes, list_ids,
             codes128, item_const, pad,
         ) = self._stage()
+        keep_rows = None
+        if id_mask is not None:
+            from .devbuild import mask_norms, mask_rows
+
+            def _build():
+                return (
+                    mask_norms(item_const, list_ids, id_mask),
+                    mask_rows(list_ids, id_mask),
+                )
+
+            item_const, keep_rows = self._mask_cache.get(id_mask, _build)
         nlist_eff = centroids.shape[0]
         ksub_eff = codebooks.shape[1]
         nprobe_eff = min(nprobe or self.nprobe, nlist_eff)
@@ -898,10 +923,17 @@ class IVFPQIndex:
             program = _adc_search_program(
                 nlist_eff, pad, self.dim, self.m, ksub_eff,
                 queries.shape[0], nprobe_eff, k_adc,
+                masked=id_mask is not None,
             )
-            dists, out_ids = program(
-                centroids, c_sq, codebooks, list_codes, list_ids, q_adc
-            )
+            if id_mask is not None:
+                dists, out_ids = program(
+                    centroids, c_sq, codebooks, list_codes, list_ids, q_adc,
+                    keep_rows,
+                )
+            else:
+                dists, out_ids = program(
+                    centroids, c_sq, codebooks, list_codes, list_ids, q_adc
+                )
         if self._tail and self._tail.count:
             # Incremental-add rows join the shortlist scored by the SAME
             # estimator (exact distance to their ADC reconstruction ==
@@ -911,6 +943,12 @@ class IVFPQIndex:
                 self._tail, centroids, c_sq, jnp.asarray(q_adc), nprobe_eff,
                 vec_field="recon",
             )
+            if id_mask is not None:
+                from .devbuild import mask_rows as _mask_rows
+
+                td = jnp.where(
+                    _mask_rows(self._tail["ids"], id_mask)[None, :], td, jnp.inf
+                )
             dists, out_ids = merge_tail(
                 dists, out_ids, td, self._tail["ids"], k_adc
             )
@@ -1100,6 +1138,22 @@ class IVFPQIndex:
 
     # -- full ranking -----------------------------------------------------------------
 
+    def ranked_all_device(self, query: np.ndarray):
+        """Full exact ranking over the refine store, left ON DEVICE:
+        (dists, ids_i32, n) — the recall CLI streams it chunk-wise
+        (models/flat.py docstring). Refine indexes only; pure-code
+        callers use ranked_all (the chunked-ADC + host tail merge)."""
+        if not self.refine:
+            raise AttributeError("ranked_all_device requires refine=True")
+        from ..ops.distances import ranked_program
+
+        query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
+        vecs, _, ids, valid = self._stage_refine()
+        dists, out_ids = ranked_program(vecs.shape[0], self.dim)(
+            vecs.astype(jnp.float32), ids, valid, jnp.asarray(query)
+        )
+        return dists, out_ids, self.ntotal
+
     def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Full exact ranking of every stored vector.
 
@@ -1111,16 +1165,10 @@ class IVFPQIndex:
         the old path requested a k=ntotal in-kernel shortlist)."""
         if self.ntotal == 0:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
-        query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
         if self.refine:
-            from ..ops.distances import ranked_program
-
-            vecs, _, ids, valid = self._stage_refine()
-            dists, out_ids = ranked_program(vecs.shape[0], self.dim)(
-                vecs.astype(jnp.float32), ids, valid, jnp.asarray(query)
-            )
-            n = self.ntotal
+            dists, out_ids, n = self.ranked_all_device(query)
             return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
+        query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
         q_adc = np.asarray(self._rotate_queries(query.reshape(1, self.dim)))[0]
         (
             centroids, _, codebooks, list_codes, list_ids, codes128, _, pad
