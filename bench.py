@@ -121,9 +121,18 @@ def bench_tpu(n: int, d: int, b: int, k: int, iters: int,
         float(chain(db, scan_db, ids, sq_norms, qstack))
         return time.perf_counter() - t0
 
-    lo, hi = 2, 2 + iters
+    # Auto-extend the chain until the two-point DELTA is macroscopic
+    # (>= 0.5 s of pure device work): BENCH_r03's +-60% spread came from
+    # ~15 ms deltas drowning in this relay's window noise (VERDICT r3
+    # weak/next #3). The qstack cap bounds device memory (steps*b*d*4).
+    max_hi = max(8, min(1024, (1 << 30) // max(b * d * 4, 1)))
+    lo, hi = 2, min(2 + iters, max_hi)
     t_lo = timed(lo)
-    t_hi = timed(hi)
+    while True:
+        t_hi = timed(hi)
+        if (t_hi - t_lo) >= 0.5 or hi >= max_hi:
+            break
+        hi = min(hi * 4, max_hi)
     per_iter = max((t_hi - t_lo) / (hi - lo), 1e-9)
     return b / per_iter
 
@@ -208,7 +217,9 @@ def bench_ivf_sq8(n: int, d: int, b: int, k: int, nlist: int = 4096) -> float:
     t_lo = timed(lo)
     while True:
         t_hi = timed(hi)
-        if t_hi > 1.5 * t_lo or hi >= 512:
+        # Require a macroscopic absolute delta too — relative growth
+        # alone still let window noise dominate ms-scale deltas.
+        if (t_hi > 1.5 * t_lo and t_hi - t_lo >= 0.5) or hi >= 2048:
             break
         hi *= 4
     return b * (hi - lo) / max(t_hi - t_lo, 1e-9)
@@ -264,7 +275,7 @@ def main() -> int:
     # median is robust to one bad window without inflating the estimate;
     # min/max ride along in extra for spread honesty.
     hl_dtype = "int8" if on_tpu else "float32"
-    n_attempts = 3 if on_tpu else 1
+    n_attempts = 5 if on_tpu else 1
     attempts = sorted(
         bench_tpu(n, d, b, k, iters, scan_dtype=hl_dtype)
         for _ in range(n_attempts)
@@ -285,11 +296,15 @@ def main() -> int:
         bench_tpu(n, d, big_b, k, half, scan_dtype="bfloat16")
         if on_tpu else None
     )
-    # IVF-Flat SQ8 at nprobe=1: the fastest strict-recall-1.0 config
+    # IVF-Flat SQ8 at nprobe=1 — the repo's overall headline config
+    # (CLAUDE.md ledger): first-class CO-HEADLINE, median of 3 attempts
     # (recall at p=1 is 1.0 on clustered corpora; vs an unclustered
     # corpus like this one it is the coarse quantizer's capture rate —
     # reported as a throughput point, recall rows live in BASELINE.md).
-    qps_ivf = bench_ivf_sq8(n, d, b, k) if on_tpu else None
+    ivf_attempts = (
+        sorted(bench_ivf_sq8(n, d, b, k) for _ in range(3)) if on_tpu else None
+    )
+    qps_ivf = ivf_attempts[1] if ivf_attempts else None
     # Baseline on a capped corpus, scaled linearly (brute force is O(n)).
     base_n = min(n, 262_144)
     cpu_qps = bench_cpu_baseline(base_n, d, b, k) * (base_n / n)
@@ -311,15 +326,19 @@ def main() -> int:
             f"sq8_scan_b{big_b}_qps": round(qps_big, 2),
             f"bf16_scan_b{big_b}_qps": round(qps_bf16_big, 2),
             f"ivf_sq8_p1_b{b}_qps": round(qps_ivf, 2),
+            f"ivf_sq8_p1_b{b}_min": round(ivf_attempts[0], 2),
+            f"ivf_sq8_p1_b{b}_max": round(ivf_attempts[-1], 2),
             f"ivf_sq8_p1_b{b}_vs_baseline": round(qps_ivf / cpu_qps, 2),
             "recall_note": "strict recall@10 = 1.0 vs HIGHEST-precision GT "
             "for every flat row incl. bf16/sq8 scans (kernel shortlist + "
-            "exact f32 rerank). ivf_sq8_p1 reranks exactly within the "
-            "probed list (measured 1.0000 strict on the clustered 1M "
-            "corpus, benchmarks/exp_ivf_sq8.py). Headline = MEDIAN of "
-            "three same-process attempts (min/max above give the spread); "
-            "extras are single-run, so cross-row ratios inherit this "
-            "relay's window variance (BASELINE.md)",
+            "exact f32 rerank). ivf_sq8_p1 (the repo's overall headline "
+            "config, CO-HEADLINE here as median of 3) reranks exactly "
+            "within the probed list (measured 1.0000 strict on the "
+            "clustered 1M corpus, benchmarks/exp_ivf_sq8.py). Headline = "
+            "MEDIAN of five same-process attempts on chains auto-extended "
+            "to >=0.5 s measured deltas (min/max above give the spread); "
+            "single-run extras inherit this relay's window variance "
+            "(BASELINE.md)",
         }
     print(json.dumps(result))
     return 0
