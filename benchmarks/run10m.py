@@ -51,12 +51,18 @@ def main() -> int:
     p.add_argument("--opq", action="store_true",
                    help="learn an OPQ rotation before encoding")
     p.add_argument("--opq-iters", type=int, default=6)
-    p.add_argument("--corpus", choices=["clustered", "aniso"],
+    p.add_argument("--corpus", choices=["clustered", "aniso", "zipf"],
                    default="clustered",
                    help="aniso = clustered corpus pushed through a fixed "
                         "decaying-spectrum anisotropic map (0.99^i "
                         "singular values mixed by a random rotation) — "
-                        "the regime where OPQ is supposed to help")
+                        "the regime where OPQ is supposed to help; "
+                        "zipf = HEAVY-TAILED cluster sizes (Zipf s=1.1 "
+                        "over the generators: the largest cluster holds "
+                        "~9%% of the corpus, the median one ~0.005%%) with "
+                        "lognormal per-cluster spreads — the realistically "
+                        "imbalanced regime where IVF cell imbalance and "
+                        "spill policy actually bite (VERDICT r3 next #7)")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
     args = p.parse_args()
@@ -91,6 +97,7 @@ def main() -> int:
     results: dict = {"config": vars(args)}
 
     aniso = args.corpus == "aniso"
+    zipf = args.corpus == "zipf"
 
     def gen(key_idx, count):
         @jax.jit
@@ -99,6 +106,28 @@ def main() -> int:
             centers = jax.random.normal(
                 jax.random.key(1), (n_gen_clusters, d), dtype=jnp.float32
             )
+            if zipf:
+                # Heavy-tailed cluster SIZES via inverse-CDF sampling of
+                # Zipf(s=1.1) weights, plus lognormal per-cluster
+                # SPREADS — cells are realistically imbalanced in both
+                # population and radius.
+                ranks = jnp.arange(1, n_gen_clusters + 1, dtype=jnp.float32)
+                w = 1.0 / ranks ** 1.1
+                cdf = jnp.cumsum(w) / jnp.sum(w)
+                u = jax.random.uniform(kc, (marker.shape[0],))
+                cid = jnp.clip(
+                    jnp.searchsorted(cdf, u).astype(jnp.int32),
+                    0, n_gen_clusters - 1,
+                )
+                spread = jnp.exp(
+                    0.5 * jax.random.normal(
+                        jax.random.key(11), (n_gen_clusters,), jnp.float32
+                    )
+                )
+                x = centers[cid] * 3.0 + spread[cid][:, None] * (
+                    jax.random.normal(kn, (marker.shape[0], d), jnp.float32)
+                )
+                return x
             cid = jax.random.randint(kc, (marker.shape[0],), 0, n_gen_clusters)
             x = centers[cid] * 3.0 + jax.random.normal(
                 kn, (marker.shape[0], d), dtype=jnp.float32

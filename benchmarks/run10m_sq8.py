@@ -66,6 +66,12 @@ def main() -> int:
                    "recall — but measured 123 s: ~35 XLA sorts of 10M "
                    "rows cost more than the host path's transfers on this "
                    "link. Kept for transfer-starved environments.")
+    p.add_argument("--corpus", choices=["clustered", "zipf"],
+                   default="clustered",
+                   help="zipf = heavy-tailed cluster sizes (Zipf s=1.1) "
+                        "with lognormal per-cluster spreads — validates "
+                        "the pad-cap spill policy under realistic cell "
+                        "imbalance (VERDICT r3 next #7)")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
     args = p.parse_args()
@@ -104,6 +110,8 @@ def main() -> int:
         except Exception as e:  # live_arrays availability varies
             print(f"[mem] {tag}: unavailable ({e})", flush=True)
 
+    zipf = args.corpus == "zipf"
+
     def gen(key_idx, count):
         @jax.jit
         def _gen(marker):
@@ -111,6 +119,25 @@ def main() -> int:
             centers = jax.random.normal(
                 jax.random.key(1), (n_gen_clusters, d), dtype=jnp.float32
             )
+            if zipf:
+                # Heavy-tailed cluster sizes + lognormal spreads (same
+                # recipe as run10m.py --corpus zipf).
+                ranks = jnp.arange(1, n_gen_clusters + 1, dtype=jnp.float32)
+                w = 1.0 / ranks ** 1.1
+                cdf = jnp.cumsum(w) / jnp.sum(w)
+                u = jax.random.uniform(kc, (marker.shape[0],))
+                cid = jnp.clip(
+                    jnp.searchsorted(cdf, u).astype(jnp.int32),
+                    0, n_gen_clusters - 1,
+                )
+                spread = jnp.exp(
+                    0.5 * jax.random.normal(
+                        jax.random.key(11), (n_gen_clusters,), jnp.float32
+                    )
+                )
+                return centers[cid] * 3.0 + spread[cid][:, None] * (
+                    jax.random.normal(kn, (marker.shape[0], d), jnp.float32)
+                )
             cid = jax.random.randint(kc, (marker.shape[0],), 0, n_gen_clusters)
             return centers[cid] * 3.0 + jax.random.normal(
                 kn, (marker.shape[0], d), dtype=jnp.float32
