@@ -66,6 +66,10 @@ def main() -> int:
                    "recall — but measured 123 s: ~35 XLA sorts of 10M "
                    "rows cost more than the host path's transfers on this "
                    "link. Kept for transfer-starved environments.")
+    p.add_argument("--kmeans-init", choices=["maximin", "sample"],
+                   default="maximin",
+                   help="coarse k-means seeding; 'sample' (Forgy, mass-"
+                        "proportional) for heavy-tailed corpora")
     p.add_argument("--corpus", choices=["clustered", "zipf"],
                    default="clustered",
                    help="zipf = heavy-tailed cluster sizes (Zipf s=1.1) "
@@ -190,6 +194,7 @@ def main() -> int:
     t0 = time.perf_counter()
     first = gen(0, chunk)
     centroids = train_kmeans(first, nlist, iters=args.kmeans_iters,
+                             init=args.kmeans_init,
                              out_device=True)
     del first
     c_sq = jnp.sum(centroids * centroids, axis=1)

@@ -439,3 +439,25 @@ def test_ivf_pq_refine_store_growth_and_gapped_append():
     od, oi = _oracle(allpts, all_ids, q, 3)
     np.testing.assert_array_equal(di, oi)
     np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-5)
+
+
+def test_train_kmeans_sample_init():
+    # Mass-proportional (Forgy) seeding for heavy-tailed corpora
+    # (BASELINE.md round 4): same API, deterministic, distinct from
+    # maximin on an imbalanced corpus.
+    from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
+
+    rng = np.random.default_rng(7)
+    big = rng.standard_normal((900, 8)).astype(np.float32)
+    tiny = rng.standard_normal((20, 8)).astype(np.float32) + 50.0
+    data = np.concatenate([big, tiny])
+    c_s = train_kmeans(data, 16, iters=4, init="sample")
+    c_s2 = train_kmeans(data, 16, iters=4, init="sample")
+    np.testing.assert_array_equal(c_s, c_s2)  # deterministic
+    c_m = train_kmeans(data, 16, iters=4, init="maximin")
+    assert not np.allclose(c_s, c_m)
+    # Sample seeding allocates more centroids to the heavy component.
+    a = assign_clusters(data, c_s)
+    assert len(np.unique(a[:900])) > len(np.unique(a[900:]))
+    with pytest.raises(ValueError):
+        train_kmeans(data, 4, init="nope")
