@@ -38,6 +38,9 @@ def main() -> int:
     p.add_argument("--chunk", type=int, default=262_144)
     p.add_argument("--add", type=int, default=10_000)
     p.add_argument("--kind", choices=["ivf_pq", "ivf_flat"], default="ivf_pq")
+    p.add_argument("--capacity", type=int, default=None,
+                   help="IVFPQIndex declared capacity: one exact refine-"
+                        "store allocation + eager scatter (the 10M shape)")
     p.add_argument("--json-out", type=str, default=None)
     args = p.parse_args()
     n, d, chunk = args.n, args.d, args.chunk
@@ -69,6 +72,7 @@ def main() -> int:
         idx = IVFPQIndex(
             dim=d, nlist=args.nlist, nprobe=4, m=args.m,
             refine=True, refine_factor=16, refine_dtype="bfloat16",
+            capacity=args.capacity,
         )
     else:
         from c99_vectordb_tpu.models.ivf_flat import IVFFlatIndex

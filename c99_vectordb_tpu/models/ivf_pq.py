@@ -347,6 +347,7 @@ class IVFPQIndex:
         refine_dtype: str = "float32",
         opq: bool = False,
         opq_iters: int = 8,
+        capacity: int | None = None,
     ):
         """refine=True keeps raw vectors and exactly re-ranks the ADC
         top-(k*refine_factor) candidates (the FAISS IndexRefineFlat
@@ -363,7 +364,15 @@ class IVFPQIndex:
         R <- UV^T from svd(X^T decode(encode(XR))). Rotation preserves
         L2, so scores/refine are unchanged; queries pay one extra
         (D, D) MXU matmul. Raises ADC shortlist quality on
-        cross-subspace-correlated data."""
+        cross-subspace-correlated data.
+
+        capacity (optional) pre-declares the corpus size: the device-mode
+        refine store allocates ONCE at 128-aligned capacity and adds
+        scatter into it eagerly (donated, O(batch)) instead of retaining
+        vector chunks until staging — the memory shape that fits a
+        10M x 384 bf16 build on one v5e (pow2 growth from zero would
+        transiently hold ~2x the corpus). Exceeding the declared
+        capacity still works (the store grows), it just pays the copy."""
         if dim % m != 0:
             raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
         if refine_dtype not in ("float32", "bfloat16"):
@@ -378,6 +387,7 @@ class IVFPQIndex:
         self.refine_dtype = str(refine_dtype)
         self.opq = bool(opq)
         self.opq_iters = int(opq_iters)
+        self.capacity = int(capacity) if capacity else None
         self._rotation: np.ndarray | None = None  # (D, D); x_rot = x @ R
         self._rotation_dev: jax.Array | None = None
         # Host-mode mirrors (numpy; the CLI scale).
@@ -616,12 +626,18 @@ class IVFPQIndex:
             self._tail_park(ids, assign, codes, kept)
         else:
             if self.refine:
-                self._dev_vecs.append(kept)
+                if self.capacity and self._staged_refine is None:
+                    # Declared capacity: the refine store exists from the
+                    # first add and rows scatter straight in — vector
+                    # chunks are never retained (the 10M memory shape).
+                    self._init_refine_empty(ids)
+                if self._staged_refine is not None:
+                    self._refine_append(kept, ids)
+                else:
+                    self._dev_vecs.append(kept)
             self._dev_ids.append(ids)
             self._dev_assign.append(assign)
             self._dev_codes.append(codes)
-            if self._staged_refine is not None and self.refine:
-                self._refine_append(kept, ids)
         self._n_dev += int(vectors.shape[0])
 
     def add(self, vectors, ids) -> None:
@@ -984,8 +1000,17 @@ class IVFPQIndex:
     def _refine_layout(self, ids_np_or_max, ntotal: int):
         """Shared id-indexed vs positional gate (ADVICE r3: compare the
         ACTUAL staged capacities — id-indexed only when its pow2 cap is
-        <= 2x the positional pow2 cap)."""
+        <= 2x the positional pow2 cap). A declared `capacity` replaces
+        pow2 growth with one exact 128-aligned allocation."""
         max_id = int(ids_np_or_max)
+        if self.capacity:
+            align = lambda x: ((max(x, 1) + 127) // 128) * 128
+            pos_cap = align(max(self.capacity, ntotal))
+            id_cap = align(max_id + 1)
+            if id_cap <= 2 * pos_cap:
+                # Room for future in-capacity iota ids either way.
+                return "identity", max(id_cap, pos_cap)
+            return "positional", pos_cap
         pos_cap = next_pow2(max(ntotal, 1))
         if ntotal and next_pow2(max_id + 1) <= 2 * pos_cap:
             return "identity", next_pow2(max_id + 1)
@@ -1035,29 +1060,70 @@ class IVFPQIndex:
             jax.device_put(valid),
         )
 
+    def _init_refine_empty(self, first_ids) -> None:
+        """Declared-capacity device mode: allocate the refine store once
+        (128-aligned capacity, no pow2 growth) before any row lands."""
+        max_id = int(jnp.max(first_ids))
+        layout, cap = self._refine_layout(max_id, 0)
+        dtype = "bfloat16" if self.refine_dtype == "bfloat16" else "float32"
+        store = jnp.zeros((cap, self.dim), jnp.dtype(dtype))
+        ids_arr = jnp.full((cap,), -1, jnp.int32)
+        valid = jnp.zeros((cap,), bool)
+        if layout == "identity":
+            lookup = ("identity",)
+            self._refine_rows = 0
+        else:
+            lookup = ("dense", jnp.zeros((128,), jnp.int32))
+            self._refine_rows = 0
+        self._staged_refine = (store, lookup, ids_arr, valid)
+
     def _stage_refine_device(self):
+        """Builds the refine store CHUNK-WISE with donated updates: a
+        consolidated corpus copy next to the store would double peak
+        HBM and OOM a 10M x 384 build beside the 7.7 GB bf16 store (the
+        run10m.py memory discipline, productized). Only the (n,) id
+        chunks consolidate."""
         from .devbuild import build_id_lookup_device
 
-        vecs = self._dev_vecs.consolidated()
         idsa = self._dev_ids.consolidated(jnp.int32)
-        n = int(vecs.shape[0])
+        n = len(self._dev_vecs)
         dtype = "bfloat16" if self.refine_dtype == "bfloat16" else "float32"
         max_id = int(jnp.max(idsa)) if n else -1
         layout, cap = self._refine_layout(max_id, n)
         if layout == "identity":
-            positions = idsa
             lookup = ("identity",)
             self._refine_rows = 0
         else:
-            positions = jnp.arange(n, dtype=jnp.int32)
             lookup = build_id_lookup_device(idsa)
             if lookup[0] == "identity":
                 # ids are iota: positional IS id-indexed here.
                 lookup = ("identity",)
             self._refine_rows = n
-        store, ids_arr, valid = _refine_scatter_program(
-            cap, self.dim, n, dtype
-        )(vecs, positions, idsa)
+        store = jnp.zeros((cap, self.dim), jnp.dtype(dtype))
+        ids_arr = jnp.full((cap,), -1, jnp.int32)
+        valid = jnp.zeros((cap,), bool)
+        ofs = 0
+        chunks = self._dev_vecs._chunks
+        for ci, ichunk in enumerate(self._dev_ids._chunks):
+            vchunk = chunks[ci]
+            b = int(vchunk.shape[0])
+            ichunk = ichunk.astype(jnp.int32)
+            positions = (
+                ichunk if layout == "identity"
+                else jnp.arange(ofs, ofs + b, dtype=jnp.int32)
+            )
+            store = _refine_update_program(cap, self.dim, b, dtype)(
+                store, vchunk, positions
+            )
+            # CONSUME the chunk: peak HBM must stay store + remaining
+            # chunks, never store + the whole corpus.
+            chunks[ci] = None
+            del vchunk
+            ids_arr, valid = _refine_meta_update_program(cap, b)(
+                ids_arr, valid, positions, ichunk
+            )
+            ofs += b
+        self._dev_vecs.clear()
         self._staged_refine = (store, lookup, ids_arr, valid)
 
     def _refine_append(self, rows_dev, ids_dev) -> None:
@@ -1212,6 +1278,7 @@ class IVFPQIndex:
             "refine": self.refine, "refine_factor": self.refine_factor,
             "refine_dtype": self.refine_dtype,
             "opq": self.opq, "opq_iters": self.opq_iters,
+            "capacity": self.capacity,
         }
         empty_books = np.zeros((self.m, 0, self.dim // self.m), np.float32)
         if self._mode == "device" and self.ntotal:
@@ -1268,6 +1335,7 @@ class IVFPQIndex:
             refine_dtype=str(params.get("refine_dtype", "float32")),
             opq=bool(params.get("opq", False)),
             opq_iters=int(params.get("opq_iters", 8)),
+            capacity=params.get("capacity"),
         )
         if arrays.get("rotation") is not None and arrays["rotation"].size:
             index._rotation = np.ascontiguousarray(arrays["rotation"], np.float32)

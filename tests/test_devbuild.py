@@ -461,3 +461,47 @@ def test_train_kmeans_sample_init():
     assert len(np.unique(a[:900])) > len(np.unique(a[900:]))
     with pytest.raises(ValueError):
         train_kmeans(data, 4, init="nope")
+
+
+def test_ivf_pq_declared_capacity_device_mode():
+    # capacity pre-declared: refine store allocates once (128-aligned),
+    # device adds scatter eagerly, no vector chunks are retained, and
+    # results match the un-declared build exactly.
+    d = 16
+    pts = _corpus(300, d, seed=99)
+    ids = jnp.asarray(np.arange(300, dtype=np.int32))
+    q = _corpus(3, d, seed=100)
+
+    plain = _pq(dim=d)
+    plain.train(jnp.asarray(pts))
+    plain.add(jnp.asarray(pts), ids)
+
+    capd = _pq(dim=d, capacity=512)
+    capd.train(jnp.asarray(pts))
+    capd.add(jnp.asarray(pts[:200]), ids[:200])
+    assert len(capd._dev_vecs) == 0            # no vec chunks retained
+    assert capd._staged_refine is not None
+    assert int(capd._staged_refine[0].shape[0]) == 512
+    capd.add(jnp.asarray(pts[200:]), ids[200:])
+    pd_, pi_ = plain.search(q, k=5)
+    cd_, ci_ = capd.search(q, k=5)
+    np.testing.assert_array_equal(pi_, ci_)
+    np.testing.assert_allclose(pd_, cd_, rtol=1e-5, atol=1e-6)
+
+    # Exceeding the declared capacity still works (store grows); results
+    # match a fresh build with the same quantizer (the shortlist is PQ-
+    # approximate, so the oracle is the fresh build, not brute force).
+    extra = _corpus(300, d, seed=101)
+    capd.add(jnp.asarray(extra), jnp.asarray(np.arange(300, 600, dtype=np.int32)))
+    dd, di = capd.search(q, k=5)
+    allpts = np.concatenate([pts, extra])
+    fresh = _pq(dim=d)
+    fresh.train(pts)
+    fresh.add(allpts, np.arange(600, dtype=np.int64))
+    fd, fi = fresh.search(q, k=5)
+    np.testing.assert_array_equal(di, fi)
+    np.testing.assert_allclose(dd, fd, rtol=1e-4, atol=1e-5)
+
+    # state round-trips the capacity.
+    p, _ = capd.state()
+    assert p["capacity"] == 512
