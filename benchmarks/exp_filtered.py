@@ -27,6 +27,8 @@ configure_jax_cache()
 import jax
 import jax.numpy as jnp
 
+import argparse
+
 N, D, K, B = 1_048_576, 768, 10, 128
 NCLUST = 4096
 
@@ -74,15 +76,20 @@ def timed_qps(fn, iters=6):
 def main() -> int:
     from c99_vectordb_tpu.models.ivf_flat import IVFFlatIndex
 
-    print(f"# filtered pushdown 1M x {D} on {jax.default_backend()}", flush=True)
-    results = {}
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--selectivity", type=float, default=0.10)
+    ap.add_argument("--nprobe", type=int, default=4)
+    args = ap.parse_args()
+    print(f"# filtered pushdown 1M x {D} on {jax.default_backend()} "
+          f"(selectivity {args.selectivity}, p={args.nprobe})", flush=True)
+    results = {"config": vars(args)}
     db = gen(jnp.zeros((N,)), 0)
     ids = jnp.arange(N, dtype=jnp.int32)
     rng = np.random.default_rng(3)
-    mask = rng.random(N) < 0.10
+    mask = rng.random(N) < args.selectivity
     results["selectivity"] = float(mask.mean())
 
-    idx = IVFFlatIndex(dim=D, nlist=4096, nprobe=4, scan_dtype="int8")
+    idx = IVFFlatIndex(dim=D, nlist=4096, nprobe=args.nprobe, scan_dtype="int8")
     t0 = time.perf_counter()
     idx.train(db, iters=8)
     idx.add(db, ids)
@@ -93,7 +100,7 @@ def main() -> int:
     # Oracle parity on the KERNEL path: masked search vs post-filtering
     # a deep unmasked search.
     d_m, i_m = idx.search(queries, K, id_mask=mask)
-    deep_d, deep_i = idx.search(queries, 4096, nprobe=4)
+    deep_d, deep_i = idx.search(queries, 4096, nprobe=args.nprobe)
     ok = 0
     for qi in range(B):
         keep = [

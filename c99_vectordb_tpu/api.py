@@ -44,6 +44,10 @@ class MemoDB:
 
     def __init__(self, base: str, cwd: str | None = None):
         self.index_path, self.records_path = db_paths(base, cwd or os.getcwd())
+        # filter -> pushdown mask memo (the index families cache masked
+        # scan stagings by mask OBJECT identity, so repeated filtered
+        # recalls must hand them the same array).
+        self._mask_memo: dict = {}
 
     # -- internals ---------------------------------------------------------
 
@@ -116,10 +120,21 @@ class MemoDB:
     def metadata_mask(self, filter: str | dict[str, Any]) -> np.ndarray:
         """(max_id+1,) bool mask of records matching the filter (blank
         bodies excluded) — the device-side filter-pushdown operand for
-        index.search(..., id_mask=...). Build it once per filter and
-        reuse the SAME array across searches: the index families cache
-        their masked scan staging by mask identity."""
+        index.search(..., id_mask=...). MEMOIZED per (filter, records
+        file state): the SAME array object comes back across calls, so
+        the index families' identity-keyed masked-staging caches hit and
+        repeated filtered recalls skip both the O(n) metadata scan and
+        the mask re-staging."""
         active = parse_filter(filter) if isinstance(filter, str) else filter
+        try:
+            st = self.records_path.stat()
+            state = (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            state = None
+        key = (repr(sorted(active.items())) if active else None, state)
+        hit = self._mask_memo.get(key)
+        if hit is not None:
+            return hit
         store = self._store()
         mask = np.zeros((max(len(store), 1),), bool)
         for doc_id, body, metadata in store:
@@ -127,6 +142,7 @@ class MemoDB:
                 continue
             if metadata and matches(metadata, active):
                 mask[doc_id] = True
+        self._mask_memo = {key: mask}  # one live filter at a time
         return mask
 
     def recall(

@@ -355,10 +355,9 @@ def cmd_recall(
         q_vec = embed_text(query)
         ranked_dev = getattr(index, "ranked_all_device", None)
         if ranked_dev is not None:
-            try:
-                ranked_handle = ranked_dev(q_vec)
-            except AttributeError:  # e.g. refine=False IVFPQIndex
-                ranked_handle = None
+            # None = the family has no device-streamable ranking for
+            # this configuration (e.g. refine=False IVFPQIndex).
+            ranked_handle = ranked_dev(q_vec)
         if ranked_handle is None:
             dists, ids = index.ranked_all(q_vec)
 

@@ -83,6 +83,16 @@ class ChunkStore:
         self._n = 0
         self._cache = None
 
+    def drain(self):
+        """Yield (and CONSUME) each chunk: the store empties as the
+        caller scatters, so peak memory is target + remaining chunks,
+        never target + the whole corpus. The store is left cleared even
+        if iteration stops early."""
+        chunks, self._chunks, self._n, self._cache = self._chunks, [], 0, None
+        for i in range(len(chunks)):
+            chunk, chunks[i] = chunks[i], None
+            yield chunk
+
     def consolidated(self, dtype=None):
         """One device array holding every appended row (possibly 0 rows).
 
@@ -291,16 +301,20 @@ def _tail_scores_program(
 ):
     """Exact (HIGHEST) distances from each query to every tail row, +inf
     where the row is invalid or its assigned list is NOT probed by that
-    query — reproducing exactly which rows a fresh build's scan would
-    have seen. Probe selection repeats the main programs' formula
-    (c_sq - 2 q.c matmul + lax.top_k), so ties resolve identically."""
+    query — reproducing which rows a fresh build's scan would have seen.
+    Probe selection repeats the kernel prologues' formula
+    (q_sq + c_sq - 2 q.c, UNCLAMPED, then lax.top_k — the q_sq term is a
+    per-row constant, so selection matches the XLA routes' clamped
+    scores_via_matmul too except when clamping-to-zero creates exact
+    ties at q ~= centroid, an f32-epsilon corner)."""
 
     @jax.jit
     def run(tail_vecs, tail_ids, tail_assign, centroids, c_sq, queries):
         ip_c = jnp.dot(
             queries, centroids.T, preferred_element_type=jnp.float32
         )
-        coarse = c_sq[None, :] - 2.0 * ip_c
+        q_sq_c = jnp.sum(queries * queries, axis=1, keepdims=True)
+        coarse = q_sq_c + c_sq[None, :] - 2.0 * ip_c
         _, probes = jax.lax.top_k(-coarse, nprobe)              # (b, nprobe)
         probed = jnp.zeros((b, nlist + 1), bool).at[
             jnp.arange(b, dtype=jnp.int32)[:, None], probes
@@ -400,6 +414,31 @@ def mask_norms(norms, ids, id_mask):
 def mask_rows(ids, id_mask):
     """Boolean keep-mask in the ids operand's layout."""
     return _mask_rows_program(tuple(ids.shape), int(id_mask.shape[0]))(
+        ids, jnp.asarray(id_mask)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _mask_shortlist_program(shape: tuple, cap: int):
+    @jax.jit
+    def run(ids, id_mask):
+        safe = jnp.clip(jnp.maximum(ids, 0), 0, id_mask.shape[0] - 1)
+        keep = id_mask[safe] & (ids >= 0)
+        return jnp.where(keep, ids, -1)
+
+    return run
+
+
+def mask_shortlist_ids(ids, id_mask):
+    """Invalidate (-1) shortlist entries whose external id is masked out.
+
+    The scan kernels give masked rows +inf DISTANCE but keep their real
+    ids, and when a probe holds fewer unmasked candidates than the
+    shortlist width those inf entries pad it out. The exact rerank is
+    mask-unaware — it would re-score them with their true finite
+    distances and LEAK them into results — so every masked path must
+    scrub shortlist ids before reranking or returning."""
+    return _mask_shortlist_program(tuple(ids.shape), int(id_mask.shape[0]))(
         ids, jnp.asarray(id_mask)
     )
 

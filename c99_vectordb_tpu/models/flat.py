@@ -202,6 +202,13 @@ class FlatIndex:
                 sq_norms_eff if scan_norms_eff is None else scan_norms_eff,
                 q_scan, k_scan, return_rows=True,
             )
+            if id_mask is not None:
+                # Masked rows can pad the shortlist as +inf entries with
+                # REAL ids; the rerank would re-score them finitely and
+                # leak them (devbuild.mask_shortlist_ids).
+                from .devbuild import mask_shortlist_ids
+
+                out_ids = mask_shortlist_ids(out_ids, id_mask)
         else:
             dists, out_ids = topk_program(vecs.shape[0], self.dim, k_scan)(
                 vecs, ids, valid_eff, sq_norms_eff, queries

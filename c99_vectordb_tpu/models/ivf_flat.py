@@ -584,6 +584,13 @@ class IVFFlatIndex:
                     centroids, c_sq, codes, dim_scale, dec_sqn, list_ids,
                     jnp.asarray(queries),
                 )
+                if id_mask is not None:
+                    # Masked rows enter the shortlist as +inf padding
+                    # with REAL ids; the rerank would re-score them
+                    # finitely and leak them (devbuild.mask_shortlist_ids).
+                    from .devbuild import mask_shortlist_ids
+
+                    si = mask_shortlist_ids(si, id_mask)
                 # The scan's bucket-store rows skip the id->row table
                 # gather (issue-bound, as costly as the row gather
                 # itself — ops/rerank.rerank_program_rows).
@@ -603,6 +610,10 @@ class IVFFlatIndex:
                     centroids, c_sq, scan_extra[1], list_sqn, list_ids,
                     jnp.asarray(queries),
                 )
+                if id_mask is not None:
+                    from .devbuild import mask_shortlist_ids
+
+                    si = mask_shortlist_ids(si, id_mask)
                 dists, out_ids = exact_rerank_staged(
                     list_vecs.reshape(-1, self.dim), id_lookup, si,
                     jnp.asarray(queries), k,

@@ -284,8 +284,7 @@ def _refine_scatter_program(cap: int, dim: int, n: int, dtype: str):
     return run
 
 
-def _donate_first() -> tuple:
-    return (0,) if jax.default_backend() == "tpu" else ()
+from .devbuild import _donate_first  # TPU-only donation gate (shared)
 
 
 @functools.lru_cache(maxsize=None)
@@ -931,6 +930,13 @@ class IVFPQIndex:
             dists, out_ids = program(
                 centroids, c_sq, codebooks, codes128, item_const, list_ids, q_adc
             )
+            if id_mask is not None:
+                # Masked rows can pad the shortlist as +inf entries with
+                # REAL ids; the refine would re-score them finitely and
+                # leak them (devbuild.mask_shortlist_ids).
+                from .devbuild import mask_shortlist_ids
+
+                out_ids = mask_shortlist_ids(out_ids, id_mask)
         else:
             if list_codes is None:
                 from ..ops.adc_pallas import unstage_codes128_device
@@ -1103,9 +1109,8 @@ class IVFPQIndex:
         ids_arr = jnp.full((cap,), -1, jnp.int32)
         valid = jnp.zeros((cap,), bool)
         ofs = 0
-        chunks = self._dev_vecs._chunks
-        for ci, ichunk in enumerate(self._dev_ids._chunks):
-            vchunk = chunks[ci]
+        id_chunks = list(self._dev_ids._chunks)
+        for vchunk, ichunk in zip(self._dev_vecs.drain(), id_chunks):
             b = int(vchunk.shape[0])
             ichunk = ichunk.astype(jnp.int32)
             positions = (
@@ -1115,15 +1120,11 @@ class IVFPQIndex:
             store = _refine_update_program(cap, self.dim, b, dtype)(
                 store, vchunk, positions
             )
-            # CONSUME the chunk: peak HBM must stay store + remaining
-            # chunks, never store + the whole corpus.
-            chunks[ci] = None
-            del vchunk
+            del vchunk  # drain() consumed it: peak = store + remaining chunks
             ids_arr, valid = _refine_meta_update_program(cap, b)(
                 ids_arr, valid, positions, ichunk
             )
             ofs += b
-        self._dev_vecs.clear()
         self._staged_refine = (store, lookup, ids_arr, valid)
 
     def _refine_append(self, rows_dev, ids_dev) -> None:
@@ -1207,10 +1208,11 @@ class IVFPQIndex:
     def ranked_all_device(self, query: np.ndarray):
         """Full exact ranking over the refine store, left ON DEVICE:
         (dists, ids_i32, n) — the recall CLI streams it chunk-wise
-        (models/flat.py docstring). Refine indexes only; pure-code
-        callers use ranked_all (the chunked-ADC + host tail merge)."""
+        (models/flat.py docstring). Returns None for pure-code indexes
+        (refine=False), whose full ranking is the chunked-ADC +
+        host-tail-merge ranked_all — callers fall back to that."""
         if not self.refine:
-            raise AttributeError("ranked_all_device requires refine=True")
+            return None
         from ..ops.distances import ranked_program
 
         query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)

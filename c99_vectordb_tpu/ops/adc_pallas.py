@@ -139,14 +139,8 @@ def _qdot_mode(ksub: int, m: int) -> str:
     return "flat"
 
 
-def stage_codes128_device(list_codes, m: int, ksub: int):
-    """(nlist, pad, m) device uint8 codes -> the kernel's subspace-major
-    (nlist, CODE_LANES, pad) canvas (CODE_LANES/2 rows, nibble-packed,
-    for 4-bit codebooks) in ONE jitted program — corpus-scale builds
-    must not materialize the unpacked canvas next to the packed one
-    (benchmarks/run10m.py measured that OOMing a v5e at 10M)."""
-    nibble = ksub == 16 and m % 2 == 0
-
+@functools.lru_cache(maxsize=None)
+def _stage_codes128_program(m: int, nibble: bool):
     @jax.jit
     def run(c):
         if nibble:
@@ -157,16 +151,21 @@ def stage_codes128_device(list_codes, m: int, ksub: int):
             c.transpose(0, 2, 1), ((0, 0), (0, canvas_rows - rows), (0, 0))
         )
 
-    return run(list_codes)
+    return run
 
 
-def unstage_codes128_device(codes128, m: int, ksub: int):
-    """Inverse of stage_codes128_device: canvas -> (nlist, pad, m) uint8.
-
-    Off the hot path (restage / ranked_all reconstruction in device
-    mode, where the row-major code matrix is not retained)."""
+def stage_codes128_device(list_codes, m: int, ksub: int):
+    """(nlist, pad, m) device uint8 codes -> the kernel's subspace-major
+    (nlist, CODE_LANES, pad) canvas (CODE_LANES/2 rows, nibble-packed,
+    for 4-bit codebooks) in ONE jitted program — corpus-scale builds
+    must not materialize the unpacked canvas next to the packed one
+    (benchmarks/run10m.py measured that OOMing a v5e at 10M)."""
     nibble = ksub == 16 and m % 2 == 0
+    return _stage_codes128_program(m, nibble)(list_codes)
 
+
+@functools.lru_cache(maxsize=None)
+def _unstage_codes128_program(m: int, nibble: bool):
     @jax.jit
     def run(c):
         if nibble:
@@ -178,7 +177,16 @@ def unstage_codes128_device(codes128, m: int, ksub: int):
             return inter.transpose(0, 2, 1).astype(jnp.uint8)
         return c[:, :m, :].transpose(0, 2, 1).astype(jnp.uint8)
 
-    return run(codes128)
+    return run
+
+
+def unstage_codes128_device(codes128, m: int, ksub: int):
+    """Inverse of stage_codes128_device: canvas -> (nlist, pad, m) uint8.
+
+    Off the hot path (restage / ranked_all reconstruction in device
+    mode, where the row-major code matrix is not retained)."""
+    nibble = ksub == 16 and m % 2 == 0
+    return _unstage_codes128_program(m, nibble)(codes128)
 
 
 def pack_nibbles(codes128):

@@ -1305,7 +1305,16 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
             slot_ax = self._axes if len(self._axes) > 1 else self._axes[0]
             vecs_r = self._rotate(self._vectors)
             assign = assign_clusters(vecs_r, self._centroids)
-            codes = self._encode(self._vectors)
+            # Encode from the rotation/assignment already in hand — the
+            # _encode helper would redo both over the full corpus.
+            from ..ops.kmeans import assign_clusters_multi
+
+            residuals = vecs_r - self._centroids[assign]
+            dsub = self.dim // self.m
+            subs = np.ascontiguousarray(
+                residuals.reshape(-1, self.m, dsub).transpose(1, 0, 2)
+            )
+            codes = assign_clusters_multi(subs, self._codebooks).T.astype(np.uint8)
             nlist = self._centroids.shape[0]
             pad_local, sort, sorted_lists, slots = _slot_shard_layout(
                 assign, nlist, shards

@@ -121,3 +121,15 @@ def test_memodb_pushdown_matches_postfilter(tmp_path):
     np.testing.assert_allclose(
         [h.score for h in push], [h.score for h in post], rtol=1e-5
     )
+
+
+def test_mask_shortlist_ids_scrubs_masked_entries():
+    from c99_vectordb_tpu.models.devbuild import mask_shortlist_ids
+
+    mask = np.zeros(10, bool)
+    mask[[2, 5]] = True
+    ids = jnp.asarray([[2, 3, 5, -1, 9], [0, 5, 2, 2, -1]], jnp.int32)
+    out = np.asarray(mask_shortlist_ids(ids, jnp.asarray(mask)))
+    np.testing.assert_array_equal(
+        out, [[2, -1, 5, -1, -1], [-1, 5, 2, 2, -1]]
+    )
