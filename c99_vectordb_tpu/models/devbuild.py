@@ -466,6 +466,65 @@ class MaskCache:
         self._value = None
 
 
+# -- in-place id removal ---------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _removal_table_program(r_pad: int, cap: int):
+    @jax.jit
+    def run(removed):
+        # scatter-MAX (boolean OR): -1 padding clips to index 0, and a
+        # plain .set(False) there would overwrite a real removal of id 0.
+        safe = jnp.clip(removed, 0, cap - 1)
+        return jnp.zeros((cap,), bool).at[safe].max(removed >= 0)
+
+    return run
+
+
+def removal_table(removed_ids) -> jax.Array:
+    """(cap,) bool marking removed external ids (device).
+
+    removed_ids: (r,) int32/int64, device or numpy; negatives ignored."""
+    removed = jnp.asarray(np.asarray(removed_ids, np.int64).astype(np.int32)) \
+        if not is_device_array(removed_ids) else removed_ids.astype(jnp.int32)
+    r = int(removed.shape[0])
+    max_id = int(jnp.max(removed)) if r else -1
+    cap = next_pow2(max(max_id + 1, 1))
+    r_pad = next_pow2(max(r, 1))
+    if r_pad != r:
+        removed = jnp.pad(removed, (0, r_pad - r), constant_values=-1)
+    return _removal_table_program(r_pad, cap)(removed)
+
+
+@functools.lru_cache(maxsize=None)
+def _apply_removal_program(shape: tuple, cap: int, n_norms: int,
+                           norm_dtypes: tuple):
+    @jax.jit
+    def run(ids, table, *norms):
+        safe = jnp.clip(jnp.maximum(ids, 0), 0, cap - 1)
+        hit = table[safe] & (ids >= 0)
+        new_ids = jnp.where(hit, -1, ids)
+        out_norms = tuple(
+            jnp.where(hit, jnp.asarray(jnp.inf, nm.dtype), nm) for nm in norms
+        )
+        return (new_ids, jnp.sum(hit.astype(jnp.int32))) + out_norms
+
+    return run
+
+
+def apply_removal(ids, table, *norms):
+    """Mask removed ids out of an id array (any shape) IN PLACE-style:
+    ids -> -1, each accompanying norms/constants operand -> +inf (the
+    kernels' exclusion marker — exactly the filter-pushdown mechanism,
+    made permanent). Returns (new_ids, removed_count, *new_norms)."""
+    prog = _apply_removal_program(
+        tuple(ids.shape), int(table.shape[0]), len(norms),
+        tuple(str(nm.dtype) for nm in norms),
+    )
+    out = prog(ids, table, *norms)
+    return (out[0], int(out[1])) + tuple(out[2:])
+
+
 # -- device id lookup ------------------------------------------------------------
 
 

@@ -80,6 +80,22 @@ class FlatIndex:
         self._device = None  # invalidate cached device buffers
         self._mask_cache.clear()
 
+    def remove_ids(self, ids) -> int:
+        """Remove stored rows by external id; returns how many were
+        removed (ids not present are ignored) — the FAISS
+        IndexIDMap2.remove_ids analog (/root/reference/memo_cli.py keeps
+        deletion at the record layer; the index surface offers it
+        directly for library users)."""
+        ids = np.unique(np.asarray(ids, dtype=np.int64).reshape(-1))
+        keep = ~np.isin(self._ids, ids)
+        removed = int(self._ids.shape[0] - keep.sum())
+        if removed:
+            self._vectors = self._vectors[keep]
+            self._ids = self._ids[keep]
+            self._device = None
+            self._mask_cache.clear()
+        return removed
+
     # -- device staging ----------------------------------------------------
 
     def _staged(self):

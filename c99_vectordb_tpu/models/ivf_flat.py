@@ -397,6 +397,57 @@ class IVFFlatIndex:
             self._assign = self._assign[order]
         self._ranked_cache = None
 
+    def remove_ids(self, ids) -> int:
+        """Remove stored rows by external id; returns how many were
+        removed (the FAISS IndexIDMap2.remove_ids analog).
+
+        Host mode filters the mirrors and re-stages lazily (O(n), the
+        FAISS cost class). Device mode removes IN PLACE: the tail folds
+        in, then one device pass turns matching list ids to -1 and their
+        scan norms to +inf (the kernels' exclusion marker) — O(n) device
+        work, no host traffic, no rebuild."""
+        if self._mode == "device":
+            from .devbuild import apply_removal, removal_table
+
+            if self._n_dev == 0:
+                return 0
+            if self._staged is not None and self._tail and self._tail.count:
+                self._restage_needed = True
+            self._stage()  # folds chunks/tail; rows now live in the lists
+            (centroids, c_sq, store, li, list_sqn, id_lookup, pad,
+             scan_extra) = self._staged
+            table = removal_table(ids)
+            if scan_extra is not None and scan_extra[0] == "int8":
+                li, removed, list_sqn, dec_sqn = apply_removal(
+                    li, table, list_sqn, scan_extra[3]
+                )
+                scan_extra = ("int8", scan_extra[1], scan_extra[2], dec_sqn)
+            else:
+                li, removed, list_sqn = apply_removal(li, table, list_sqn)
+            if removed:
+                self._staged = (
+                    centroids, c_sq, store, li, list_sqn, id_lookup, pad,
+                    scan_extra,
+                )
+                self._n_dev -= removed
+                self._ranked_cache = None
+                self._mask_cache.clear()
+            return removed
+        ids = np.unique(np.asarray(ids, dtype=np.int64).reshape(-1))
+        keep = ~np.isin(self._ids, ids)
+        removed = int(self._ids.shape[0] - keep.sum())
+        if removed:
+            self._vectors = self._vectors[keep]
+            self._ids = self._ids[keep]
+            if self._assign is not None:
+                self._assign = self._assign[keep]
+            self._staged = None
+            self._tail = None
+            self._restage_needed = False
+            self._ranked_cache = None
+            self._mask_cache.clear()
+        return removed
+
     # -- device staging ---------------------------------------------------------
 
     def _stage(self):

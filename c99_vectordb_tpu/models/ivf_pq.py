@@ -679,6 +679,58 @@ class IVFPQIndex:
             if self.refine:
                 self._vectors = self._vectors[order]
 
+    def remove_ids(self, ids) -> int:
+        """Remove stored rows by external id; returns how many were
+        removed (the FAISS IndexIDMap2.remove_ids analog).
+
+        Host mode filters the mirrors and re-stages lazily (O(n), the
+        FAISS cost class). Device mode removes IN PLACE: the tail folds
+        in, then one device pass turns matching list ids to -1 with +inf
+        item constants (the ADC exclusion marker) and invalidates the
+        refine-store slots — no rebuild, no host traffic."""
+        if self._mode == "device":
+            from .devbuild import apply_removal, removal_table
+
+            if self._n_dev == 0:
+                return 0
+            if self._staged is not None and self._tail and self._tail.count:
+                self._restage_needed = True
+            self._stage()  # folds chunks/tail; rows now live in the canvases
+            (centroids, c_sq, codebooks, list_codes, li, codes128,
+             item_const, pad) = self._staged
+            table = removal_table(ids)
+            li, removed, item_const = apply_removal(li, table, item_const)
+            if removed:
+                self._staged = (
+                    centroids, c_sq, codebooks, list_codes, li, codes128,
+                    item_const, pad,
+                )
+                if self.refine and self._staged_refine is not None:
+                    store, lookup, ids_arr, valid = self._staged_refine
+                    ids_arr, _ = apply_removal(ids_arr, table)
+                    self._staged_refine = (
+                        store, lookup, ids_arr, valid & (ids_arr >= 0)
+                    )
+                self._n_dev -= removed
+                self._mask_cache.clear()
+            return removed
+        ids = np.unique(np.asarray(ids, dtype=np.int64).reshape(-1))
+        keep = ~np.isin(self._ids, ids)
+        removed = int(self._ids.shape[0] - keep.sum())
+        if removed:
+            self._ids = self._ids[keep]
+            self._codes = self._codes[keep]
+            if self._assign is not None:
+                self._assign = self._assign[keep]
+            if self.refine:
+                self._vectors = self._vectors[keep]
+            self._staged = None
+            self._staged_refine = None
+            self._tail = None
+            self._restage_needed = False
+            self._mask_cache.clear()
+        return removed
+
     # -- device staging ----------------------------------------------------------------
 
     def _codes_all(self):

@@ -775,6 +775,21 @@ class _ShardedBase:
         self._staged = None
         self._ranked_cache = None
 
+    def remove_ids(self, ids) -> int:
+        """Remove stored rows by external id; returns how many were
+        removed (FAISS IndexIDMap2.remove_ids analog). Host arrays stay
+        authoritative in the sharded families, so this filters them and
+        re-stages lazily."""
+        ids = np.unique(np.asarray(ids, dtype=np.int64).reshape(-1))
+        keep = ~np.isin(self._ids, ids)
+        removed = int(self._ids.shape[0] - keep.sum())
+        if removed:
+            self._vectors = self._vectors[keep]
+            self._ids = self._ids[keep]
+            self._staged = None
+            self._ranked_cache = None
+        return removed
+
     def _ranked_staged(self):
         """Cached device (vecs, ids, valid) for ranked_all — the corpus
         crosses the slow host->device link ONCE, invalidated on add

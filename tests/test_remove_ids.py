@@ -1,0 +1,116 @@
+"""remove_ids on every family (the FAISS IndexIDMap2.remove_ids analog):
+host mode filters + restages; device mode removes IN PLACE (ids -> -1,
+scan norms / item constants -> +inf) without a rebuild."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c99_vectordb_tpu.models.flat import FlatIndex
+from c99_vectordb_tpu.models.ivf_flat import IVFFlatIndex
+from c99_vectordb_tpu.models.ivf_pq import IVFPQIndex
+
+
+def _corpus(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, d)).astype(np.float32)
+
+
+def _oracle(points, ids, q, k):
+    d = ((q[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d, axis=1)[:, :k]
+    return np.take_along_axis(d, order, axis=1), ids[order]
+
+
+POINTS = _corpus(400, 24, seed=1)
+IDS = np.arange(400, dtype=np.int64)
+Q = _corpus(4, 24, seed=2)
+DROP = np.arange(0, 400, 7, dtype=np.int64)           # 58 ids
+KEEP = np.setdiff1d(IDS, DROP)
+
+
+def _verify(idx, k=6):
+    removed = idx.remove_ids(DROP)
+    assert removed == len(DROP)
+    assert idx.ntotal == len(KEEP)
+    dd, di = idx.search(Q, k)
+    od, oi = _oracle(POINTS[KEEP], KEEP, Q, k)
+    np.testing.assert_array_equal(di, oi)
+    np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-5)
+    # Absent ids are ignored; double removal is a no-op.
+    assert idx.remove_ids(DROP) == 0
+
+
+@pytest.mark.parametrize("scan_dtype", ["float32", "int8"])
+def test_flat_remove(scan_dtype):
+    idx = FlatIndex(dim=24, scan_dtype=scan_dtype)
+    idx.add(POINTS, IDS)
+    idx.search(Q, 3)
+    _verify(idx)
+    np.testing.assert_array_equal(np.sort(idx.ids()), KEEP)
+
+
+@pytest.mark.parametrize("scan_dtype", ["float32", "int8"])
+def test_ivf_flat_remove_host(scan_dtype):
+    idx = IVFFlatIndex(dim=24, nlist=4, nprobe=4, scan_dtype=scan_dtype)
+    idx.train(POINTS)
+    idx.add(POINTS, IDS)
+    idx.search(Q, 3)
+    _verify(idx)
+
+
+@pytest.mark.parametrize("scan_dtype", ["float32", "int8"])
+def test_ivf_flat_remove_device_in_place(scan_dtype):
+    idx = IVFFlatIndex(dim=24, nlist=4, nprobe=4, scan_dtype=scan_dtype)
+    idx.train(jnp.asarray(POINTS))
+    idx.add(jnp.asarray(POINTS), jnp.asarray(IDS.astype(np.int32)))
+    idx.search(Q, 3)                              # stage
+    pad_before = idx._staged[6]
+    _verify(idx)
+    assert idx._staged is not None and idx._staged[6] == pad_before  # no rebuild
+    # ranked_all excludes removed rows too.
+    dists, ids_r = idx.ranked_all(Q[0])
+    assert dists.shape[0] == len(KEEP)
+    assert not (set(DROP.tolist()) & set(ids_r.tolist()))
+
+
+def test_ivf_flat_remove_device_folds_tail_first():
+    idx = IVFFlatIndex(dim=24, nlist=4, nprobe=4)
+    idx.add(jnp.asarray(POINTS[:300]), jnp.asarray(np.arange(300, dtype=np.int32)))
+    idx.search(Q, 3)
+    idx.add(jnp.asarray(POINTS[300:]), jnp.asarray(np.arange(300, 400, dtype=np.int32)))
+    assert idx._tail is not None
+    _verify(idx)
+    assert idx._tail is None                       # folded before removal
+
+
+def test_ivf_pq_remove_host_and_device():
+    host = IVFPQIndex(dim=24, nlist=4, nprobe=4, m=4, refine=True,
+                      refine_factor=32)
+    host.train(POINTS)
+    host.add(POINTS, IDS)
+    host.search(Q, 3)
+    _verify(host)
+
+    dev = IVFPQIndex(dim=24, nlist=4, nprobe=4, m=4, refine=True,
+                     refine_factor=32)
+    dev.train(jnp.asarray(POINTS))
+    dev.add(jnp.asarray(POINTS), jnp.asarray(IDS.astype(np.int32)))
+    dev.search(Q, 3)
+    _verify(dev)
+    dists, ids_r = dev.ranked_all(Q[0])
+    assert dists.shape[0] == len(KEEP)
+    assert not (set(DROP.tolist()) & set(ids_r.tolist()))
+
+
+def test_sharded_remove():
+    from c99_vectordb_tpu.parallel import ShardedIVFIndex
+    from c99_vectordb_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8)
+    idx = ShardedIVFIndex(dim=24, nlist=4, nprobe=4, mesh=mesh)
+    idx.load(POINTS, IDS)
+    idx.search(Q, 3)
+    _verify(idx)
