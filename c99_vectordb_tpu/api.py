@@ -212,6 +212,26 @@ class MemoDB:
             if metadata and matches(metadata, active):
                 yield doc_id, metadata
 
+    def delete(self, doc_id: int) -> bool:
+        """Soft-delete a record WITHOUT the full rebuild the CLI's
+        overwrite path pays: the record body blanks out (reference
+        lifecycle semantics — it stays a tombstone until `reindex`
+        compacts it) and the vector leaves the index via
+        index.remove_ids (in place on device-mode indexes). Returns
+        False if the id does not exist or is already blank."""
+        store = self._store()
+        if doc_id < 0 or doc_id >= len(store):
+            return False
+        if is_blank_body(store.bodies[doc_id] or ""):
+            return False
+        index = self._index()
+        store.overwrite(doc_id, "", store.meta_at(doc_id))
+        index.remove_ids(np.asarray([doc_id], np.int64))
+        write_index(index, self.index_path)
+        store.save(self.records_path)
+        self._mask_memo.clear()
+        return True
+
     def reindex(self) -> int:
         """Compact (drop blank/deleted, re-sequence ids) + full rebuild.
         Returns the number of dropped records."""

@@ -114,3 +114,53 @@ def test_sharded_remove():
     idx.load(POINTS, IDS)
     idx.search(Q, 3)
     _verify(idx)
+
+
+def test_remove_then_serialize_roundtrip_device_mode(tmp_path):
+    from c99_vectordb_tpu.storage.index_io import read_index, write_index
+
+    idx = IVFFlatIndex(dim=24, nlist=4, nprobe=4)
+    idx.train(jnp.asarray(POINTS))
+    idx.add(jnp.asarray(POINTS), jnp.asarray(IDS.astype(np.int32)))
+    idx.search(Q, 3)
+    idx.remove_ids(DROP)
+    path = tmp_path / "removed.memo"
+    write_index(idx, path)
+    back = read_index(path)
+    assert back.ntotal == len(KEEP)
+    bd, bi = back.search(Q, 5)
+    dd, di = idx.search(Q, 5)
+    np.testing.assert_array_equal(bi, di)
+    np.testing.assert_allclose(bd, dd, rtol=1e-5, atol=1e-6)
+
+
+def test_remove_then_mask_interaction():
+    idx = IVFFlatIndex(dim=24, nlist=4, nprobe=4)
+    idx.train(jnp.asarray(POINTS))
+    idx.add(jnp.asarray(POINTS), jnp.asarray(IDS.astype(np.int32)))
+    idx.search(Q, 3)
+    idx.remove_ids(DROP)
+    mask = np.zeros(400, bool)
+    mask[KEEP[::2]] = True
+    mask[DROP] = True  # masking-in a REMOVED id must not resurrect it
+    dd, di = idx.search(Q, 5, id_mask=mask)
+    live = KEEP[::2]
+    od, oi = _oracle(POINTS[live], live, Q, 5)
+    np.testing.assert_array_equal(di, oi)
+
+
+def test_memodb_delete_fast_path(tmp_path):
+    from c99_vectordb_tpu.api import MemoDB
+
+    db = MemoDB(str(tmp_path / "db"))
+    db.save_many([
+        {"body": f"note {i}", "metadata": {"i": i}} for i in range(10)
+    ])
+    assert db.delete(3) is True
+    assert db.delete(3) is False          # already blank
+    assert db.delete(99) is False         # absent
+    hits = db.recall("note 3", k=10)
+    assert all(h.doc_id != 3 for h in hits)
+    assert len(db) == 9
+    # Tombstone compacts away on reindex (reference lifecycle).
+    assert db.reindex() == 1
