@@ -356,11 +356,20 @@ def _merge_tail_program(b: int, k: int, cap: int):
 
     @jax.jit
     def run(main_d, main_i, tail_d, tail_ids):
-        alld = jnp.concatenate([main_d, tail_d], axis=1)
-        alli = jnp.concatenate(
-            [main_i.astype(jnp.int32),
-             jnp.broadcast_to(tail_ids[None, :], tail_d.shape)], axis=1
-        )
+        ti = jnp.broadcast_to(tail_ids[None, :], tail_d.shape)
+        td = tail_d
+        if cap > 4 * k:
+            # Pre-reduce the tail: the final lexicographic sort over
+            # (k + cap) columns costs (and compiles) like its width —
+            # 33k-wide sorts per search once the tail grows. top_k keeps
+            # 2k candidates (k + a full k of id-tie slack: ties at the
+            # k-boundary deeper than 2k equal distances would be the
+            # only divergence) before the exact (distance, id) merge.
+            neg, pos = jax.lax.top_k(-td, min(2 * k, cap))
+            td = -neg
+            ti = jnp.take_along_axis(ti, pos, axis=1)
+        alld = jnp.concatenate([main_d, td], axis=1)
+        alli = jnp.concatenate([main_i.astype(jnp.int32), ti], axis=1)
         return merge_topk(alld, alli, k)
 
     return run

@@ -122,14 +122,30 @@ def _sq8_stage(lv, li):
 
     Scale/statistics compute in f32 whatever the store dtype (bf16
     stores in device mode quantize their bf16-rounded values — the same
-    values the rerank scores)."""
-    lv = lv.astype(jnp.float32)
-    live = (li >= 0)[:, :, None]
-    maxabs = jnp.max(jnp.abs(jnp.where(live, lv, 0.0)), axis=(0, 1))
+    values the rerank scores). Both passes lax.scan over the list axis
+    so the f32 view is one (pad, D) block at a time — a whole-store
+    f32 materialization measured OOMing a v5e at a 1M x 384 bf16 store
+    with inflated pads (round 4)."""
+
+    def pass1(maxabs, args):
+        v, l = args
+        v32 = jnp.where(l[:, None], v.astype(jnp.float32), 0.0)
+        return jnp.maximum(maxabs, jnp.max(jnp.abs(v32), axis=0)), None
+
+    maxabs, _ = jax.lax.scan(
+        pass1, jnp.zeros((lv.shape[-1],), jnp.float32), (lv, li >= 0)
+    )
     scale = jnp.maximum(maxabs, 1e-30) / 127.0
-    codes = jnp.clip(jnp.rint(lv / scale), -127, 127)
-    dec = codes * scale
-    return codes.astype(jnp.int8), scale, jnp.sum(dec * dec, axis=-1)
+
+    def pass2(_, args):
+        v, l = args
+        v32 = v.astype(jnp.float32)
+        codes = jnp.clip(jnp.rint(v32 / scale), -127, 127)
+        dec = codes * scale
+        return None, (codes.astype(jnp.int8), jnp.sum(dec * dec, axis=-1))
+
+    _, (codes, dec_sqn) = jax.lax.scan(pass2, None, (lv, li >= 0))
+    return codes, scale, dec_sqn
 
 
 @functools.lru_cache(maxsize=None)
