@@ -122,19 +122,28 @@ def _sq8_stage(lv, li):
 
     Scale/statistics compute in f32 whatever the store dtype (bf16
     stores in device mode quantize their bf16-rounded values — the same
-    values the rerank scores). Both passes lax.scan over the list axis
-    so the f32 view is one (pad, D) block at a time — a whole-store
-    f32 materialization measured OOMing a v5e at a 1M x 384 bf16 store
-    with inflated pads (round 4)."""
+    values the rerank scores). Both passes lax.scan over a handful of
+    ~256 MB macro-blocks: a whole-store f32 materialization OOM'd a
+    v5e at a 1M x 384 bf16 store with inflated pads, and per-LIST
+    scan steps measured 17 ms each on this remote backend (140 s total
+    — thousands of tiny steps are as wrong as one huge block)."""
+    nlist, pad, d = lv.shape
+    total = nlist * pad
+    nblocks = 1
+    while (
+        (total // nblocks) * d * 4 > 256 * 2**20
+        and total % (nblocks * 2) == 0
+    ):
+        nblocks *= 2
+    bv = lv.reshape(nblocks, total // nblocks, d)
+    bl = (li >= 0).reshape(nblocks, total // nblocks)
 
     def pass1(maxabs, args):
         v, l = args
         v32 = jnp.where(l[:, None], v.astype(jnp.float32), 0.0)
         return jnp.maximum(maxabs, jnp.max(jnp.abs(v32), axis=0)), None
 
-    maxabs, _ = jax.lax.scan(
-        pass1, jnp.zeros((lv.shape[-1],), jnp.float32), (lv, li >= 0)
-    )
+    maxabs, _ = jax.lax.scan(pass1, jnp.zeros((d,), jnp.float32), (bv, bl))
     scale = jnp.maximum(maxabs, 1e-30) / 127.0
 
     def pass2(_, args):
@@ -144,8 +153,12 @@ def _sq8_stage(lv, li):
         dec = codes * scale
         return None, (codes.astype(jnp.int8), jnp.sum(dec * dec, axis=-1))
 
-    _, (codes, dec_sqn) = jax.lax.scan(pass2, None, (lv, li >= 0))
-    return codes, scale, dec_sqn
+    _, (codes, dec_sqn) = jax.lax.scan(pass2, None, (bv, bl))
+    return (
+        codes.reshape(nlist, pad, d),
+        scale,
+        dec_sqn.reshape(nlist, pad),
+    )
 
 
 @functools.lru_cache(maxsize=None)
