@@ -80,6 +80,15 @@ class FlatIndex:
         self._device = None  # invalidate cached device buffers
         self._mask_cache.clear()
 
+    def reconstruct(self, doc_id: int) -> np.ndarray:
+        """Return the stored vector for an external id — the FAISS
+        IndexIDMap2.reconstruct analog (the '2' in IDMap2 exists for
+        exactly this reverse lookup). Raises KeyError if absent."""
+        pos = np.searchsorted(self._ids, int(doc_id))
+        if pos >= self._ids.shape[0] or self._ids[pos] != doc_id:
+            raise KeyError(f"id {doc_id} not in index")
+        return self._vectors[pos].copy()
+
     def remove_ids(self, ids) -> int:
         """Remove stored rows by external id; returns how many were
         removed (ids not present are ignored) — the FAISS

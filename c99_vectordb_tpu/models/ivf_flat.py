@@ -426,6 +426,27 @@ class IVFFlatIndex:
             self._assign = self._assign[order]
         self._ranked_cache = None
 
+    def reconstruct(self, doc_id: int) -> np.ndarray:
+        """Return the stored vector for an external id (FAISS
+        IndexIDMap2.reconstruct analog). Host mode is an O(log n)
+        binary search; device mode locates the row via the staged
+        layout ((n,) id pull + one-row device gather — a rare
+        introspection path, not a hot one). Raises KeyError if absent.
+        Device-mode bf16 retention returns the bf16-rounded row (the
+        values every search scores)."""
+        if self._mode == "device":
+            if self._n_dev == 0:
+                raise KeyError(f"id {doc_id} not in index")
+            vecs, idsa, _ = self._rows_all()
+            pos = np.nonzero(np.asarray(idsa) == int(doc_id))[0]
+            if not len(pos):
+                raise KeyError(f"id {doc_id} not in index")
+            return np.asarray(vecs[int(pos[0])].astype(jnp.float32))
+        pos = np.searchsorted(self._ids, int(doc_id))
+        if pos >= self._ids.shape[0] or self._ids[pos] != doc_id:
+            raise KeyError(f"id {doc_id} not in index")
+        return self._vectors[pos].copy()
+
     def remove_ids(self, ids) -> int:
         """Remove stored rows by external id; returns how many were
         removed (the FAISS IndexIDMap2.remove_ids analog).

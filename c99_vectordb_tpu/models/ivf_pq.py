@@ -679,6 +679,47 @@ class IVFPQIndex:
             if self.refine:
                 self._vectors = self._vectors[order]
 
+    def reconstruct(self, doc_id: int) -> np.ndarray:
+        """Return the stored vector for an external id (FAISS
+        IndexIDMap2.reconstruct analog). With refine on this is the raw
+        (or bf16-rounded) row; pure-code indexes return the PQ
+        reconstruction centroid + decode(codes) mapped back through the
+        OPQ rotation — the same approximation FAISS reconstructs from a
+        PQ index. Raises KeyError if absent."""
+        if self._mode == "device":
+            if self._n_dev == 0:
+                raise KeyError(f"id {doc_id} not in index")
+            if self.refine:
+                vecs, idsa = self._raw_rows_all()
+                pos = np.nonzero(np.asarray(idsa) == int(doc_id))[0]
+                if not len(pos):
+                    raise KeyError(f"id {doc_id} not in index")
+                return np.asarray(vecs[int(pos[0])].astype(jnp.float32))
+            idsa, assign, codes = self._codes_all()
+            pos = np.nonzero(np.asarray(idsa) == int(doc_id))[0]
+            if not len(pos):
+                raise KeyError(f"id {doc_id} not in index")
+            p = int(pos[0])
+            recon = _decode_recon_program(
+                1, self.dim, self.m, int(jnp.shape(self._codebooks_dev())[1])
+            )(codes[p : p + 1], assign[p : p + 1],
+              self._centroids_dev(), self._codebooks_dev())
+            out = np.asarray(recon[0])
+            return out @ self._rotation.T if self._rotation is not None else out
+        pos = np.searchsorted(self._ids, int(doc_id))
+        if pos >= self._ids.shape[0] or self._ids[pos] != doc_id:
+            raise KeyError(f"id {doc_id} not in index")
+        if self.refine:
+            return self._vectors[pos].copy()
+        centroids = np.asarray(self._centroids, np.float32)
+        codebooks = np.asarray(self._codebooks, np.float32)
+        dsub = self.dim // self.m
+        y = np.concatenate([
+            codebooks[j, int(self._codes[pos, j])] for j in range(self.m)
+        ])
+        recon = centroids[int(self._assign[pos])] + y.reshape(self.dim)
+        return recon @ self._rotation.T if self._rotation is not None else recon
+
     def remove_ids(self, ids) -> int:
         """Remove stored rows by external id; returns how many were
         removed (the FAISS IndexIDMap2.remove_ids analog).

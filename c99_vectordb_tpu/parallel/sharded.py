@@ -775,6 +775,14 @@ class _ShardedBase:
         self._staged = None
         self._ranked_cache = None
 
+    def reconstruct(self, doc_id: int) -> np.ndarray:
+        """Return the stored vector for an external id (FAISS
+        IndexIDMap2.reconstruct analog); KeyError if absent."""
+        pos = np.searchsorted(self._ids, int(doc_id))
+        if pos >= self._ids.shape[0] or self._ids[pos] != doc_id:
+            raise KeyError(f"id {doc_id} not in index")
+        return self._vectors[pos].copy()
+
     def remove_ids(self, ids) -> int:
         """Remove stored rows by external id; returns how many were
         removed (FAISS IndexIDMap2.remove_ids analog). Host arrays stay

@@ -164,3 +164,58 @@ def test_memodb_delete_fast_path(tmp_path):
     assert len(db) == 9
     # Tombstone compacts away on reindex (reference lifecycle).
     assert db.reindex() == 1
+
+
+class TestReconstruct:
+    """reconstruct(id) — the other half of the IndexIDMap2 analog."""
+
+    def test_flat_and_ivf_flat(self):
+        for idx in (FlatIndex(dim=24), IVFFlatIndex(dim=24, nlist=4)):
+            if hasattr(idx, "train"):
+                idx.train(POINTS)
+            idx.add(POINTS, IDS)
+            np.testing.assert_allclose(idx.reconstruct(123), POINTS[123])
+            with pytest.raises(KeyError):
+                idx.reconstruct(4000)
+
+    def test_ivf_flat_device_mode(self):
+        idx = IVFFlatIndex(dim=24, nlist=4, nprobe=4)
+        idx.add(jnp.asarray(POINTS), jnp.asarray(IDS.astype(np.int32)))
+        idx.search(Q, 3)                       # stage (frees chunks)
+        np.testing.assert_allclose(
+            idx.reconstruct(123), POINTS[123], rtol=1e-6
+        )
+        idx.remove_ids(np.asarray([123]))
+        with pytest.raises(KeyError):
+            idx.reconstruct(123)
+
+    def test_ivf_pq_refine_exact_and_pure_code_approx(self):
+        exact = IVFPQIndex(dim=24, nlist=4, m=4, refine=True)
+        exact.train(POINTS)
+        exact.add(POINTS, IDS)
+        np.testing.assert_allclose(exact.reconstruct(77), POINTS[77])
+
+        code = IVFPQIndex(dim=24, nlist=4, m=4, refine=False)
+        code.train(POINTS)
+        code.add(POINTS, IDS)
+        approx = code.reconstruct(77)
+        # PQ reconstruction: closer to the row than to random others.
+        err = np.linalg.norm(approx - POINTS[77])
+        other = np.linalg.norm(approx - POINTS[78])
+        assert err < other
+
+        # Device mode, pure-code: same reconstruction (same quantizer).
+        dev = IVFPQIndex(dim=24, nlist=4, m=4, refine=False)
+        dev.train(jnp.asarray(POINTS))
+        dev.add(jnp.asarray(POINTS), jnp.asarray(IDS.astype(np.int32)))
+        dev.search(Q, 3)
+        np.testing.assert_allclose(dev.reconstruct(77), approx, rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_sharded(self):
+        from c99_vectordb_tpu.parallel import ShardedFlatIndex
+        from c99_vectordb_tpu.parallel.mesh import make_mesh
+
+        idx = ShardedFlatIndex(dim=24, mesh=make_mesh(n_data=8))
+        idx.load(POINTS, IDS)
+        np.testing.assert_allclose(idx.reconstruct(9), POINTS[9])
