@@ -58,13 +58,16 @@ def timed_scan_qps(search_step, operands, qstack_maker, b: int, iters: int) -> f
         float(chain(qstack, *operands))
         return time.perf_counter() - t0
 
-    # Grow the long chain until per-step cost dominates dispatch noise.
+    # Grow the long chain until the two-point DELTA is macroscopic:
+    # relative growth alone (>1.5x) still let ms-scale deltas drown in
+    # this relay's window noise — BENCH_r03's +-60% spread (bench.py
+    # round-4 protocol, applied here too).
     lo = 2
     hi = 2 + iters
     t_lo = timed(lo)
     while True:
         t_hi = timed(hi)
-        if t_hi > 1.5 * t_lo or hi >= 512:
+        if (t_hi > 1.5 * t_lo and t_hi - t_lo >= 0.5) or hi >= 512:
             break
         hi *= 4
     return b * (hi - lo) / max(t_hi - t_lo, 1e-9)
@@ -242,9 +245,10 @@ def main() -> int:
 
         def flat_exact_step(q, _db, _ids, _sq):
             _, ci = _ft(_db, _ids, _sq, q, k_slack)
-            # ids are iota here, so the id->row table IS the id array
-            return rerank_program(n, d, n, b, k_slack, k, "float32")(
-                _db, _ids, ci, q
+            # ids are iota: rows-mode rerank (the id->row table gather
+            # costs as much as the row gather itself — round 3)
+            return rerank_program_rows(n, d, b, k_slack, k, "float32")(
+                _db, ci, ci, q
             )
 
         _, ei = jax.jit(flat_exact_step)(eval_q_dev, *flat_ops)
@@ -282,8 +286,8 @@ def main() -> int:
         #    exactness preserved.
         def bf16_scan_f32_rerank(q, _db16, _db32, _ids, _sq):
             _, ci = _ft(_db16, _ids, _sq, q, k_slack)
-            return rerank_program(n, d, n, b, k_slack, k, "float32")(
-                _db32, _ids, ci, q
+            return rerank_program_rows(n, d, b, k_slack, k, "float32")(
+                _db32, ci, ci, q
             )
 
         mixed_ops = (db16, db, ids_dev, sq_norms)
@@ -303,8 +307,8 @@ def main() -> int:
         #    removes multiply noise, keeps storage rounding.
         def bf16_scan_bf16_rerank(q, _db16, _ids, _sq):
             _, ci = _ft(_db16, _ids, _sq, q, k_slack)
-            return rerank_program(n, d, n, b, k_slack, k, "bfloat16")(
-                _db16, _ids, ci, q
+            return rerank_program_rows(n, d, b, k_slack, k, "bfloat16")(
+                _db16, ci, ci, q
             )
 
         _, bi = jax.jit(bf16_scan_bf16_rerank)(eval_q_dev, *bf16_ops)
@@ -335,8 +339,10 @@ def main() -> int:
 
         def sq8_scan_f32_rerank(q, _codes, _scale, _db32, _ids, _dsq):
             _, ci = _ft(_codes, _ids, _dsq, q * _scale, k_slack)
-            return rerank_program(n, d, n, b, k_slack, k, "float32")(
-                _db32, _ids, ci, q
+            # ids are iota: rows-mode rerank (the id->row table gather
+            # costs as much as the row gather itself — round 3).
+            return rerank_program_rows(n, d, b, k_slack, k, "float32")(
+                _db32, ci, ci, q
             )
 
         sq8_ops = (sq8_codes, sq8_scale, db, ids_dev, sq8_norms)
