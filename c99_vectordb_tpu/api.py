@@ -225,7 +225,12 @@ class MemoDB:
         if is_blank_body(store.bodies[doc_id] or ""):
             return False
         index = self._index()
-        store.overwrite(doc_id, "", store.meta_at(doc_id))
+        # Mark the tombstone with the reference's deleted flag
+        # (utils/text.is_deleted_record) so metadata scans (analyze)
+        # see an explicit deletion rather than a live-looking record.
+        meta = dict(store.meta_at(doc_id) or {})
+        meta["deleted"] = True
+        store.overwrite(doc_id, "", meta)
         index.remove_ids(np.asarray([doc_id], np.int64))
         write_index(index, self.index_path)
         store.save(self.records_path)

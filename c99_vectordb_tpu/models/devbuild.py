@@ -396,8 +396,10 @@ def _mask_norms_program(shape: tuple, cap: int, dtype: str):
 
     @jax.jit
     def run(norms, ids, id_mask):
+        # ids >= the mask's cap are EXCLUDED, never clip-aliased onto
+        # the boundary slot (ids < cap guard).
         safe = jnp.clip(jnp.maximum(ids, 0), 0, id_mask.shape[0] - 1)
-        keep = id_mask[safe] & (ids >= 0)
+        keep = id_mask[safe] & (ids >= 0) & (ids < id_mask.shape[0])
         return jnp.where(keep, norms, jnp.asarray(jnp.inf, norms.dtype))
 
     return run
@@ -408,7 +410,7 @@ def _mask_rows_program(shape: tuple, cap: int):
     @jax.jit
     def run(ids, id_mask):
         safe = jnp.clip(jnp.maximum(ids, 0), 0, id_mask.shape[0] - 1)
-        return id_mask[safe] & (ids >= 0)
+        return id_mask[safe] & (ids >= 0) & (ids < id_mask.shape[0])
 
     return run
 
@@ -432,7 +434,7 @@ def _mask_shortlist_program(shape: tuple, cap: int):
     @jax.jit
     def run(ids, id_mask):
         safe = jnp.clip(jnp.maximum(ids, 0), 0, id_mask.shape[0] - 1)
-        keep = id_mask[safe] & (ids >= 0)
+        keep = id_mask[safe] & (ids >= 0) & (ids < id_mask.shape[0])
         return jnp.where(keep, ids, -1)
 
     return run
@@ -510,8 +512,12 @@ def _apply_removal_program(shape: tuple, cap: int, n_norms: int,
                            norm_dtypes: tuple):
     @jax.jit
     def run(ids, table, *norms):
+        # Live ids BEYOND the removal table's cap must never clip-alias
+        # onto its boundary slot: remove_ids([255]) on a device-mode 1M
+        # index would otherwise destroy every id > 255 (review r4 #2 —
+        # the table is sized by the MAX REMOVED id, live ids run past it).
         safe = jnp.clip(jnp.maximum(ids, 0), 0, cap - 1)
-        hit = table[safe] & (ids >= 0)
+        hit = table[safe] & (ids >= 0) & (ids < cap)
         new_ids = jnp.where(hit, -1, ids)
         out_norms = tuple(
             jnp.where(hit, jnp.asarray(jnp.inf, nm.dtype), nm) for nm in norms

@@ -58,6 +58,25 @@ def _to_bf16_sharded(v):
 
 
 @jax.jit
+def _sq8_stage_sharded(lv, li):
+    """Symmetric per-dimension SQ8 for MESH-SHARDED list stores.
+
+    Deliberately the whole-array elementwise formulation (NOT the
+    single-chip macro-block scan of models/ivf_flat._sq8_stage, whose
+    reshape across the slot-sharded pad axis would force GSPMD
+    resharding): every op here is elementwise or a cross-chip-safe
+    reduction, so the slot sharding flows through to the codes and the
+    f32 transient is per-chip store/S — already bounded by the mesh."""
+    lv32 = lv.astype(jnp.float32)
+    live = (li >= 0)[:, :, None]
+    maxabs = jnp.max(jnp.abs(jnp.where(live, lv32, 0.0)), axis=(0, 1))
+    scale = jnp.maximum(maxabs, 1e-30) / 127.0
+    codes = jnp.clip(jnp.rint(lv32 / scale), -127, 127)
+    dec = codes * scale
+    return codes.astype(jnp.int8), scale, jnp.sum(dec * dec, axis=-1)
+
+
+@jax.jit
 def _row_norms_sharded(lv):
     """(nlist, pad, D) -> (nlist, pad) row norms on device (the reduce is
     over the unsharded D axis, so the slot sharding is preserved)."""
@@ -1113,9 +1132,9 @@ class ShardedIVFIndex(_ShardedBase):
                 # ONE scale across chips keeps the scan math identical
                 # to the single-chip composite. Elementwise device ops
                 # preserve the slot sharding.
-                from ..models.ivf_flat import _sq8_stage
-
-                codes_dev, scale_dev, dec_sqn_dev = _sq8_stage(lv_dev, li_dev)
+                codes_dev, scale_dev, dec_sqn_dev = _sq8_stage_sharded(
+                    lv_dev, li_dev
+                )
                 rerank_store = (
                     lv_dev
                     if self.rerank_dtype == "float32"
@@ -1299,18 +1318,6 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         )
         self._codebooks = train_kmeans_multi(subs, ksub_eff, iters=iters, seed=seed + 1)
         self._staged = None
-
-    def _encode(self, data: np.ndarray) -> np.ndarray:
-        from ..ops.kmeans import assign_clusters, assign_clusters_multi
-
-        data = self._rotate(data)
-        assign = assign_clusters(data, self._centroids)
-        residuals = data - self._centroids[assign]
-        dsub = self.dim // self.m
-        subs = np.ascontiguousarray(
-            residuals.reshape(data.shape[0], self.m, dsub).transpose(1, 0, 2)
-        )
-        return assign_clusters_multi(subs, self._codebooks).T.astype(np.uint8)
 
     def _use_kernels(self) -> bool:
         ksub_eff = (

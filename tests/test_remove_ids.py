@@ -219,3 +219,48 @@ class TestReconstruct:
         idx = ShardedFlatIndex(dim=24, mesh=make_mesh(n_data=8))
         idx.load(POINTS, IDS)
         np.testing.assert_allclose(idx.reconstruct(9), POINTS[9])
+
+
+def test_remove_pow2_boundary_id_device_mode():
+    # Review r4 #2: the removal table is sized by the MAX REMOVED id;
+    # live ids beyond it must never clip-alias onto its boundary slot.
+    # remove_ids([255]) destroyed ids 256..399 before the fix.
+    idx = IVFFlatIndex(dim=24, nlist=4, nprobe=4)
+    idx.add(jnp.asarray(POINTS), jnp.asarray(IDS.astype(np.int32)))
+    idx.search(Q, 3)
+    assert idx.remove_ids(np.asarray([255])) == 1
+    assert idx.ntotal == 399
+    kept = np.setdiff1d(IDS, [255])
+    dd, di = idx.search(Q, 6)
+    od, oi = _oracle(POINTS[kept], kept, Q, 6)
+    np.testing.assert_array_equal(di, oi)
+
+    pq = IVFPQIndex(dim=24, nlist=4, nprobe=4, m=4, refine=True,
+                    refine_factor=32)
+    pq.train(jnp.asarray(POINTS))
+    pq.add(jnp.asarray(POINTS), jnp.asarray(IDS.astype(np.int32)))
+    pq.search(Q, 3)
+    assert pq.remove_ids(np.asarray([15])) == 1
+    assert pq.ntotal == 399
+
+
+def test_mask_beyond_cap_excludes():
+    # A mask shorter than the id space must EXCLUDE ids past its cap,
+    # not clip them onto the boundary slot.
+    idx = FlatIndex(dim=24)
+    idx.add(POINTS, IDS)
+    mask = np.ones(256, bool)       # covers ids 0..255 only
+    dd, di = idx.search(Q, 400)
+    live = di[di >= 0]
+    dm, im = idx.search(Q, 6, id_mask=mask)
+    assert (im[im >= 0] < 256).all()
+
+
+def test_memodb_delete_marks_deleted(tmp_path):
+    from c99_vectordb_tpu.api import MemoDB
+
+    db = MemoDB(str(tmp_path / "db"))
+    db.save_many([{"body": f"note {i}", "metadata": {"i": i}} for i in range(4)])
+    db.delete(2)
+    hits = list(db.analyze({"i": 2}))
+    assert hits and hits[0][1].get("deleted") is True
