@@ -588,7 +588,10 @@ def adc_dense_search_program(
     route, parallel/sharded.py)."""
     if qps_step is None:
         fits = 8 * 2 * (CODE_LANES * pad + 1024 * m + 8 * pad) <= 13 * 2**20
-        qps_step = 8 if b % 8 == 0 and fits else 1
+        # m > 96 measured OOM (16.75M vs the 16M scoped-VMEM limit at
+        # m=128, pad=384) despite the estimate above — it misses the
+        # hi/lo qd scratch growth; m=96 is the largest verified fit.
+        qps_step = 8 if b % 8 == 0 and fits and m <= 96 else 1
     if qps_step > 1:
         scan = adc_dense_program_multi(nlist, pad, m, ksub, b, nprobe,
                                        qps_step)
