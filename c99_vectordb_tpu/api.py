@@ -205,6 +205,56 @@ class MemoDB:
             hits.append(Hit(doc_id, float(dist), body, metadata))
         return hits
 
+    def recall_many(
+        self,
+        queries: list[str],
+        k: int = 2,
+        filter: str | dict[str, Any] | None = None,
+        pushdown: bool = True,
+    ) -> list[list[Hit]]:
+        """Batched recall for serving: all queries embed in ONE device
+        batch and search in ONE batched index program — the shape the
+        TPU kernels are built for (a Python loop over recall() would pay
+        per-call dispatch and lose the corpus-outer batch amortization).
+        Uses the index's fast search path (IVF families approximate by
+        nprobe, like search); metadata filters push down by default."""
+        if not queries:
+            return []
+        store = self._store()
+        index = self._index()
+        if index.ntotal == 0:
+            return [[] for _ in queries]
+        active = parse_filter(filter) if isinstance(filter, str) else filter
+        kw: dict[str, Any] = {}
+        if active is not None and pushdown:
+            import inspect
+
+            if "id_mask" in inspect.signature(index.search).parameters:
+                kw["id_mask"] = self.metadata_mask(active)
+                active = None  # pushed down — no host post-filter needed
+        q = embed_texts(queries)
+        fetch = k if active is None else min(4 * k, index.ntotal)
+        d, i = index.search(q, fetch, **kw)
+        out: list[list[Hit]] = []
+        for qi in range(len(queries)):
+            hits: list[Hit] = []
+            for dist, doc_id in zip(d[qi].tolist(), i[qi].tolist()):
+                if len(hits) >= k:
+                    break
+                if doc_id < 0 or doc_id >= len(store):
+                    continue
+                metadata = store.meta_at(doc_id)
+                if active is not None and (
+                    not metadata or not matches(metadata, active)
+                ):
+                    continue
+                body = store.bodies[doc_id] or ""
+                if is_blank_body(body):
+                    continue
+                hits.append(Hit(int(doc_id), float(dist), body, metadata))
+            out.append(hits)
+        return out
+
     def analyze(self, filter: str | dict[str, Any]) -> Iterator[tuple[int, dict[str, Any]]]:
         """Metadata-only scan yielding (doc_id, metadata) matches."""
         active = parse_filter(filter) if isinstance(filter, str) else filter

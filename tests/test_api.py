@@ -72,3 +72,24 @@ class TestMemoDB:
 
     def test_empty_recall(self, db):
         assert db.recall("anything") == []
+
+
+def test_recall_many_batched(tmp_path):
+    from c99_vectordb_tpu.api import MemoDB
+
+    db = MemoDB(str(tmp_path / "db"))
+    db.save_many([
+        {"body": f"note about {'tea' if i % 2 else 'coffee'} number {i}",
+         "metadata": {"source": "user" if i % 2 else "agent"}}
+        for i in range(20)
+    ])
+    single = [db.recall(q, k=3) for q in ("tea", "coffee")]
+    batched = db.recall_many(["tea", "coffee"], k=3)
+    # Flat index: batched search == single-query ranking prefixes.
+    for s, b in zip(single, batched):
+        assert [h.doc_id for h in b] == [h.doc_id for h in s]
+    # Filtered, pushdown (default): parity with post-filtered recall.
+    fs = db.recall("tea", k=3, filter="{source: user}")
+    fb = db.recall_many(["tea"], k=3, filter="{source: user}")[0]
+    assert [h.doc_id for h in fb] == [h.doc_id for h in fs]
+    assert db.recall_many([], k=3) == []
