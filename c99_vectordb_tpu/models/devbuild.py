@@ -477,6 +477,120 @@ class MaskCache:
         self._value = None
 
 
+# -- capacity-capped bucketing (pad_cap spill) ------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _assign_with_cands_program(n_pad: int, dim: int, nlist: int, r: int):
+    """(rows, centroids, c_sq) -> (cand (n, R) nearest centroids, d2 (n,)
+    cross-row-comparable distance to the nearest). Row-blocked: argmin
+    fuses into the (block, nlist) matmul but approx_min_k does NOT —
+    unblocked it fails TPU compilation at (1M, 8192) shapes
+    (benchmarks/run10m_sq8.py)."""
+    sub = min(16_384, n_pad)
+
+    @jax.jit
+    def run(rows, centroids, c_sq):
+        def block(xb):
+            d_ = c_sq[None, :] - 2.0 * jnp.dot(
+                xb.astype(jnp.float32), centroids.T,
+                preferred_element_type=jnp.float32,
+            )
+            vals, idx = jax.lax.approx_min_k(d_, r, recall_target=0.999)
+            return idx.astype(jnp.int32), vals[:, 0] + jnp.sum(
+                xb.astype(jnp.float32) ** 2, axis=1
+            )
+
+        idx, d2 = jax.lax.map(
+            block, rows.reshape(n_pad // sub, sub, dim)
+        )
+        return idx.reshape(-1, r), d2.reshape(-1)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _spill_assign_program(n: int, nlist: int, cap: int, r: int):
+    """Capacity-capped assignment (the measured run10m_sq8 device spill
+    policy, bit-identical to the host greedy on its benchmark): per
+    round, rank rows within their current list — primary (nearest-list)
+    rows outrank relocated arrivals, closest-to-centroid first — and
+    rows past `cap` advance to their next-nearest candidate; residue
+    past every candidate fills globally free capacity in list order."""
+    lists_iota = jnp.arange(nlist, dtype=jnp.int32)
+
+    @jax.jit
+    def run(cand, d2):
+        d2_0 = d2 - jnp.min(d2)
+        span = jnp.max(d2_0) + 1.0
+
+        def rank_rows(cur):
+            key = d2_0 + jnp.where(cur != cand[:, 0], span, 0.0)
+            order = jnp.lexsort((key, cur))
+            sorted_cur = cur[order]
+            starts = jnp.searchsorted(sorted_cur, lists_iota).astype(jnp.int32)
+            rank_sorted = jnp.arange(n, dtype=jnp.int32) - starts[sorted_cur]
+            rank_row = rank_sorted[jnp.argsort(order)]
+            cnts = jnp.diff(jnp.append(starts, jnp.int32(n)))
+            return rank_row, cnts
+
+        def spill_round(_, st):
+            cur, r_idx = st
+            rank_row, _ = rank_rows(cur)
+            over = (rank_row >= cap) & (r_idx < r)
+            nxt = jnp.take_along_axis(
+                cand, jnp.minimum(r_idx, r - 1)[:, None], axis=1
+            )[:, 0]
+            return (
+                jnp.where(over, nxt, cur),
+                jnp.where(over, r_idx + 1, r_idx),
+            )
+
+        cur0 = cand[:, 0]
+        cur, _ = jax.lax.fori_loop(
+            0, r, spill_round, (cur0, jnp.ones_like(cur0))
+        )
+        rank_row, cnts = rank_rows(cur)
+        over = rank_row >= cap
+        free = cap - jnp.minimum(cnts, cap)
+        cumfree = jnp.cumsum(free)
+        ovr_pos = jnp.cumsum(over.astype(jnp.int32)) - 1
+        target = jnp.searchsorted(cumfree, ovr_pos, side="right").astype(
+            jnp.int32
+        )
+        cur = jnp.where(over, jnp.minimum(target, nlist - 1), cur)
+        return cur, jnp.sum(cur != cur0)
+
+    return run
+
+
+def capped_assign(rows, centroids, cap: int, r: int = 16):
+    """Capacity-capped coarse assignment: every list holds <= cap rows
+    (requires nlist * cap >= n). Returns (assign (n,) i32 device,
+    moved_count). One policy for host- and device-mode staging."""
+    n = int(rows.shape[0])
+    nlist = int(centroids.shape[0])
+    if nlist * cap < n:
+        raise ValueError(
+            f"pad_cap={cap} cannot place {n} rows in {nlist} lists "
+            f"(nlist * pad_cap = {nlist * cap} < n)"
+        )
+    centroids = jnp.asarray(centroids, dtype=jnp.float32)
+    c_sq = jnp.sum(centroids * centroids, axis=1)
+    sub = min(16_384, max(n, 1))
+    n_pad = ((n + sub - 1) // sub) * sub
+    rows_in = jnp.asarray(rows)
+    if n_pad != n:
+        rows_in = jnp.pad(rows_in, ((0, n_pad - n), (0, 0)))
+    r_eff = min(r, nlist)
+    cand, d2 = _assign_with_cands_program(
+        n_pad, int(rows_in.shape[1]), nlist, r_eff
+    )(rows_in, centroids, c_sq)
+    cand, d2 = cand[:n], d2[:n]
+    assign, moved = _spill_assign_program(n, nlist, cap, r_eff)(cand, d2)
+    return assign, int(moved)
+
+
 # -- in-place id removal ---------------------------------------------------------
 
 

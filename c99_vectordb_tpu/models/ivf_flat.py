@@ -204,13 +204,24 @@ class IVFFlatIndex:
     kind = "ivf_flat"
 
     def __init__(self, dim: int = DIM, nlist: int = 64, nprobe: int = 8,
-                 scan_dtype: str = "float32", rerank_dtype: str = "float32"):
+                 scan_dtype: str = "float32", rerank_dtype: str = "float32",
+                 pad_cap: int | None = None):
         """scan_dtype="int8" stages SQ8 inverted lists (4x less scan HBM
         traffic + the double-rate int8 MXU; shortlist + exact rerank
         restores correctness) or "bfloat16" (2x). rerank_dtype="bfloat16"
         halves the rerank store for deployments where the f32 corpus
         does not fit next to the lists (e.g. 10M x 384 on one v5e);
-        recall then caps at the bf16 rounding ceiling (~0.99)."""
+        recall then caps at the bf16 rounding ceiling (~0.99).
+
+        pad_cap bounds inverted-list length: overflow rows — the
+        FARTHEST from their centroid — relocate to their next-nearest
+        centroid with space (the measured run10m_sq8 spill policy,
+        devbuild.capped_assign). Without it a single hot cell sets the
+        whole padded canvas size: a heavy-tailed 1M corpus measured 52%
+        of rows in over-cap cells (BASELINE.md zipf table) and an
+        uncapped canvas inflates list memory by the max/mean cell
+        ratio. Spilled rows are only found when their HOST list is
+        probed — the documented heavy-tail recall trade."""
         if scan_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unsupported scan_dtype: {scan_dtype}")
         if rerank_dtype not in ("float32", "bfloat16"):
@@ -230,6 +241,7 @@ class IVFFlatIndex:
         self.nprobe = int(nprobe)
         self.scan_dtype = scan_dtype
         self.rerank_dtype = rerank_dtype
+        self.pad_cap = int(pad_cap) if pad_cap else None
         # Host mode storage (numpy mirrors, the CLI scale).
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
@@ -520,6 +532,13 @@ class IVFFlatIndex:
         vecs, idsa, assign = self._rows_all()
         nlist_eff = int(self._centroids.shape[0])
         order, lists, slots, counts = bucketize_device(assign, nlist_eff)
+        if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
+            from .devbuild import capped_assign
+
+            assign, _moved = capped_assign(
+                vecs, self._centroids, self.pad_cap
+            )
+            order, lists, slots, counts = bucketize_device(assign, nlist_eff)
         pad = list_pad(int(counts.max(initial=1)))
         store = scatter_lists_device(vecs, order, lists, slots, nlist_eff, pad)
         li_dev = scatter_list_ids_device(idsa, order, lists, slots, nlist_eff, pad)
@@ -560,14 +579,24 @@ class IVFFlatIndex:
     def _stage_host(self):
         """Host-mode staging (the CLI scale): bucket on host, push once."""
         nlist_eff = self._centroids.shape[0]
-        counts = np.bincount(self._assign, minlength=nlist_eff)
+        assign_eff = self._assign
+        counts = np.bincount(assign_eff, minlength=nlist_eff)
+        if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
+            from .devbuild import capped_assign
+
+            assign_dev, _moved = capped_assign(
+                jnp.asarray(self._vectors), jnp.asarray(self._centroids),
+                self.pad_cap,
+            )
+            assign_eff = np.asarray(assign_dev)
+            counts = np.bincount(assign_eff, minlength=nlist_eff)
         pad = list_pad(int(counts.max(initial=1)))
         list_vecs = np.zeros((nlist_eff, pad, self.dim), np.float32)
         list_ids = np.full((nlist_eff, pad), -1, np.int32)
         # Vectorized bucketing: stable sort by list keeps ascending-id
         # order inside each list; slot = rank within the list.
-        order = np.argsort(self._assign, kind="stable")
-        sorted_lists = self._assign[order]
+        order = np.argsort(assign_eff, kind="stable")
+        sorted_lists = assign_eff[order]
         starts = np.zeros((nlist_eff,), np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         slots = np.arange(len(order)) - starts[sorted_lists]
@@ -844,7 +873,8 @@ class IVFFlatIndex:
     def state(self) -> tuple[dict[str, Any], dict[str, np.ndarray]]:
         params = {"dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe,
                   "scan_dtype": self.scan_dtype,
-                  "rerank_dtype": self.rerank_dtype}
+                  "rerank_dtype": self.rerank_dtype,
+                  "pad_cap": self.pad_cap}
         if self._mode == "device" and self.ntotal:
             # Serialization inherently crosses the host link — the ONE
             # place device mode pays it. bf16-retained rows widen to f32.
@@ -881,6 +911,7 @@ class IVFFlatIndex:
             dim=int(params["dim"]), nlist=int(params["nlist"]),
             nprobe=int(params["nprobe"]),
             scan_dtype=scan_dtype, rerank_dtype=rerank_dtype,
+            pad_cap=params.get("pad_cap"),
         )
         if arrays["centroids"].size:
             index._centroids = np.ascontiguousarray(arrays["centroids"], dtype=np.float32)

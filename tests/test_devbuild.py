@@ -505,3 +505,44 @@ def test_ivf_pq_declared_capacity_device_mode():
     # state round-trips the capacity.
     p, _ = capd.state()
     assert p["capacity"] == 512
+
+
+def test_pad_cap_spill_bounds_lists():
+    # Heavy-tailed corpus: one generator holds most rows. pad_cap must
+    # bound every list while keeping search exact for nprobe=nlist.
+    rng = np.random.default_rng(55)
+    hot = rng.standard_normal((700, 16)).astype(np.float32) * 0.5
+    cold = rng.standard_normal((100, 16)).astype(np.float32) + 30.0
+    pts = np.concatenate([hot, cold])
+    ids = np.arange(800, dtype=np.int64)
+    q = rng.standard_normal((4, 16)).astype(np.float32) * 0.5
+
+    for device_mode in (False, True):
+        idx = IVFFlatIndex(dim=16, nlist=8, nprobe=8, pad_cap=128)
+        if device_mode:
+            idx.train(jnp.asarray(pts))
+            idx.add(jnp.asarray(pts), jnp.asarray(ids.astype(np.int32)))
+        else:
+            idx.train(pts)
+            idx.add(pts, ids)
+        dd, di = idx.search(q, k=5)
+        # cap honored: the padded canvas never exceeds list_pad(cap)
+        li = idx._staged[3]
+        per_list = np.asarray((li >= 0).sum(axis=1))
+        assert per_list.max() <= 128
+        # nprobe == nlist: spill cannot lose anything — oracle-exact.
+        od, oi = _oracle(pts, ids, q, 5)
+        np.testing.assert_array_equal(di, oi)
+        np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-5)
+
+    # state round-trips the cap
+    p, _ = idx.state()
+    assert p["pad_cap"] == 128
+
+    # impossible cap is rejected
+    import pytest as _pt
+    bad = IVFFlatIndex(dim=16, nlist=2, nprobe=2, pad_cap=16)
+    bad.train(pts)
+    bad.add(pts, ids)
+    with _pt.raises(ValueError):
+        bad.search(q, k=3)
