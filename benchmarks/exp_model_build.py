@@ -38,6 +38,10 @@ def main() -> int:
     p.add_argument("--chunk", type=int, default=262_144)
     p.add_argument("--add", type=int, default=10_000)
     p.add_argument("--kind", choices=["ivf_pq", "ivf_flat"], default="ivf_pq")
+    p.add_argument("--pad-cap", type=int, default=None,
+                   help="IVFFlatIndex inverted-list capacity (spill)")
+    p.add_argument("--corpus", choices=["clustered", "zipf"],
+                   default="clustered")
     p.add_argument("--capacity", type=int, default=None,
                    help="IVFPQIndex declared capacity: one exact refine-"
                         "store allocation + eager scatter (the 10M shape)")
@@ -48,6 +52,8 @@ def main() -> int:
     assert n % chunk == 0
     n_gen_clusters = 4096
 
+    zipf = args.corpus == "zipf"
+
     def gen(key_idx, count):
         @jax.jit
         def _gen(marker):
@@ -55,7 +61,19 @@ def main() -> int:
             centers = jax.random.normal(
                 jax.random.key(1), (n_gen_clusters, d), dtype=jnp.float32
             )
-            cid = jax.random.randint(kc, (marker.shape[0],), 0, n_gen_clusters)
+            if zipf:
+                ranks = jnp.arange(1, n_gen_clusters + 1, dtype=jnp.float32)
+                w = 1.0 / ranks ** 1.1
+                cdf = jnp.cumsum(w) / jnp.sum(w)
+                u = jax.random.uniform(kc, (marker.shape[0],))
+                cid = jnp.clip(
+                    jnp.searchsorted(cdf, u).astype(jnp.int32),
+                    0, n_gen_clusters - 1,
+                )
+            else:
+                cid = jax.random.randint(
+                    kc, (marker.shape[0],), 0, n_gen_clusters
+                )
             return centers[cid] * 3.0 + jax.random.normal(
                 kn, (marker.shape[0], d), dtype=jnp.float32
             )
@@ -80,6 +98,7 @@ def main() -> int:
         idx = IVFFlatIndex(
             dim=d, nlist=args.nlist, nprobe=4,
             scan_dtype="int8", rerank_dtype="bfloat16",
+            pad_cap=args.pad_cap,
         )
 
     queries = gen(9999, 128)
@@ -104,6 +123,13 @@ def main() -> int:
     t = time.perf_counter()
     d0, i0 = idx.search(queries, k=10)   # first compile of the search
     t_search1 = time.perf_counter() - t
+    if args.kind == "ivf_flat":
+        per_list = (np.asarray(idx._staged[3]) >= 0).sum(axis=1)
+        results["max_list"] = int(per_list.max())
+        results["pad"] = int(idx._staged[6])
+        print(f"max list {per_list.max()} pad {idx._staged[6]}"
+              + (f" (cap {args.pad_cap})" if args.pad_cap else ""),
+              flush=True)
     build_s = time.perf_counter() - t0
     print(f"build {build_s:.1f}s = train {t_train:.1f} + encode/adds "
           f"{t_adds:.1f} + stage {t_stage:.1f} + first-search {t_search1:.1f} "
