@@ -117,8 +117,10 @@ def make_index(corpus_size: int | None = None):
         rerank_dtype = (
             os.environ.get("C99VDB_RERANK_DTYPE", "float32").strip() or "float32"
         )
+        pad_cap_env = os.environ.get("C99VDB_PAD_CAP", "").strip()
         return IVFFlatIndex(dim=DIM, nlist=nlist, nprobe=nprobe,
-                            scan_dtype=scan_dtype, rerank_dtype=rerank_dtype)
+                            scan_dtype=scan_dtype, rerank_dtype=rerank_dtype,
+                            pad_cap=int(pad_cap_env) if pad_cap_env else None)
     if kind == "ivf_pq":
         from .models.ivf_pq import IVFPQIndex
 
