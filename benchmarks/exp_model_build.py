@@ -123,14 +123,17 @@ def main() -> int:
     t = time.perf_counter()
     d0, i0 = idx.search(queries, k=10)   # first compile of the search
     t_search1 = time.perf_counter() - t
+    build_s = time.perf_counter() - t0
     if args.kind == "ivf_flat":
+        # Diagnostic pull AFTER the timed window: the (nlist, pad) id
+        # canvas crosses the slow host link (hazard #3) and would
+        # otherwise contaminate build_s.
         per_list = (np.asarray(idx._staged[3]) >= 0).sum(axis=1)
         results["max_list"] = int(per_list.max())
         results["pad"] = int(idx._staged[6])
         print(f"max list {per_list.max()} pad {idx._staged[6]}"
               + (f" (cap {args.pad_cap})" if args.pad_cap else ""),
               flush=True)
-    build_s = time.perf_counter() - t0
     print(f"build {build_s:.1f}s = train {t_train:.1f} + encode/adds "
           f"{t_adds:.1f} + stage {t_stage:.1f} + first-search {t_search1:.1f} "
           f"(ntotal={idx.ntotal})", flush=True)

@@ -234,26 +234,36 @@ class MemoDB:
                 active = None  # pushed down — no host post-filter needed
         q = embed_texts(queries)
         fetch = k if active is None else min(4 * k, index.ntotal)
-        d, i = index.search(q, fetch, **kw)
-        out: list[list[Hit]] = []
-        for qi in range(len(queries)):
-            hits: list[Hit] = []
-            for dist, doc_id in zip(d[qi].tolist(), i[qi].tolist()):
-                if len(hits) >= k:
-                    break
-                if doc_id < 0 or doc_id >= len(store):
-                    continue
-                metadata = store.meta_at(doc_id)
-                if active is not None and (
-                    not metadata or not matches(metadata, active)
-                ):
-                    continue
-                body = store.bodies[doc_id] or ""
-                if is_blank_body(body):
-                    continue
-                hits.append(Hit(int(doc_id), float(dist), body, metadata))
-            out.append(hits)
-        return out
+
+        def collect(d, i):
+            out: list[list[Hit]] = []
+            for qi in range(len(queries)):
+                hits: list[Hit] = []
+                for dist, doc_id in zip(d[qi].tolist(), i[qi].tolist()):
+                    if len(hits) >= k:
+                        break
+                    if doc_id < 0 or doc_id >= len(store):
+                        continue
+                    metadata = store.meta_at(doc_id)
+                    if active is not None and (
+                        not metadata or not matches(metadata, active)
+                    ):
+                        continue
+                    body = store.bodies[doc_id] or ""
+                    if is_blank_body(body):
+                        continue
+                    hits.append(Hit(int(doc_id), float(dist), body, metadata))
+                out.append(hits)
+            return out
+
+        # Widen through host-side misses (non-pushed-down filters,
+        # blanks, stale ids): a fixed window silently under-fills k.
+        while True:
+            d, i = index.search(q, fetch, **kw)
+            out = collect(d, i)
+            if all(len(h) >= k for h in out) or fetch >= index.ntotal:
+                return out
+            fetch = min(max(fetch * 4, k), index.ntotal)
 
     def analyze(self, filter: str | dict[str, Any]) -> Iterator[tuple[int, dict[str, Any]]]:
         """Metadata-only scan yielding (doc_id, metadata) matches."""

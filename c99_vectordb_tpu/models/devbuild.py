@@ -496,8 +496,17 @@ def _assign_with_cands_program(n_pad: int, dim: int, nlist: int, r: int):
                 xb.astype(jnp.float32), centroids.T,
                 preferred_element_type=jnp.float32,
             )
-            vals, idx = jax.lax.approx_min_k(d_, r, recall_target=0.999)
-            return idx.astype(jnp.int32), vals[:, 0] + jnp.sum(
+            # Slot 0 = the EXACT nearest list (argmin fuses into the
+            # matmul): a row in a never-over-cap cell must keep its true
+            # primary — approx_min_k's ~0.1% rank-0 misses would
+            # permanently misplace rows even without any overflow.
+            # approx only fills the SPILL candidates (slots 1..r-1).
+            prim = jnp.argmin(d_, axis=1).astype(jnp.int32)
+            _, idx = jax.lax.approx_min_k(d_, r, recall_target=0.999)
+            cand = jnp.concatenate(
+                [prim[:, None], idx[:, : r - 1].astype(jnp.int32)], axis=1
+            )
+            return cand, jnp.min(d_, axis=1) + jnp.sum(
                 xb.astype(jnp.float32) ** 2, axis=1
             )
 

@@ -241,6 +241,8 @@ class IVFFlatIndex:
         self.nprobe = int(nprobe)
         self.scan_dtype = scan_dtype
         self.rerank_dtype = rerank_dtype
+        if pad_cap is not None and int(pad_cap) < 8:
+            raise ValueError(f"pad_cap must be >= 8, got {pad_cap}")
         self.pad_cap = int(pad_cap) if pad_cap else None
         # Host mode storage (numpy mirrors, the CLI scale).
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
@@ -530,6 +532,15 @@ class IVFFlatIndex:
         """Bucket rows into padded inverted lists entirely on device —
         only the (nlist,) counts cross the host link."""
         vecs, idsa, assign = self._rows_all()
+        self._stage_from_rows(vecs, idsa, assign)
+        # The bucketed store is now the storage: free the source chunks.
+        self._dev_vecs.clear()
+        self._dev_ids.clear()
+        self._dev_assign.clear()
+
+    def _stage_from_rows(self, vecs, idsa, assign):
+        """Device staging core shared by device mode and host mode's
+        capped branch (which must not push the corpus twice)."""
         nlist_eff = int(self._centroids.shape[0])
         order, lists, slots, counts = bucketize_device(assign, nlist_eff)
         if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
@@ -571,10 +582,6 @@ class IVFFlatIndex:
             pad,
             scan_extra,
         )
-        # The bucketed store is now the storage: free the source chunks.
-        self._dev_vecs.clear()
-        self._dev_ids.clear()
-        self._dev_assign.clear()
 
     def _stage_host(self):
         """Host-mode staging (the CLI scale): bucket on host, push once."""
@@ -582,14 +589,16 @@ class IVFFlatIndex:
         assign_eff = self._assign
         counts = np.bincount(assign_eff, minlength=nlist_eff)
         if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
-            from .devbuild import capped_assign
-
-            assign_dev, _moved = capped_assign(
-                jnp.asarray(self._vectors), jnp.asarray(self._centroids),
-                self.pad_cap,
+            # Capped staging: push the corpus ONCE and run the device
+            # staging core on it (capped_assign + device scatters) —
+            # a numpy canvas here would cross the slow host link twice.
+            # The store lands in _keep_dtype, matching device mode.
+            self._stage_from_rows(
+                jnp.asarray(self._vectors).astype(self._keep_dtype),
+                jnp.asarray(self._ids.astype(np.int32)),
+                jnp.asarray(assign_eff),
             )
-            assign_eff = np.asarray(assign_dev)
-            counts = np.bincount(assign_eff, minlength=nlist_eff)
+            return
         pad = list_pad(int(counts.max(initial=1)))
         list_vecs = np.zeros((nlist_eff, pad, self.dim), np.float32)
         list_ids = np.full((nlist_eff, pad), -1, np.int32)

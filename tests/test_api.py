@@ -93,3 +93,21 @@ def test_recall_many_batched(tmp_path):
     fb = db.recall_many(["tea"], k=3, filter="{source: user}")[0]
     assert [h.doc_id for h in fb] == [h.doc_id for h in fs]
     assert db.recall_many([], k=3) == []
+
+
+def test_recall_many_widens_through_filter_misses(tmp_path):
+    # Review r4 #3: a fixed fetch window under-filled k when matching
+    # records were sparse in the ranking; recall_many must widen.
+    from c99_vectordb_tpu.api import MemoDB
+
+    db = MemoDB(str(tmp_path / "db"))
+    db.save_many([
+        {"body": f"coffee note {i}",
+         "metadata": {"source": "user" if i % 8 == 0 else "agent"}}
+        for i in range(40)
+    ])
+    post = db.recall("coffee", k=5, filter="{source: user}")
+    assert len(post) == 5
+    wide = db.recall_many(["coffee"], k=5, filter="{source: user}",
+                          pushdown=False)[0]
+    assert [h.doc_id for h in wide] == [h.doc_id for h in post]
