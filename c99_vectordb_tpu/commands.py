@@ -125,8 +125,10 @@ def make_index(corpus_size: int | None = None):
         from .models.ivf_pq import IVFPQIndex
 
         opq = os.environ.get("C99VDB_OPQ", "").strip() not in ("", "0", "false")
+        pad_cap_env = os.environ.get("C99VDB_PAD_CAP", "").strip()
         return IVFPQIndex(dim=DIM, nlist=nlist, nprobe=nprobe, m=m,
-                          ksub=ksub, opq=opq)
+                          ksub=ksub, opq=opq,
+                          pad_cap=int(pad_cap_env) if pad_cap_env else None)
     if kind == "sharded_flat":
         from .parallel.sharded import ShardedFlatIndex
 
@@ -167,6 +169,15 @@ def build_index_from_store(bodies: list[str], verbose: bool):
         f"Rebuilt index with {len(keep_ids)} vectors "
         f"(skipped {len(bodies) - len(keep_ids)} blank records)",
     )
+    if verbose and keep_ids and hasattr(index, "geometry_diagnostic"):
+        # Corpus-geometry routing signal (devbuild.corpus_geometry):
+        # heavy-tailed clustering caps IVF recall — surface the measured
+        # guidance under -v (the default stderr contract stays silent).
+        from .models.devbuild import geometry_advice
+
+        advice = geometry_advice(index.geometry_diagnostic())
+        if advice:
+            vlog(verbose, f"Warning: {advice}")
     return index
 
 

@@ -477,6 +477,65 @@ class MaskCache:
         self._value = None
 
 
+# -- corpus geometry diagnostic ---------------------------------------------------
+
+
+def corpus_geometry(counts, pad_cap: int | None = None) -> dict:
+    """Train-time clustering-geometry diagnostic from the per-list
+    assignment counts (already on host after every staging).
+
+    The measured heavy-tail findings (BASELINE.md round-4 zipf tables):
+    when one cell dominates — max/mean cell ratio far above the 2-4x of
+    clusterable corpora (zipf measured ~23x uncapped, 52% of rows in
+    over-cap cells at cap 2048) — IVF recall plateaus at the dominant
+    cluster's internal collapse (~0.83-0.89) and the exact flat-SQ8 scan
+    overtakes IVF at nprobe >= 8. This turns those numbers into a
+    routing signal instead of prose."""
+    counts = np.asarray(counts, np.int64)
+    n = int(counts.sum())
+    nlist = int(counts.shape[0])
+    if n == 0 or nlist == 0:
+        return {
+            "n": n, "nlist": nlist, "max_cell": 0, "mean_cell": 0.0,
+            "max_cell_ratio": 0.0, "spill_fraction": 0.0,
+            "heavy_tailed": False,
+        }
+    mean = n / nlist
+    max_cell = int(counts.max())
+    ratio = max_cell / max(mean, 1e-30)
+    spill = 0.0
+    if pad_cap:
+        spill = float(np.maximum(counts - pad_cap, 0).sum()) / n
+    # Threshold between the measured regimes: clustered corpora sit at
+    # 2-4x, the zipf corpus at ~23x; 8x flags the heavy-tail regime
+    # without tripping on benign imbalance. The mean-occupancy floor
+    # keeps sparse memo-scale corpora (3 records in 64 lists would
+    # "ratio" at 21x) quiet — the ratio is only meaningful once cells
+    # actually fill.
+    return {
+        "n": n, "nlist": nlist, "max_cell": max_cell, "mean_cell": mean,
+        "max_cell_ratio": ratio, "spill_fraction": spill,
+        "heavy_tailed": ratio >= 8.0 and nlist >= 8 and mean >= 16.0,
+    }
+
+
+def geometry_advice(geo: dict) -> str | None:
+    """One-line operator guidance when the corpus is heavy-tailed, None
+    otherwise (callers gate printing on verbosity — the CLI stderr
+    contract requires silence by default)."""
+    if not geo.get("heavy_tailed"):
+        return None
+    return (
+        f"heavy-tailed corpus geometry: largest IVF cell holds "
+        f"{geo['max_cell_ratio']:.1f}x the mean "
+        f"({geo['max_cell']}/{geo['mean_cell']:.0f} rows). Measured "
+        f"guidance (BASELINE.md zipf): recall plateaus inside the "
+        f"dominant cell; prefer the exact flat scan "
+        f"(C99VDB_INDEX=flat C99VDB_SCAN_DTYPE=int8) at nprobe >= 8, "
+        f"or bound list memory with pad_cap (C99VDB_PAD_CAP)"
+    )
+
+
 # -- capacity-capped bucketing (pad_cap spill) ------------------------------------
 
 

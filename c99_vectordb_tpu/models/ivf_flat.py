@@ -259,6 +259,7 @@ class IVFFlatIndex:
         self._tail: GrowTail | None = None
         self._restage_needed = False
         self._ranked_cache = None
+        self._geometry: dict | None = None
         from .devbuild import MaskCache
 
         self._mask_cache = MaskCache()
@@ -282,6 +283,17 @@ class IVFFlatIndex:
             _, ids, _ = self._rows_all()
             return np.asarray(ids).astype(np.int64)
         return self._ids.copy()
+
+    def geometry_diagnostic(self) -> dict:
+        """Clustering-geometry stats of the current staging (stages if
+        needed) — devbuild.corpus_geometry; the CLI's -v reindex path
+        surfaces geometry_advice from it."""
+        from .devbuild import corpus_geometry
+
+        if self.ntotal == 0 or not self.is_trained:
+            return corpus_geometry(np.zeros((0,), np.int64))
+        self._stage()
+        return self._geometry
 
     # -- device retention dtype ----------------------------------------------
 
@@ -541,8 +553,11 @@ class IVFFlatIndex:
     def _stage_from_rows(self, vecs, idsa, assign):
         """Device staging core shared by device mode and host mode's
         capped branch (which must not push the corpus twice)."""
+        from .devbuild import corpus_geometry
+
         nlist_eff = int(self._centroids.shape[0])
         order, lists, slots, counts = bucketize_device(assign, nlist_eff)
+        self._geometry = corpus_geometry(counts, self.pad_cap)
         if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
             from .devbuild import capped_assign
 
@@ -585,9 +600,12 @@ class IVFFlatIndex:
 
     def _stage_host(self):
         """Host-mode staging (the CLI scale): bucket on host, push once."""
+        from .devbuild import corpus_geometry
+
         nlist_eff = self._centroids.shape[0]
         assign_eff = self._assign
         counts = np.bincount(assign_eff, minlength=nlist_eff)
+        self._geometry = corpus_geometry(counts, self.pad_cap)
         if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
             # Capped staging: push the corpus ONCE and run the device
             # staging core on it (capped_assign + device scatters) —

@@ -347,6 +347,7 @@ class IVFPQIndex:
         opq: bool = False,
         opq_iters: int = 8,
         capacity: int | None = None,
+        pad_cap: int | None = None,
     ):
         """refine=True keeps raw vectors and exactly re-ranks the ADC
         top-(k*refine_factor) candidates (the FAISS IndexRefineFlat
@@ -371,11 +372,30 @@ class IVFPQIndex:
         vector chunks until staging — the memory shape that fits a
         10M x 384 bf16 build on one v5e (pow2 growth from zero would
         transiently hold ~2x the corpus). Exceeding the declared
-        capacity still works (the store grows), it just pays the copy."""
+        capacity still works (the store grows), it just pays the copy.
+
+        pad_cap bounds inverted-list length exactly like IVFFlatIndex's
+        (devbuild.capped_assign — overflow rows relocate to their
+        next-nearest centroid with space). On a heavy-tailed corpus the
+        uncapped code canvas (nlist, pad, m) and per-probe ADC cost
+        inflate by the max/mean cell ratio (the zipf corpus measured a
+        ~23x ratio; the 10M benchmark needed a 1920 cap to fit).
+        Because PQ codes are RESIDUAL-encoded against their list's
+        centroid, relocated rows must re-encode — so pad_cap requires
+        refine=True (raw rows retained); staging re-encodes from them
+        whenever any list over-caps."""
         if dim % m != 0:
             raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
         if refine_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported refine_dtype '{refine_dtype}'")
+        if pad_cap is not None and int(pad_cap) < 8:
+            raise ValueError(f"pad_cap must be >= 8, got {pad_cap}")
+        if pad_cap and not refine:
+            raise ValueError(
+                "pad_cap requires refine=True: PQ codes are residual-"
+                "encoded against their list's centroid, so capped "
+                "staging must re-encode relocated rows from raw vectors"
+            )
         self.dim = int(dim)
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
@@ -387,6 +407,8 @@ class IVFPQIndex:
         self.opq = bool(opq)
         self.opq_iters = int(opq_iters)
         self.capacity = int(capacity) if capacity else None
+        self.pad_cap = int(pad_cap) if pad_cap else None
+        self._geometry: dict | None = None
         self._rotation: np.ndarray | None = None  # (D, D); x_rot = x @ R
         self._rotation_dev: jax.Array | None = None
         # Host-mode mirrors (numpy; the CLI scale).
@@ -435,6 +457,17 @@ class IVFPQIndex:
     @property
     def code_bytes_per_vector(self) -> int:
         return self.m
+
+    def geometry_diagnostic(self) -> dict:
+        """Clustering-geometry stats of the current staging (stages if
+        needed) — devbuild.corpus_geometry; the CLI's -v reindex path
+        surfaces geometry_advice from it."""
+        from .devbuild import corpus_geometry
+
+        if self.ntotal == 0 or not self.is_trained:
+            return corpus_geometry(np.zeros((0,), np.int64))
+        self._stage()
+        return self._geometry
 
     # -- training --------------------------------------------------------------
 
@@ -862,6 +895,8 @@ class IVFPQIndex:
             build_item_constants_device, stage_codes128_device,
         )
 
+        from .devbuild import corpus_geometry
+
         # Build the refine store BEFORE consuming the chunks (in device
         # mode the chunks are freed below; the refine store then holds
         # the only raw copies).
@@ -871,6 +906,13 @@ class IVFPQIndex:
         nlist_eff = int(self._centroids_dev().shape[0])
         ksub_eff = int(jnp.shape(self._codebooks_dev())[1])
         order, lists, slots, counts = bucketize_device(assign, nlist_eff)
+        self._geometry = corpus_geometry(counts, self.pad_cap)
+        if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
+            # Residual codes are only valid for the list they were
+            # encoded against — capped staging re-encodes every row from
+            # the refine store under the capped assignment.
+            assign, codes = self._capped_reencode(idsa)
+            order, lists, slots, counts = bucketize_device(assign, nlist_eff)
         pad = list_pad(int(counts.max(initial=1)))
         list_codes = scatter_lists_device(
             codes, order, lists, slots, nlist_eff, pad
@@ -904,19 +946,70 @@ class IVFPQIndex:
         self._dev_assign.clear()
         self._dev_codes.clear()
 
+    def _capped_reencode(self, idsa):
+        """Capped-assignment re-encode from the refine store's raw rows
+        (in idsa order): devbuild.capped_assign relocates over-cap rows,
+        then residuals re-encode against the NEW list centroids. Returns
+        device (assign, codes)."""
+        from .devbuild import capped_assign
+
+        vecs, lookup, _, _ = self._stage_refine()
+        if lookup == ("identity",):
+            rows = vecs[idsa]
+        elif lookup[0] == "dense":
+            rows = vecs[lookup[1][idsa]]
+        else:  # searchsorted layout
+            _, ids_search, row_of_pos = lookup
+            rows = vecs[row_of_pos[jnp.searchsorted(ids_search, idsa)]]
+        rows_rot = self._rotate_device(rows.astype(jnp.float32))
+        assign, _moved = capped_assign(
+            rows_rot, self._centroids_dev(), self.pad_cap
+        )
+        n = int(rows_rot.shape[0])
+        subs = _residual_subs_program(n, self.dim, self.m)(
+            rows_rot, self._centroids_dev(), assign
+        )
+        codes = assign_clusters_multi(
+            subs, self._codebooks_dev(), out_device=True
+        ).T.astype(jnp.uint8)
+        return assign, codes
+
     def _stage_host(self):
+        from .devbuild import corpus_geometry
+
         nlist_eff = np.asarray(self._centroids).shape[0]
-        counts = np.bincount(self._assign, minlength=nlist_eff)
+        assign_eff = self._assign
+        codes_eff = self._codes
+        counts = np.bincount(assign_eff, minlength=nlist_eff)
+        self._geometry = corpus_geometry(counts, self.pad_cap)
+        if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
+            from .devbuild import capped_assign
+
+            data_rot = self._rotate(self._vectors)
+            assign_dev, _moved = capped_assign(
+                jnp.asarray(data_rot), np.asarray(self._centroids, np.float32),
+                self.pad_cap,
+            )
+            assign_eff = np.asarray(assign_dev)
+            residuals = data_rot - np.asarray(self._centroids)[assign_eff]
+            dsub = self.dim // self.m
+            subs = np.ascontiguousarray(
+                residuals.reshape(-1, self.m, dsub).transpose(1, 0, 2)
+            )
+            codes_eff = assign_clusters_multi(
+                subs, np.asarray(self._codebooks)
+            ).T.astype(np.uint8)
+            counts = np.bincount(assign_eff, minlength=nlist_eff)
         pad = list_pad(int(counts.max(initial=1)))
         # uint8 on device: the whole padded code table is pad*nlist*m bytes
         list_codes = np.zeros((nlist_eff, pad, self.m), np.uint8)
         list_ids = np.full((nlist_eff, pad), -1, np.int32)
-        order = np.argsort(self._assign, kind="stable")
-        sorted_lists = self._assign[order]
+        order = np.argsort(assign_eff, kind="stable")
+        sorted_lists = assign_eff[order]
         starts = np.zeros((nlist_eff,), np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         slots = np.arange(len(order)) - starts[sorted_lists]
-        list_codes[sorted_lists, slots] = self._codes[order]
+        list_codes[sorted_lists, slots] = codes_eff[order]
         list_ids[sorted_lists, slots] = self._ids[order]
         centroids = np.asarray(self._centroids, dtype=np.float32)
         codebooks = np.asarray(self._codebooks, dtype=np.float32)
@@ -937,7 +1030,7 @@ class IVFPQIndex:
 
             codes128 = pack_nibbles(codes128)
         item_const = build_item_constants(
-            centroids, self._assign, self._codes, codebooks,
+            centroids, assign_eff, codes_eff, codebooks,
             order, sorted_lists, slots, nlist_eff, pad,
         )
         self._staged = (
@@ -1373,7 +1466,7 @@ class IVFPQIndex:
             "refine": self.refine, "refine_factor": self.refine_factor,
             "refine_dtype": self.refine_dtype,
             "opq": self.opq, "opq_iters": self.opq_iters,
-            "capacity": self.capacity,
+            "capacity": self.capacity, "pad_cap": self.pad_cap,
         }
         empty_books = np.zeros((self.m, 0, self.dim // self.m), np.float32)
         if self._mode == "device" and self.ntotal:
@@ -1431,6 +1524,7 @@ class IVFPQIndex:
             opq=bool(params.get("opq", False)),
             opq_iters=int(params.get("opq_iters", 8)),
             capacity=params.get("capacity"),
+            pad_cap=params.get("pad_cap"),
         )
         if arrays.get("rotation") is not None and arrays["rotation"].size:
             index._rotation = np.ascontiguousarray(arrays["rotation"], np.float32)

@@ -124,6 +124,30 @@ def _merge_gathered(local_d: jax.Array, local_i: jax.Array, k: int, axis: str):
     return merge_topk(cand_d, cand_i, k)
 
 
+def _keep_of(ids: jax.Array, table: jax.Array) -> jax.Array:
+    """Boolean keep-mask for an ids operand against a replicated (cap,)
+    external-id table (devbuild.mask_rows semantics, inlined so it runs
+    INSIDE shard_map local functions on each chip's shard): ids at or
+    beyond the table's cap are excluded, never clip-aliased onto the
+    boundary slot."""
+    cap = table.shape[0]
+    safe = jnp.clip(jnp.maximum(ids, 0), 0, cap - 1)
+    return table[safe] & (ids >= 0) & (ids < cap)
+
+
+def _scrub_ids(ids: jax.Array, table: jax.Array) -> jax.Array:
+    """devbuild.mask_shortlist_ids inside shard_map: masked rows enter a
+    kernel shortlist as +inf padding with REAL ids; any per-shard exact
+    rerank would re-score them finitely and leak them — scrub to -1
+    first. (Merge-terminated paths are safe without this: merge_topk
+    sanitizes inf -> -1.)"""
+    return jnp.where(_keep_of(ids, table), ids, -1)
+
+
+def _axes_spec(axes: tuple[str, ...]):
+    return axes if len(axes) > 1 else axes[0]
+
+
 @functools.lru_cache(maxsize=None)
 def sharded_search_program(mesh: Mesh, n: int, dim: int, b: int, k: int):
     """Jitted data-parallel exact search over a row-sharded database.

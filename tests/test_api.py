@@ -111,3 +111,30 @@ def test_recall_many_widens_through_filter_misses(tmp_path):
     wide = db.recall_many(["coffee"], k=5, filter="{source: user}",
                           pushdown=False)[0]
     assert [h.doc_id for h in wide] == [h.doc_id for h in post]
+
+
+def test_recall_pushdown_widens_and_bounds_by_mask(tmp_path):
+    # VERDICT r4 weak #7: recall(pushdown=True) must share recall_many's
+    # fill guarantee. A sparse mask (2 matching records) must return
+    # exactly those two — and not trigger a widening loop past the
+    # mask's popcount.
+    from c99_vectordb_tpu.api import MemoDB
+
+    db = MemoDB(str(tmp_path / "db"))
+    db.save_many([
+        {"body": f"tea note {i}",
+         "metadata": {"source": "user" if i in (17, 31) else "agent"}}
+        for i in range(40)
+    ])
+    post = db.recall("tea", k=5, filter="{source: user}", pushdown=False)
+    pushed = db.recall("tea", k=5, filter="{source: user}", pushdown=True)
+    assert [h.doc_id for h in pushed] == [h.doc_id for h in post]
+    assert sorted(h.doc_id for h in pushed) == [17, 31]
+
+    # k=1 with a sparse mask: fill from the pushed-down scan alone.
+    one = db.recall("tea", k=1, filter="{source: user}", pushdown=True)
+    assert len(one) == 1 and one[0].doc_id == post[0].doc_id
+
+    # Nothing matches: clean empty result.
+    none = db.recall("tea", k=3, filter="{source: missing}", pushdown=True)
+    assert none == []

