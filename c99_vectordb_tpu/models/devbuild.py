@@ -238,9 +238,16 @@ class GrowTail:
     Row-id fields pad with -1 (the universal invalid-id marker) so
     un-filled capacity is inert in merges."""
 
-    def __init__(self, fields: dict[str, tuple[int | None, str]]):
-        """fields: name -> (width or None for 1-D, dtype string)."""
+    def __init__(self, fields: dict[str, tuple[int | None, str]], put=None):
+        """fields: name -> (width or None for 1-D, dtype string).
+
+        put: optional placement hook applied to every fresh buffer and
+        appended chunk — the sharded families pass a mesh-replicating
+        device_put so tail arrays share the staged arrays' device
+        assignment (jit rejects mixed single-device/mesh operands);
+        single-chip callers leave it None."""
         self._spec = fields
+        self._put = put if put is not None else (lambda a: a)
         self._cap = 0
         self.count = 0
         self._arrays: dict[str, jax.Array] = {}
@@ -260,7 +267,7 @@ class GrowTail:
         for name, (width, dtype) in self._spec.items():
             fill = -1 if name == "ids" else 0
             shape = (new_cap,) if width is None else (new_cap, width)
-            fresh = jnp.full(shape, fill, jnp.dtype(dtype))
+            fresh = self._put(jnp.full(shape, fill, jnp.dtype(dtype)))
             if self._cap:
                 old = self._arrays[name]
                 if width is None:
@@ -280,6 +287,7 @@ class GrowTail:
             self._grow(self.count + batch)
         start = jnp.int32(self.count)
         for name, chunk in chunks.items():
+            chunk = self._put(chunk)
             width, dtype = self._spec[name]
             if width is None:
                 self._arrays[name] = _tail_write1_program(

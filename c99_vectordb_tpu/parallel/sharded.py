@@ -149,25 +149,34 @@ def _axes_spec(axes: tuple[str, ...]):
 
 
 @functools.lru_cache(maxsize=None)
-def sharded_search_program(mesh: Mesh, n: int, dim: int, b: int, k: int):
+def sharded_search_program(
+    mesh: Mesh, n: int, dim: int, b: int, k: int,
+    axes: tuple[str, ...] = ("data",),
+):
     """Jitted data-parallel exact search over a row-sharded database.
 
-    db (n, dim) and ids/sq_norms (n,) are sharded on the `data` axis;
-    queries (b, dim) are replicated. Returns replicated (dists, ids).
+    db (n, dim) and ids/sq_norms (n,) are sharded over `axes` (a 1D
+    `data` axis, or ("host", "chip") with the hierarchical merge — only
+    k candidates per HOST cross the slow DCN axis); queries (b, dim)
+    are replicated. Returns replicated (dists, ids). Filter pushdown
+    needs no flag here: masked rows carry +inf sq_norms (staged once
+    per mask), which propagates to +inf distances and -1 ids.
     """
+    row_ax = _axes_spec(axes)
 
     def local(db, ids, sq_norms, queries):
         q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
         ip = jnp.dot(queries, db.T, preferred_element_type=jnp.float32)
         d = jnp.maximum(q_sq + sq_norms[None, :] - 2.0 * ip, 0.0)
+        d = jnp.where(jnp.isinf(sq_norms)[None, :], jnp.inf, d)
         d = jnp.where(ids[None, :] >= 0, d, jnp.inf)
         local_d, local_i = _local_topk(d, jnp.broadcast_to(ids[None, :], d.shape), k)
-        return _merge_gathered(local_d, local_i, k, "data")
+        return _merge_axes(local_d, local_i, k, axes)
 
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("data", None), P("data"), P("data"), P(None, None)),
+        in_specs=(P(row_ax, None), P(row_ax), P(row_ax), P(None, None)),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
     )
@@ -176,7 +185,8 @@ def sharded_search_program(mesh: Mesh, n: int, dim: int, b: int, k: int):
 
 @functools.lru_cache(maxsize=None)
 def sharded_search_kernels(
-    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int
+    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int,
+    axes: tuple[str, ...] = ("data",), masked: bool = False,
 ):
     """Data-parallel exact search routed through the fused Pallas kernel
     per shard (TPU route). Each chip: fused scan + top-ks shortlist over
@@ -185,12 +195,16 @@ def sharded_search_kernels(
     path), then an exact f32 rerank of its own shortlist (the kernel's
     winner ROWS index the chip's shard directly — every shortlisted row
     is locally resident by construction), then the k-winner all_gather
-    merge. Exactness comes from the per-shard rerank, so results match
-    the XLA sharded_search_program bit-for-bit. Requires the per-shard
-    row count to be a 1024 multiple (staging pads) and +inf sq_norms on
-    padding rows (the kernel's mask)."""
+    merge (hierarchical on multi-axis meshes). Exactness comes from the
+    per-shard rerank, so results match the XLA sharded_search_program
+    bit-for-bit. Requires the per-shard row count to be a 1024 multiple
+    (staging pads) and +inf sq_norms on padding rows (the kernel's
+    mask). masked=True adds a replicated (cap,) keep-table input and
+    scrubs shortlist ids before the rerank (the filter-pushdown leak
+    class: +inf-distance shortlist padding keeps REAL ids)."""
+    row_ax = _axes_spec(axes)
 
-    def local(db, ids, sq_norms, queries):
+    def local(db, ids, sq_norms, queries, *rest):
         from ..ops.topk_pallas import fused_topk
 
         # The kernel's winner rows index the chip's own shard directly —
@@ -198,16 +212,18 @@ def sharded_search_kernels(
         # ops/rerank.rerank_program_rows).
         _, si, rows = fused_topk(db, ids, sq_norms, queries, ks,
                                  return_rows=True)
+        if masked:
+            si = _scrub_ids(si, rest[0])
         local_d, local_i = exact_rerank_rows(db, rows, si, queries, k)
-        return _merge_gathered(local_d, local_i, k, "data")
+        return _merge_axes(local_d, local_i, k, axes)
 
+    in_specs = (P(row_ax, None), P(row_ax), P(row_ax), P(None, None))
+    if masked:
+        in_specs += (P(None),)
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P("data", None), P("data"), P("data"),
-            P(None, None),
-        ),
+        in_specs=in_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
     )
@@ -245,9 +261,8 @@ def sharded_search_2d(mesh: Mesh, n: int, dim: int, b: int, k: int):
     return jax.jit(shard_fn)
 
 
-@functools.lru_cache(maxsize=None)
 def sharded_search_2level(mesh: Mesh, n: int, dim: int, b: int, k: int):
-    """Jitted exact search with a hierarchical (host, chip) merge.
+    """Exact search with the hierarchical (host, chip) merge.
 
     SURVEY.md §7 step 8's "DCN-aware two-level merge": rows are sharded
     over BOTH mesh axes; each chip takes its local top-k, the first merge
@@ -256,32 +271,8 @@ def sharded_search_2level(mesh: Mesh, n: int, dim: int, b: int, k: int):
     axis) — so cross-host traffic is k candidates per HOST, not per chip.
     Results are bit-identical to the flat 1D merge (same candidate set,
     same lexicographic (distance, id) order; tests assert equality).
-    """
-
-    def local(db, ids, sq_norms, queries):
-        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
-        ip = jnp.dot(queries, db.T, preferred_element_type=jnp.float32)
-        d = jnp.maximum(q_sq + sq_norms[None, :] - 2.0 * ip, 0.0)
-        d = jnp.where(ids[None, :] >= 0, d, jnp.inf)
-        local_d, local_i = _local_topk(d, jnp.broadcast_to(ids[None, :], d.shape), k)
-        # Level 1: merge across chips within the host (ICI).
-        host_d, host_i = _merge_gathered(local_d, local_i, k, "chip")
-        # Level 2: merge per-host winners across hosts (DCN).
-        return _merge_gathered(host_d, host_i, k, "host")
-
-    shard_fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(("host", "chip"), None),
-            P(("host", "chip")),
-            P(("host", "chip")),
-            P(None, None),
-        ),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,  # outputs replicated post-all_gather; inference can't prove it
-    )
-    return jax.jit(shard_fn)
+    Thin alias of the axes-generic sharded_search_program."""
+    return sharded_search_program(mesh, n, dim, b, k, axes=("host", "chip"))
 
 
 @functools.lru_cache(maxsize=None)
@@ -313,20 +304,22 @@ def sharded_kmeans_step(mesh: Mesh, n: int, dim: int, k: int):
 @functools.lru_cache(maxsize=None)
 def sharded_ivf_search_program(
     mesh: Mesh, nlist: int, pad_local: int, dim: int, b: int, nprobe: int,
-    k: int, use_kernels: bool = False,
+    k: int, use_kernels: bool = False, axes: tuple[str, ...] = ("data",),
+    masked: bool = False,
 ):
     """Jitted data-parallel IVF search over SLOT-SHARDED inverted files.
 
     Layout: centroids are replicated; each inverted list's padded slot
-    axis is split over `data`, so every chip holds a (nlist, pad_local,
-    dim) block — pad_local = pad / S slots of EVERY list, with in-list
-    ascending-id order preserved inside each chip's sub-list. Every chip
-    computes the same (tiny) coarse ranking, scans its pad_local-row
-    slice of each probed list, takes a local top-k, and the all_gather +
-    lexicographic merge produces the global top-k. Per-chip scan work is
-    B * nprobe * pad_local * dim — exactly 1/S of the single-chip scan,
-    independent of which lists the queries probe (no load imbalance by
-    construction).
+    axis is split over `axes` (1D `data`, or ("host", "chip") with the
+    DCN-aware hierarchical merge), so every chip holds a (nlist,
+    pad_local, dim) block — pad_local = pad / S slots of EVERY list,
+    with in-list ascending-id order preserved inside each chip's
+    sub-list. Every chip computes the same (tiny) coarse ranking, scans
+    its pad_local-row slice of each probed list, takes a local top-k,
+    and the all_gather + lexicographic merge produces the global top-k.
+    Per-chip scan work is B * nprobe * pad_local * dim — exactly 1/S of
+    the single-chip scan, independent of which lists the queries probe
+    (no load imbalance by construction).
 
     use_kernels=True (TPU backend) routes the per-chip scan through the
     single-chip Pallas scalar-prefetch programs (ops/ivf_scan_pallas.py)
@@ -334,9 +327,17 @@ def sharded_ivf_search_program(
     below the measured selection crossover, the in-kernel-selection
     variant above it. False (CPU mesh / CI) scans via the XLA gather
     over the same local arrays with identical scoring + tie semantics.
-    """
 
-    def local(centroids, c_sq, list_vecs, list_sqn, list_ids, queries):
+    masked=True (filter pushdown): the kernel route relies on the
+    caller passing a MASKED list_sqn copy (+inf = the kernel's
+    exclusion marker; no rerank stage on this exact route, so no id
+    scrub is needed); the XLA route additionally takes a slot-sharded
+    (nlist, pad) keep canvas because its diff^2 scoring never reads
+    list_sqn."""
+    row_ax = _axes_spec(axes)
+
+    def local(centroids, c_sq, list_vecs, list_sqn, list_ids, queries,
+              *rest):
         if use_kernels:
             from ..ops.ivf_scan_pallas import ivf_full_search_program
 
@@ -368,6 +369,8 @@ def sharded_ivf_search_program(
                 diff = vecs - queries[:, None, :]
                 dist = jnp.sum(diff * diff, axis=-1)
                 dist = jnp.where(ids >= 0, dist, jnp.inf)
+                if masked:
+                    dist = jnp.where(rest[0][lists], dist, jnp.inf)
                 merged = merge_topk(
                     jnp.concatenate([best_d, dist], axis=1),
                     jnp.concatenate([best_i, ids], axis=1),
@@ -378,26 +381,28 @@ def sharded_ivf_search_program(
             (local_d, local_i), _ = jax.lax.scan(
                 probe_step, init, jnp.arange(nprobe)
             )
-        return _merge_gathered(local_d, local_i, k, "data")
+        return _merge_axes(local_d, local_i, k, axes)
 
+    in_specs = (
+        P(None, None),          # centroids replicated
+        P(None),                # centroid norms replicated
+        P(None, row_ax, None),  # list vectors, slot-sharded
+        P(None, row_ax),        # list row norms, slot-sharded
+        P(None, row_ax),        # list ids, slot-sharded
+        P(None, None),          # queries replicated
+    )
+    if masked and not use_kernels:
+        in_specs += (P(None, row_ax),)   # keep canvas, slot-sharded
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P(None, None),          # centroids replicated
-            P(None),                # centroid norms replicated
-            P(None, "data", None),  # list vectors, slot-sharded
-            P(None, "data"),        # list row norms, slot-sharded
-            P(None, "data"),        # list ids, slot-sharded
-            P(None, None),          # queries replicated
-        ),
+        in_specs=in_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
     )
     return jax.jit(shard_fn)
 
 
-@functools.lru_cache(maxsize=None)
 def sharded_ivf_search_2level(
     mesh: Mesh, nlist: int, pad_local: int, dim: int, b: int, nprobe: int,
     k: int, use_kernels: bool = False,
@@ -408,77 +413,23 @@ def sharded_ivf_search_2level(
     all_gathers k candidates within each host's chips (ICI), the second
     sends only k candidates per HOST across `host` (DCN). Results are
     bit-identical to the flat 1-level merge (same candidate set, same
-    (distance, id) lexicographic order)."""
-
-    def local(centroids, c_sq, list_vecs, list_sqn, list_ids, queries):
-        if use_kernels:
-            from ..ops.ivf_scan_pallas import ivf_full_search_program
-
-            prog = ivf_full_search_program(
-                nlist, pad_local, dim, b, nprobe, k,
-                exact=True, dense=nprobe * pad_local <= 4096,
-            )
-            local_d, local_i = prog(
-                centroids, c_sq, list_vecs, list_sqn, list_ids, queries
-            )
-        else:
-            coarse = (
-                c_sq[None, :]
-                - 2.0 * jnp.dot(
-                    queries, centroids.T, preferred_element_type=jnp.float32
-                )
-            )
-            _, probes = jax.lax.top_k(-coarse, nprobe)
-            init = (
-                jnp.full((b, k), jnp.inf, jnp.float32),
-                jnp.full((b, k), -1, jnp.int32),
-            )
-
-            def probe_step(carry, p):
-                best_d, best_i = carry
-                lists = probes[:, p]
-                vecs = list_vecs[lists]
-                ids = list_ids[lists]
-                diff = vecs - queries[:, None, :]
-                dist = jnp.sum(diff * diff, axis=-1)
-                dist = jnp.where(ids >= 0, dist, jnp.inf)
-                merged = merge_topk(
-                    jnp.concatenate([best_d, dist], axis=1),
-                    jnp.concatenate([best_i, ids], axis=1),
-                    k,
-                )
-                return merged, None
-
-            (local_d, local_i), _ = jax.lax.scan(
-                probe_step, init, jnp.arange(nprobe)
-            )
-        host_d, host_i = _merge_gathered(local_d, local_i, k, "chip")
-        return _merge_gathered(host_d, host_i, k, "host")
-
-    shard_fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(None, None),
-            P(None),
-            P(None, ("host", "chip"), None),
-            P(None, ("host", "chip")),
-            P(None, ("host", "chip")),
-            P(None, None),
-        ),
-        out_specs=(P(None, None), P(None, None)),
-        check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
+    (distance, id) lexicographic order). Thin alias of the axes-generic
+    sharded_ivf_search_program."""
+    return sharded_ivf_search_program(
+        mesh, nlist, pad_local, dim, b, nprobe, k, use_kernels,
+        axes=("host", "chip"),
     )
-    return jax.jit(shard_fn)
 
 
 @functools.lru_cache(maxsize=None)
 def sharded_ivf_sq8_search_program(
     mesh: Mesh, nlist: int, pad_local: int, dim: int, b: int, nprobe: int,
-    k: int, ks: int,
+    k: int, ks: int, axes: tuple[str, ...] = ("data",), masked: bool = False,
 ):
     """Slot-sharded SQ8 IVF search: per-chip int8 dense scan + per-chip
-    EXACT rerank + global merge.
+    EXACT rerank + global merge (hierarchical on ("host", "chip")
+    meshes — the kernels are mesh-shape-agnostic, only the merge order
+    changes: k candidates per HOST cross the DCN axis).
 
     Each chip runs the single-chip SQ8 composite (ops/ivf_scan_pallas.
     ivf_sq8_search_program: both MXU operands int8 — the double-rate
@@ -492,11 +443,18 @@ def sharded_ivf_sq8_search_program(
     rounding ceiling); shortlist completeness carries the same measured
     (not worst-case) guarantees as the single-chip scan_dtype="int8"
     composite (see ops/ivf_scan_pallas._shortlist_topk's honesty note).
+
+    masked=True (filter pushdown): the caller passes a MASKED dec_sqn
+    copy (+inf = the scan's exclusion marker) plus a replicated (cap,)
+    keep table used to scrub shortlist ids before the per-shard rerank
+    (masked rows pad the shortlist at +inf with REAL ids — the leak
+    class devbuild.mask_shortlist_ids documents).
     """
+    row_ax = _axes_spec(axes)
 
     def local(
         centroids, c_sq, codes, dim_scale, dec_sqn, list_ids,
-        rerank_vecs, queries,
+        rerank_vecs, queries, *rest,
     ):
         from ..ops.ivf_scan_pallas import ivf_sq8_search_program
 
@@ -504,27 +462,32 @@ def sharded_ivf_sq8_search_program(
         _, si, srows = prog(
             centroids, c_sq, codes, dim_scale, dec_sqn, list_ids, queries
         )
+        if masked:
+            si = _scrub_ids(si, rest[0])
         # srows are (list * pad_local + slot) rows of THIS chip's slot
         # store — gather directly (an id->row table gather would cost an
         # issue-bound ~13 ns/element; ops/rerank.rerank_program_rows).
         local_d, local_i = exact_rerank_rows(
             rerank_vecs.reshape(-1, dim), srows, si, queries, k
         )
-        return _merge_gathered(local_d, local_i, k, "data")
+        return _merge_axes(local_d, local_i, k, axes)
 
+    in_specs = (
+        P(None, None),          # centroids replicated
+        P(None),                # centroid norms replicated
+        P(None, row_ax, None),  # SQ8 codes, slot-sharded
+        P(None),                # per-dim SQ8 scale, replicated
+        P(None, row_ax),        # decoded-space row norms, slot-sharded
+        P(None, row_ax),        # list ids, slot-sharded
+        P(None, row_ax, None),  # rerank store, slot-sharded
+        P(None, None),          # queries replicated
+    )
+    if masked:
+        in_specs += (P(None),)  # keep table, replicated
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P(None, None),          # centroids replicated
-            P(None),                # centroid norms replicated
-            P(None, "data", None),  # SQ8 codes, slot-sharded
-            P(None),                # per-dim SQ8 scale, replicated
-            P(None, "data"),        # decoded-space row norms, slot-sharded
-            P(None, "data"),        # list ids, slot-sharded
-            P(None, "data", None),  # rerank store, slot-sharded
-            P(None, None),          # queries replicated
-        ),
+        in_specs=in_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
     )
@@ -571,6 +534,7 @@ def sharded_pq_search_program(
     k_adc: int,
     use_kernels: bool,
     axes: tuple[str, ...] = ("data",),
+    masked: bool = False,
 ):
     """Jitted data/(host,chip)-parallel IVF-PQ search with per-shard
     exact refine.
@@ -598,6 +562,12 @@ def sharded_pq_search_program(
     With OPQ the ADC runs on ROTATED queries while the refine scores
     the ORIGINAL ones against the original-space refine store, so both
     query views are inputs.
+
+    masked=True (filter pushdown): the kernel route expects a MASKED
+    item_const copy (+inf = the ADC kernel's exclusion marker) plus a
+    replicated (cap,) keep table to scrub shortlist ids before the
+    per-shard refine; the XLA route invalidates masked rows' ids at
+    scan time via the same table (its LUT scan has no norms operand).
     """
     dsub = dim // m
     slot2 = P(None, axes if len(axes) > 1 else axes[0])
@@ -608,7 +578,7 @@ def sharded_pq_search_program(
 
         def local(
             centroids, c_sq, codebooks, codes128, item_const, list_ids,
-            list_vecs, q_adc, queries,
+            list_vecs, q_adc, queries, *rest,
         ):
             from ..ops.adc_pallas import adc_dense_search_program
 
@@ -620,6 +590,8 @@ def sharded_pq_search_program(
                 centroids, c_sq, codebooks, codes128, item_const, list_ids,
                 q_adc,
             )
+            if masked:
+                si = _scrub_ids(si, rest[0])
             # srows are (list * pad_local + slot) rows of THIS chip's
             # slot store — gather directly (an id->row table gather
             # would cost an issue-bound ~13 ns/element).
@@ -643,7 +615,7 @@ def sharded_pq_search_program(
 
         def local(
             centroids, c_sq, codebooks, list_codes, list_ids, list_vecs,
-            q_adc, queries,
+            q_adc, queries, *rest,
         ):
             coarse = (
                 c_sq[None, :]
@@ -668,6 +640,11 @@ def sharded_pq_search_program(
                 lut = jnp.sum((r_sub - codebooks[None]) ** 2, axis=-1)
                 codes = list_codes[lists].astype(jnp.int32)        # (B, pad_local, m)
                 ids = list_ids[lists]                              # (B, pad_local)
+                if masked:
+                    # Invalidate masked rows at scan time: the refine
+                    # re-scores finite rows by id, so a masked row must
+                    # never reach it with a real id.
+                    ids = jnp.where(_keep_of(ids, rest[0]), ids, -1)
                 gathered = jnp.take_along_axis(
                     lut, codes.transpose(0, 2, 1), axis=2
                 )
@@ -709,6 +686,8 @@ def sharded_pq_search_program(
             P(None, None),          # original-space queries
         )
 
+    if masked:
+        in_specs += (P(None),)      # keep table, replicated
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
@@ -750,19 +729,117 @@ def _slot_shard_layout(assign: np.ndarray, nlist: int, shards: int):
     return pad_local, order, sorted_lists, slots
 
 
+@functools.lru_cache(maxsize=None)
+def _flat_tail_scores_program(cap: int, dim: int, b: int, dtype: str):
+    """Exact (HIGHEST) query->tail distances for the flat family: every
+    live tail row is visible to every query (no probe mask — flat scans
+    the whole corpus), +inf on unfilled/removed tail slots."""
+
+    @jax.jit
+    def run(tail_vecs, tail_ids, queries):
+        tv = tail_vecs.astype(jnp.float32)
+        t_sq = jnp.sum(tv * tv, axis=1)
+        q32 = queries.astype(jnp.float32)
+        q_sq = jnp.sum(q32 * q32, axis=1)
+        ip = jax.lax.dot_general(
+            q32, tv.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d = jnp.maximum(t_sq[None, :] - 2.0 * ip + q_sq[:, None], 0.0)
+        return jnp.where((tail_ids >= 0)[None, :], d, jnp.inf)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_pad_stage_program(n: int, cap: int, dim: int, dtype: str):
+    """(n, D) device rows + (n,) ids -> (cap, D) f32 db, (cap,) int32
+    ids (-1 padding), (cap,) sq norms (+inf padding — the fused kernel's
+    mask). Runs on device: staging never pulls the corpus to host."""
+
+    @jax.jit
+    def run(vecs, ids):
+        v32 = vecs.astype(jnp.float32)
+        db = jnp.zeros((cap, dim), jnp.float32).at[:n].set(v32)
+        idp = jnp.full((cap,), -1, jnp.int32).at[:n].set(ids)
+        sq = jnp.sum(db * db, axis=1)
+        return db, idp, jnp.where(idp >= 0, sq, jnp.inf)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _flat_extract_rows_program(cap: int, dim: int, n: int, dtype: str):
+    """Staged flat store -> compact (n, D) rows + (n,) ids (live rows
+    first via a stable invalid-last argsort; removed rows' -1 ids sort
+    to the tail and are cut)."""
+
+    @jax.jit
+    def run(db, idp):
+        perm = jnp.argsort(idp < 0, stable=True).astype(jnp.int32)[:n]
+        return db[perm], idp[perm]
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _slot_transform_program(n_pad: int, shards: int, pad_local: int):
+    """In-list rank -> chip-major global slot (the _slot_shard_layout
+    dealing rule, on device): rank r -> (r % S) * pad_local + r // S."""
+
+    @jax.jit
+    def run(slots0):
+        return (slots0 % shards) * pad_local + slots0 // shards
+
+    return run
+
+
+def _slot_shard_layout_device(assign, nlist: int, shards: int):
+    """Device analog of _slot_shard_layout: bucket (n,) device
+    assignments into the chip-major slot-sharded layout. Only the
+    (nlist,) counts cross back to the host. Returns (pad_local, order,
+    sorted_lists, slots, counts) — order/lists/slots are device arrays
+    of length next_pow2(n) whose padding entries carry list id == nlist
+    and drop at scatter time (devbuild.bucketize_device contract)."""
+    from ..models.base import list_pad
+    from ..models.devbuild import bucketize_device
+
+    order, lists, slots0, counts = bucketize_device(assign, nlist)
+    per_chip = -(-int(counts.max(initial=1)) // shards)
+    pad_local = list_pad(per_chip)
+    slots = _slot_transform_program(
+        int(slots0.shape[0]), shards, pad_local
+    )(slots0)
+    return pad_local, order, lists, slots, counts
+
+
 class _ShardedBase:
     """Shared plumbing for first-class sharded families (CLAUDE.md
     convention: every family exposes add/search/ranked_all/ids and
     state()/from_state() through storage/index_io.py).
 
-    Host arrays stay authoritative (incremental `add` accumulates and
-    re-sorts them); the mesh placement is a lazily rebuilt cache, exactly
-    like the single-chip families' device staging. The mesh itself is
-    environmental — NOT serialized — so an index saved on an 8-chip mesh
-    reloads cleanly on any other device count.
+    Two storage modes, mirroring the single-chip families
+    (models/devbuild.py):
+
+      * HOST mode (numpy inputs — the CLI scale): numpy mirrors stay
+        authoritative; staging buckets them once onto the mesh. Adds
+        AFTER staging park in a device GrowTail (O(batch) donated
+        writes) and merge into search results exactly — staging is
+        never invalidated by an add.
+      * DEVICE mode (first add/train input is a jax.Array — corpus
+        scale): rows live in device ChunkStores until staging; after
+        staging the slot-sharded stores ARE the storage (chunks freed);
+        adds park in the tail; removal is one in-place ids->-1 /
+        norms->+inf pass over the staged operands. NO n-sized array
+        crosses the 1-30 MB/s host link (hazard #3) except state().
+
+    The mesh itself is environmental — NOT serialized — so an index
+    saved on an 8-chip mesh reloads cleanly on any other device count.
     """
 
     def __init__(self, dim: int, mesh: Mesh | None = None):
+        from ..models.devbuild import ChunkStore, MaskCache
         from .mesh import default_data_mesh
 
         self.mesh = mesh if mesh is not None else default_data_mesh()
@@ -770,8 +847,16 @@ class _ShardedBase:
         self.dim = int(dim)
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
+        self._mode = "host"
+        self._dev_vecs = ChunkStore()
+        self._dev_ids = ChunkStore()
+        self._n_dev = 0
         self._staged = None
+        self._params = None
+        self._tail = None
+        self._restage_needed = False
         self._ranked_cache = None
+        self._mask_cache = MaskCache()
 
     @property
     def _axes(self) -> tuple[str, ...]:
@@ -799,28 +884,122 @@ class _ShardedBase:
 
     @property
     def ntotal(self) -> int:
+        if self._mode == "device":
+            return self._n_dev
         return int(self._ids.shape[0])
 
+    @property
+    def _keep_dtype(self):
+        """Row retention dtype for tails/chunks (subclasses with bf16
+        rerank stores override)."""
+        return jnp.float32
+
     def ids(self) -> np.ndarray:
+        if self._mode == "device":
+            if self._n_dev == 0:
+                return np.zeros((0,), np.int64)
+            rows = self._rows_all()
+            return np.asarray(rows[1]).astype(np.int64)
         return self._ids.copy()
 
-    def _absorb(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+    # -- mutation (mode routing + O(batch) post-staging adds) ------------------
+
+    def _tail_spec(self) -> dict:
+        return {
+            "vecs": (self.dim, str(jnp.dtype(self._keep_dtype))),
+            "ids": (None, "int32"),
+        }
+
+    def _tail_extras(self, vecs_dev) -> dict:
+        """Extra GrowTail fields for a parked batch (IVF families add
+        the coarse assignment here)."""
+        return {}
+
+    def _put_rep(self, a):
+        """Commit an array to the mesh, replicated — every device array
+        this class owns must share the staged arrays' device assignment
+        (jit rejects mixed single-device/mesh-committed operands)."""
+        return jax.device_put(
+            a, NamedSharding(self.mesh, P(*(None,) * np.ndim(a)))
+        )
+
+    def _tail_park(self, vecs_dev, ids_dev) -> None:
+        from ..models.devbuild import GrowTail, tail_restage_threshold
+
+        if self._tail is None:
+            self._tail = GrowTail(self._tail_spec(), put=self._put_rep)
+        self._tail.append(
+            vecs=vecs_dev.astype(self._keep_dtype), ids=ids_dev,
+            **self._tail_extras(vecs_dev),
+        )
+        if self._tail.count > tail_restage_threshold(self.ntotal):
+            self._restage_needed = True
+
+    def _absorb_device(self, vectors, ids) -> None:
+        if self._staged is not None:
+            self._tail_park(vectors, ids)
+        else:
+            self._dev_vecs.append(vectors.astype(self._keep_dtype))
+            self._dev_ids.append(ids)
+            self._absorb_device_extras(vectors)
+        self._n_dev += int(vectors.shape[0])
+
+    def _absorb_device_extras(self, vectors) -> None:
+        """Pre-staging per-chunk extras (IVF: assignment; PQ: codes)."""
+
+    def _absorb(self, vectors, ids) -> None:
+        from ..models.devbuild import is_device_array
+
+        if is_device_array(vectors) and self._mode == "host" and self.ntotal == 0:
+            self._mode = "device"
+        if self._mode == "device":
+            if not is_device_array(vectors):
+                vectors = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
+            vectors = vectors.astype(jnp.float32).reshape(-1, self.dim)
+            if not is_device_array(ids):
+                ids = jnp.asarray(np.asarray(ids, np.int64).astype(np.int32))
+            ids = ids.astype(jnp.int32).reshape(-1)
+            if vectors.shape[0] != ids.shape[0]:
+                raise ValueError(
+                    "vectors and ids must have matching leading dimension"
+                )
+            self._absorb_device(self._put_rep(vectors), self._put_rep(ids))
+            self._ranked_cache = None
+            return
         vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
         ids = np.asarray(ids, dtype=np.int64).reshape(-1)
         if vectors.shape[0] != ids.shape[0]:
             raise ValueError("vectors and ids must have matching leading dimension")
+        if self._staged is not None and vectors.shape[0]:
+            # O(batch) incremental path (VERDICT r4 weak #1): park the
+            # new rows in the device tail instead of invalidating the
+            # mesh staging (which would restage the whole corpus on the
+            # next search).
+            self._tail_park(
+                jnp.asarray(vectors), jnp.asarray(ids.astype(np.int32))
+            )
         self._vectors = np.concatenate([self._vectors, vectors], axis=0)
         self._ids = np.concatenate([self._ids, ids])
         if not np.all(self._ids[:-1] <= self._ids[1:]):
             order = np.argsort(self._ids, kind="stable")
             self._vectors = self._vectors[order]
             self._ids = self._ids[order]
-        self._staged = None
         self._ranked_cache = None
 
     def reconstruct(self, doc_id: int) -> np.ndarray:
         """Return the stored vector for an external id (FAISS
-        IndexIDMap2.reconstruct analog); KeyError if absent."""
+        IndexIDMap2.reconstruct analog); KeyError if absent. Device
+        mode locates the row via the staged layout (a rare
+        introspection path, not a hot one)."""
+        if self._mode == "device":
+            if self._n_dev == 0:
+                raise KeyError(f"id {doc_id} not in index")
+            rows = self._rows_all()
+            vecs, idsa = rows[0], rows[1]
+            pos = np.nonzero(np.asarray(idsa) == int(doc_id))[0]
+            if not len(pos):
+                raise KeyError(f"id {doc_id} not in index")
+            return np.asarray(vecs[int(pos[0])].astype(jnp.float32))
         pos = np.searchsorted(self._ids, int(doc_id))
         if pos >= self._ids.shape[0] or self._ids[pos] != doc_id:
             raise KeyError(f"id {doc_id} not in index")
@@ -828,26 +1007,63 @@ class _ShardedBase:
 
     def remove_ids(self, ids) -> int:
         """Remove stored rows by external id; returns how many were
-        removed (FAISS IndexIDMap2.remove_ids analog). Host arrays stay
-        authoritative in the sharded families, so this filters them and
-        re-stages lazily."""
-        ids = np.unique(np.asarray(ids, dtype=np.int64).reshape(-1))
-        keep = ~np.isin(self._ids, ids)
-        removed = int(self._ids.shape[0] - keep.sum())
+        removed (FAISS IndexIDMap2.remove_ids analog).
+
+        When the index is staged (or device-resident) removal is IN
+        PLACE: the tail folds in, then one device pass turns matching
+        list ids to -1 and their scan norms/constants to +inf (the
+        kernels' exclusion marker) — staging stays valid, no restage,
+        no host corpus traffic (VERDICT r4 weak #1). Unstaged host-mode
+        indexes just filter the numpy mirrors."""
+        ids_np = np.unique(np.asarray(ids, dtype=np.int64).reshape(-1))
+        if self.ntotal == 0 or ids_np.size == 0:
+            return 0
+        if self._staged is None and self._mode == "host":
+            keep = ~np.isin(self._ids, ids_np)
+            removed = int(self._ids.shape[0] - keep.sum())
+            if removed:
+                self._vectors = self._vectors[keep]
+                self._ids = self._ids[keep]
+                self._ranked_cache = None
+                self._mask_cache.clear()
+            return removed
+        from ..models.devbuild import removal_table
+
+        if self._staged is not None and self._tail and self._tail.count:
+            self._restage_needed = True
+        self._stage()  # folds chunks/tail; rows now live in the lists
+        table = self._put_rep(removal_table(ids_np))
+        removed = self._apply_removal_staged(table)
         if removed:
-            self._vectors = self._vectors[keep]
-            self._ids = self._ids[keep]
-            self._staged = None
+            if self._mode == "device":
+                self._n_dev -= removed
+            else:
+                keep = ~np.isin(self._ids, ids_np)
+                self._vectors = self._vectors[keep]
+                self._ids = self._ids[keep]
             self._ranked_cache = None
+            self._mask_cache.clear()
         return removed
 
     def _ranked_staged(self):
         """Cached device (vecs, ids, valid) for ranked_all — the corpus
         crosses the slow host->device link ONCE, invalidated on add
-        (VERDICT round 2, weak #3)."""
+        (VERDICT round 2, weak #3). Device mode builds it from the
+        staged stores + tail, never from host."""
         from ..models.base import next_pow2
 
         if self._ranked_cache is None:
+            if self._mode == "device":
+                rows = self._rows_all()
+                vecs32 = rows[0].astype(jnp.float32)
+                idsa = rows[1]
+                n = self.ntotal
+                cap = next_pow2(max(n, 1))
+                if cap != n:
+                    vecs32 = jnp.pad(vecs32, ((0, cap - n), (0, 0)))
+                    idsa = jnp.pad(idsa, (0, cap - n), constant_values=-1)
+                self._ranked_cache = (vecs32, idsa, idsa >= 0)
+                return self._ranked_cache
             cap = next_pow2(max(self.ntotal, 1))
             vecs = np.zeros((cap, self.dim), np.float32)
             vecs[: self.ntotal] = self._vectors
@@ -863,47 +1079,67 @@ class _ShardedBase:
         return self._ranked_cache
 
     def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Exact full ranking (CLI recall path) over the host store."""
+        """Exact full ranking (CLI recall path) over the stored rows."""
         from ..ops.distances import ranked_program
 
         if self.ntotal == 0:
             return np.zeros((0,), np.float32), np.zeros((0,), np.int64)
         query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
+        q_dev = (
+            self._put_rep(query) if self._mode == "device"
+            else jnp.asarray(query)
+        )
         vecs, ids, valid = self._ranked_staged()
         dists, out_ids = ranked_program(int(vecs.shape[0]), self.dim)(
-            vecs, ids, valid, jnp.asarray(query)
+            vecs, ids, valid, q_dev
         )
         n = self.ntotal
         return np.asarray(dists)[:n], np.asarray(out_ids, dtype=np.int64)[:n]
 
+    def _mask_table(self, id_mask):
+        """Device copy of the pushdown mask + per-class staged masked
+        operands, rebuilt only when the mask OBJECT changes."""
+        return self._mask_cache.get(
+            id_mask, lambda: self._build_masked(self._put_rep(np.asarray(id_mask)))
+        )
+
 
 @functools.lru_cache(maxsize=None)
 def sharded_search_sq8_kernels(
-    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int
+    mesh: Mesh, n: int, dim: int, b: int, k: int, ks: int,
+    axes: tuple[str, ...] = ("data",), masked: bool = False,
 ):
     """sharded_search_kernels' SQ8 variant: each chip scans its int8
     code shard with the fused kernel's double-rate int8 MXU path (both
     operands int8 — queries are pre-scaled by the global per-dimension
     SQ8 scale and row-quantized inside fused_topk), then exact-reranks
     its own shortlist from its f32 row shard. Results are exact — the
-    multi-chip analog of FlatIndex(scan_dtype="int8")."""
+    multi-chip analog of FlatIndex(scan_dtype="int8"). masked=True adds
+    the replicated keep table + shortlist-id scrub before the rerank
+    (see sharded_search_kernels)."""
+    row_ax = _axes_spec(axes)
 
-    def local(codes, db, ids, dec_norms, scale, queries):
+    def local(codes, db, ids, dec_norms, scale, queries, *rest):
         from ..ops.topk_pallas import fused_topk
 
         # Winner rows come from the kernel (see sharded_search_kernels).
         _, si, rows = fused_topk(codes, ids, dec_norms, queries * scale, ks,
                                  return_rows=True)
+        if masked:
+            si = _scrub_ids(si, rest[0])
         local_d, local_i = exact_rerank_rows(db, rows, si, queries, k)
-        return _merge_gathered(local_d, local_i, k, "data")
+        return _merge_axes(local_d, local_i, k, axes)
 
+    in_specs = (
+        P(row_ax, None), P(row_ax, None), P(row_ax), P(row_ax),
+        P(None), P(None, None),
+    )
+    if masked:
+        in_specs += (P(None),)
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P("data", None), P("data", None), P("data"), P("data"),
-            P(None), P(None, None),
-        ),
+        in_specs=in_specs,
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,  # outputs are replicated post-all_gather; inference can't prove it
     )
@@ -912,14 +1148,19 @@ def sharded_search_sq8_kernels(
 
 @register
 class ShardedFlatIndex(_ShardedBase):
-    """Flat exact index with rows sharded over the mesh's `data` axis.
+    """Flat exact index with rows sharded over the mesh's corpus axes
+    (a 1D `data` axis, or ("host", "chip") with the DCN-aware
+    hierarchical merge — k candidates per HOST cross the slow axis).
 
     Search is one shard_map program: per-chip MXU scoring + local top-k,
     then an all_gather of (dist, id) candidates and a replicated
     lexicographic merge — O(shards * k) traffic per query. On TPU the
     per-chip scan runs the fused Pallas kernel + per-shard exact rerank;
     scan_dtype="int8" scans SQ8 codes on the double-rate int8 MXU path
-    (still exact end-to-end via the rerank, 1.25x memory).
+    (still exact end-to-end via the rerank, 1.25x memory). Adds after
+    staging park in a device GrowTail (O(batch)); search(id_mask=...)
+    pushes metadata filters into the scan via once-per-mask +inf norm
+    copies.
     """
 
     kind = "sharded_flat"
@@ -929,36 +1170,87 @@ class ShardedFlatIndex(_ShardedBase):
         if scan_dtype not in ("float32", "int8"):
             raise ValueError(f"unsupported scan_dtype: {scan_dtype}")
         super().__init__(dim, mesh)
-        if len(self._axes) > 1:
-            raise ValueError(
-                "ShardedFlatIndex requires a mesh with a 'data' axis; "
-                "the ('host', 'chip') two-level route is implemented by "
-                "sharded_search_2level / ShardedIVFIndex"
-            )
         self.scan_dtype = str(scan_dtype)
 
-    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+    def add(self, vectors, ids) -> None:
         self._absorb(vectors, ids)
 
-    def load(self, vectors: np.ndarray, ids: np.ndarray) -> None:
+    def load(self, vectors, ids) -> None:
         """Bulk (re)load: reset then add."""
+        from ..models.devbuild import ChunkStore
+
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
+        self._mode = "host"
+        self._dev_vecs = ChunkStore()
+        self._dev_ids = ChunkStore()
+        self._n_dev = 0
+        self._staged = None
+        self._tail = None
+        self._restage_needed = False
+        self._ranked_cache = None
+        self._mask_cache.clear()
         self.add(vectors, ids)
 
-    def _stage(self):
-        if self._staged is None:
-            from ..models.base import next_pow2
+    def _rows_all(self):
+        """Device mode: every stored row as (vecs, ids) device arrays —
+        from the staged flat store, the tail, and pending chunks."""
+        parts_v, parts_i = [], []
+        if self._staged is not None:
+            db, idp = self._staged[0], self._staged[1]
+            n_staged = self._n_dev - len(self._dev_vecs) - (
+                self._tail.count if self._tail else 0
+            )
+            if n_staged:
+                v, i = _flat_extract_rows_program(
+                    int(db.shape[0]), self.dim, n_staged, str(db.dtype)
+                )(db, idp)
+                parts_v.append(v)
+                parts_i.append(i)
+        if self._tail and self._tail.count:
+            c = self._tail.count
+            parts_v.append(self._tail["vecs"][:c])
+            parts_i.append(self._tail["ids"][:c])
+        if len(self._dev_vecs):
+            parts_v.append(self._dev_vecs.consolidated(jnp.float32))
+            parts_i.append(self._dev_ids.consolidated(jnp.int32))
+        cat = lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps)
+        return cat(parts_v), cat(parts_i)
 
-            shards = self._shards
+    def _aligned_cap(self, n: int) -> int:
+        shards = self._shards
+        per = -(-max(n, 1) // shards)
+        # Tile-align each shard for the fused kernel: 1024 rows for
+        # f32 stores, 2048 for int8 (its auto tile_n; the XLA path
+        # is indifferent; memory cost is < 1 tile/shard).
+        align = 2048 if self.scan_dtype == "int8" else 1024
+        per = ((per + align - 1) // align) * align
+        return per * shards
+
+    def _stage(self):
+        if self._staged is not None and not self._restage_needed:
+            return self._staged
+        row_ax = _axes_spec(self._axes)
+        row_sharding = NamedSharding(self.mesh, P(row_ax, None))
+        vec_sharding = NamedSharding(self.mesh, P(row_ax))
+        if self._mode == "device":
+            vecs, idsa = self._rows_all()
             n = self.ntotal
-            per = -(-max(n, 1) // shards)
-            # Tile-align each shard for the fused kernel: 1024 rows for
-            # f32 stores, 2048 for int8 (its auto tile_n; the XLA path
-            # is indifferent; memory cost is < 1 tile/shard).
-            align = 2048 if self.scan_dtype == "int8" else 1024
-            per = ((per + align - 1) // align) * align
-            cap = per * shards
+            cap = self._aligned_cap(n)
+            db, idp, sq = _flat_pad_stage_program(
+                n, cap, self.dim, str(vecs.dtype)
+            )(vecs, idsa)
+            self._dev_vecs.clear()
+            self._dev_ids.clear()
+            staged = (
+                jax.device_put(db, row_sharding),
+                jax.device_put(idp, vec_sharding),
+                jax.device_put(sq, vec_sharding),
+            )
+            del db, idp, sq
+        else:
+            n = self.ntotal
+            cap = self._aligned_cap(n)
             db = np.zeros((cap, self.dim), np.float32)
             db[:n] = self._vectors
             idp = np.full((cap,), -1, np.int32)
@@ -967,34 +1259,80 @@ class ShardedFlatIndex(_ShardedBase):
             # +inf norms on padding rows ARE the fused kernel's mask
             # (models/flat.py staging does the same).
             sq[n:] = np.inf
-            row_sharding = NamedSharding(self.mesh, P("data", None))
-            vec_sharding = NamedSharding(self.mesh, P("data"))
-            self._staged = (
+            staged = (
                 jax.device_put(db, row_sharding),
                 jax.device_put(idp, vec_sharding),
                 jax.device_put(sq, vec_sharding),
             )
-            if self.scan_dtype == "int8":
-                # Global symmetric per-dimension SQ8 (models/flat.py):
-                # one scale across shards. Codes/norms are derived ON
-                # DEVICE from the already-shipped f32 store — nothing
-                # extra crosses the slow host->device link (hazard #3).
-                codes_dev, dec_sq_dev, scale_dev = _flat_sq8_stage(
-                    self._staged[0], self._staged[2]
-                )
-                self._staged += (codes_dev, dec_sq_dev, scale_dev)
+        if self.scan_dtype == "int8":
+            # Global symmetric per-dimension SQ8 (models/flat.py):
+            # one scale across shards. Codes/norms are derived ON
+            # DEVICE from the already-shipped f32 store — nothing
+            # extra crosses the slow host->device link (hazard #3).
+            codes_dev, dec_sq_dev, scale_dev = _flat_sq8_stage(
+                staged[0], staged[2]
+            )
+            staged += (codes_dev, dec_sq_dev, scale_dev)
+        self._staged = staged
+        self._tail = None
+        self._restage_needed = False
+        self._mask_cache.clear()
         return self._staged
 
-    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+    def _apply_removal_staged(self, table) -> int:
+        from ..models.devbuild import apply_removal
+
+        staged = self._staged
+        if self.scan_dtype == "int8":
+            db, idp, sq, codes, dec_sq, scale = staged
+            idp, removed, sq, dec_sq = apply_removal(idp, table, sq, dec_sq)
+            self._staged = (db, idp, sq, codes, dec_sq, scale)
+        else:
+            db, idp, sq = staged
+            idp, removed, sq = apply_removal(idp, table, sq)
+            self._staged = (db, idp, sq)
+        return removed
+
+    def _build_masked(self, mask_dev):
+        """Once-per-mask staged operands: masked sq norms (+ masked
+        decoded-space norms on the int8 route) — +inf IS the scan's
+        exclusion marker, so filtered scans run at full speed."""
+        from ..models.devbuild import mask_norms
+
+        staged = self._stage()
+        masked_sq = mask_norms(staged[2], staged[1], mask_dev)
+        masked_dec = (
+            mask_norms(staged[4], staged[1], mask_dev)
+            if self.scan_dtype == "int8" else None
+        )
+        return mask_dev, masked_sq, masked_dec
+
+    def search(
+        self, queries, k: int, *, id_mask=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """id_mask: optional (cap,) bool keyed by EXTERNAL id — metadata
+        filter pushdown (models/flat.py search docstring). Pass the SAME
+        mask array across calls to reuse the staged masked operands."""
+        from ..models.devbuild import is_device_array
+
+        if is_device_array(queries):
+            queries = np.asarray(queries.astype(jnp.float32)).reshape(-1, self.dim)
+        else:
+            queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(
+                -1, self.dim
+            )
         if self.ntotal == 0:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
         staged = self._stage()
         db, idp, sq = staged[:3]
+        mask_dev = None
+        if id_mask is not None:
+            mask_dev, sq, masked_dec = self._mask_table(id_mask)
         shards = self._shards
         per = db.shape[0] // shards
         q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
+        masked = id_mask is not None
         if jax.default_backend() == "tpu" and k <= 512:
             from ..ops.rerank import shortlist_depth
 
@@ -1005,22 +1343,47 @@ class ShardedFlatIndex(_ShardedBase):
             ks = min(shortlist_depth(k, self.ntotal), per, 1024)
             if self.scan_dtype == "int8":
                 codes, dec_sq, scale = staged[3:]
+                if masked:
+                    dec_sq = masked_dec
                 program = sharded_search_sq8_kernels(
-                    self.mesh, db.shape[0], self.dim, queries.shape[0], k, ks
+                    self.mesh, db.shape[0], self.dim, queries.shape[0], k,
+                    ks, self._axes, masked,
                 )
-                d, i = program(codes, db, idp, dec_sq, scale, q)
+                args = (codes, db, idp, dec_sq, scale, q)
             else:
                 program = sharded_search_kernels(
-                    self.mesh, db.shape[0], self.dim, queries.shape[0], k, ks
+                    self.mesh, db.shape[0], self.dim, queries.shape[0], k,
+                    ks, self._axes, masked,
                 )
-                d, i = program(db, idp, sq, q)
+                args = (db, idp, sq, q)
+            d, i = program(*args, *((mask_dev,) if masked else ()))
         else:
             # CPU (and deep-k) route: exact f32 XLA scan — the scan
-            # store is a TPU-only optimization, like FlatIndex's.
+            # store is a TPU-only optimization, like FlatIndex's. The
+            # masked sq copy (+inf) is the only filter plumbing needed.
             program = sharded_search_program(
-                self.mesh, db.shape[0], self.dim, queries.shape[0], k
+                self.mesh, db.shape[0], self.dim, queries.shape[0], k,
+                self._axes,
             )
             d, i = program(db, idp, sq, q)
+        if self._tail and self._tail.count:
+            from ..models.devbuild import merge_tail
+
+            # Incremental-add rows: exact f32 distances (every tail row
+            # is visible — flat scans the whole corpus), one
+            # (distance, id) lexicographic merge on replicated outputs.
+            td = _flat_tail_scores_program(
+                self._tail.cap, self.dim, queries.shape[0],
+                str(self._tail["vecs"].dtype),
+            )(self._tail["vecs"], self._tail["ids"], q)
+            if masked:
+                from ..models.devbuild import mask_rows
+
+                td = jnp.where(
+                    mask_rows(self._tail["ids"], mask_dev)[None, :], td,
+                    jnp.inf,
+                )
+            d, i = merge_tail(d, i, td, self._tail["ids"], k)
         return np.asarray(d), np.asarray(i, dtype=np.int64)
 
     def scan_bytes_per_row(self) -> int:
@@ -1030,6 +1393,14 @@ class ShardedFlatIndex(_ShardedBase):
 
     def state(self):
         params = {"dim": self.dim, "scan_dtype": self.scan_dtype}
+        if self._mode == "device" and self.ntotal:
+            # Serialization inherently crosses the host link — the ONE
+            # place device mode pays it.
+            vecs, idsa = self._rows_all()
+            return params, {
+                "vectors": np.asarray(vecs.astype(jnp.float32)),
+                "ids": np.asarray(idsa).astype(np.int64),
+            }
         return params, {"vectors": self._vectors, "ids": self._ids}
 
     @classmethod
@@ -1074,112 +1445,336 @@ class ShardedIVFIndex(_ShardedBase):
                 "float32 scan is exact and has no rerank stage"
             )
         super().__init__(dim, mesh)
-        if scan_dtype == "int8" and len(self._axes) > 1:
-            raise ValueError(
-                "scan_dtype='int8' requires a 1D 'data' mesh; the "
-                "(host, chip) two-level route is float32-only"
-            )
+        from ..models.devbuild import ChunkStore
+
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
         self.scan_dtype = str(scan_dtype)
         self.rerank_dtype = str(rerank_dtype)
-        self._centroids: np.ndarray | None = None
+        self._centroids = None          # np (host mode) or device array
+        self._dev_assign = ChunkStore()
 
     @property
     def is_trained(self) -> bool:
         return self._centroids is not None
 
-    def train(self, data: np.ndarray, *, iters: int = 8, seed: int = 0) -> None:
-        from ..ops.kmeans import train_kmeans
+    @property
+    def _keep_dtype(self):
+        """Tail/chunk retention dtype: bf16 when the rerank store is
+        bf16 (the store IS the retained corpus), f32 otherwise."""
+        return jnp.bfloat16 if self.rerank_dtype == "bfloat16" else jnp.float32
 
-        data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
+    def _centroids_dev(self):
+        from ..models.devbuild import is_device_array
+
+        if is_device_array(self._centroids):
+            return self._centroids
+        if self._staged is not None:
+            return self._staged[0]
+        return jnp.asarray(np.asarray(self._centroids, np.float32))
+
+    def _tail_spec(self) -> dict:
+        spec = super()._tail_spec()
+        spec["assign"] = (None, "int32")
+        return spec
+
+    def _tail_extras(self, vecs_dev) -> dict:
+        from ..ops.kmeans import assign_clusters
+
+        return {
+            "assign": assign_clusters(
+                vecs_dev.astype(jnp.float32), self._centroids_dev(),
+                out_device=True,
+            )
+        }
+
+    def _absorb_device_extras(self, vectors) -> None:
+        from ..ops.kmeans import assign_clusters
+
+        self._dev_assign.append(
+            assign_clusters(
+                vectors.astype(jnp.float32), self._centroids_dev(),
+                out_device=True,
+            )
+        )
+
+    def train(self, data, *, iters: int = 8, seed: int = 0) -> None:
+        from ..models.devbuild import is_device_array
+        from ..ops.kmeans import assign_clusters, train_kmeans
+
+        if is_device_array(data) and self._mode == "host" and self.ntotal == 0:
+            self._mode = "device"
+        if self._mode == "device":
+            data = self._put_rep((
+                data if is_device_array(data)
+                else jnp.asarray(np.ascontiguousarray(data, np.float32))
+            ).astype(jnp.float32).reshape(-1, self.dim))
+            nlist_eff = min(self.nlist, max(1, int(data.shape[0])))
+            self._centroids = self._put_rep(train_kmeans(
+                data, nlist_eff, iters=iters, seed=seed, out_device=True
+            ))
+            if self.ntotal:
+                # Retrain: pull rows out of the staged layout, re-assign
+                # on device, re-park as pending chunks.
+                vecs, idsa, _ = self._rows_all()
+                assign = assign_clusters(
+                    vecs.astype(jnp.float32), self._centroids,
+                    out_device=True,
+                )
+                self._dev_vecs.clear(); self._dev_ids.clear(); self._dev_assign.clear()
+                self._dev_vecs.append(vecs)
+                self._dev_ids.append(idsa)
+                self._dev_assign.append(assign)
+            self._staged = None
+            self._tail = None
+            self._restage_needed = False
+            self._ranked_cache = None
+            self._mask_cache.clear()
+            return
+        data = np.ascontiguousarray(
+            np.asarray(data), dtype=np.float32
+        ).reshape(-1, self.dim)
         nlist_eff = min(self.nlist, max(1, data.shape[0]))
         self._centroids = train_kmeans(data, nlist_eff, iters=iters, seed=seed)
         self._staged = None
+        self._tail = None
+        self._restage_needed = False
         self._ranked_cache = None
+        self._mask_cache.clear()
 
-    def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+    def add(self, vectors, ids) -> None:
+        from ..models.devbuild import is_device_array
+
+        if is_device_array(vectors) and self._mode == "host" and self.ntotal == 0:
+            self._mode = "device"
         if not self.is_trained:
             self.train(vectors)
         self._absorb(vectors, ids)
 
-    def load(self, vectors: np.ndarray, ids: np.ndarray, *, kmeans_iters: int = 8) -> None:
+    def load(self, vectors, ids, *, kmeans_iters: int = 8) -> None:
         """Bulk (re)load: retrain on the corpus, then add."""
+        from ..models.devbuild import ChunkStore, is_device_array
+
         self._vectors = np.zeros((0, self.dim), dtype=np.float32)
         self._ids = np.zeros((0,), dtype=np.int64)
+        self._mode = "host"
+        self._dev_vecs = ChunkStore()
+        self._dev_ids = ChunkStore()
+        self._dev_assign = ChunkStore()
+        self._n_dev = 0
         self._centroids = None
-        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
+        self._staged = None
+        self._tail = None
+        self._restage_needed = False
+        self._ranked_cache = None
+        self._mask_cache.clear()
+        if not is_device_array(vectors):
+            vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(
+                -1, self.dim
+            )
         self.train(vectors, iters=kmeans_iters)
         self.add(vectors, ids)
 
+    # -- storage introspection (device mode) -----------------------------------
+
+    def _staged_store_ids(self):
+        """(store, list_ids) of the current staging — the store is the
+        rerank/raw row canvas whatever the scan dtype."""
+        if self.scan_dtype == "int8":
+            return self._staged[6], self._staged[5]
+        return self._staged[2], self._staged[4]
+
+    def _rows_all(self):
+        """Device mode: every stored row as (vecs, ids, assign) device
+        arrays — from the staged lists, the tail, and pending chunks."""
+        from ..models.ivf_flat import _extract_rows_program
+
+        parts_v, parts_i, parts_a = [], [], []
+        if self._staged is not None:
+            store, li = self._staged_store_ids()
+            nlist, pad_local = self._params
+            pad = int(store.shape[1])
+            n_staged = self._n_dev - len(self._dev_vecs) - (
+                self._tail.count if self._tail else 0
+            )
+            if n_staged:
+                v, i, a = _extract_rows_program(
+                    nlist, pad, self.dim, n_staged, str(store.dtype)
+                )(store, li)
+                parts_v.append(v)
+                parts_i.append(i)
+                parts_a.append(a)
+        if self._tail and self._tail.count:
+            c = self._tail.count
+            parts_v.append(self._tail["vecs"][:c])
+            parts_i.append(self._tail["ids"][:c])
+            parts_a.append(self._tail["assign"][:c])
+        if len(self._dev_vecs):
+            parts_v.append(self._dev_vecs.consolidated(self._keep_dtype))
+            parts_i.append(self._dev_ids.consolidated(jnp.int32))
+            parts_a.append(self._dev_assign.consolidated(jnp.int32))
+        cat = lambda ps: ps[0] if len(ps) == 1 else jnp.concatenate(ps)
+        return cat(parts_v), cat(parts_i), cat(parts_a)
+
+    # -- staging ----------------------------------------------------------------
+
     def _stage(self):
-        if self._staged is None:
-            from ..ops.kmeans import assign_clusters
+        if self._staged is not None and not self._restage_needed:
+            return self._staged
+        if self._mode == "device":
+            vecs, idsa, assign = self._rows_all()
+            self._stage_rows_device(vecs, idsa, assign)
+            self._dev_vecs.clear()
+            self._dev_ids.clear()
+            self._dev_assign.clear()
+        else:
+            self._stage_host()
+        self._tail = None
+        self._restage_needed = False
+        self._mask_cache.clear()
+        return self._staged
 
-            shards = self._shards
-            slot_ax = self._axes if len(self._axes) > 1 else self._axes[0]
-            assign = assign_clusters(self._vectors, self._centroids)
-            nlist = self._centroids.shape[0]
-            pad_local, sort, sorted_lists, slots = _slot_shard_layout(
-                assign, nlist, shards
+    def _finish_stage(self, lv_dev, li_dev, common, nlist, pad_local):
+        """Shared staging epilogue: derive the scan stores ON DEVICE
+        from the slot-sharded f32/bf16 lists (hazard #3: nothing extra
+        crosses the host link)."""
+        self._params = (nlist, pad_local)
+        if self.scan_dtype == "int8":
+            # Global symmetric per-dimension SQ8 (models/flat.py):
+            # ONE scale across chips keeps the scan math identical
+            # to the single-chip composite. Elementwise device ops
+            # preserve the slot sharding.
+            codes_dev, scale_dev, dec_sqn_dev = _sq8_stage_sharded(
+                lv_dev, li_dev
             )
-            pad = pad_local * shards
-
-            list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
-            list_ids = np.full((nlist, pad), -1, np.int32)
-            list_vecs[sorted_lists, slots] = self._vectors[sort]
-            list_ids[sorted_lists, slots] = self._ids[sort].astype(np.int32)
-            c_sq = np.einsum(
-                "nd,nd->n", self._centroids, self._centroids
-            ).astype(np.float32)
-
-            self._params = (nlist, pad_local)
-            common = (
-                jax.device_put(
-                    self._centroids.astype(np.float32),
-                    NamedSharding(self.mesh, P(None, None)),
-                ),
-                jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
-            )
-            # The f32 lists cross the slow host->device link exactly ONCE
-            # (hazard #3); every derived store — SQ8 codes, decoded-space
-            # norms, bf16 rerank copy — is computed ON DEVICE, mirroring
-            # the single-chip staging (models/ivf_flat.py).
-            slot_sh = NamedSharding(self.mesh, P(None, slot_ax, None))
-            lv_dev = jax.device_put(list_vecs, slot_sh)
-            li_dev = jax.device_put(
-                list_ids, NamedSharding(self.mesh, P(None, slot_ax))
-            )
-            if self.scan_dtype == "int8":
-                # Global symmetric per-dimension SQ8 (models/flat.py):
-                # ONE scale across chips keeps the scan math identical
-                # to the single-chip composite. Elementwise device ops
-                # preserve the slot sharding.
-                codes_dev, scale_dev, dec_sqn_dev = _sq8_stage_sharded(
-                    lv_dev, li_dev
-                )
-                rerank_store = (
-                    lv_dev
-                    if self.rerank_dtype == "float32"
+            rerank_store = (
+                lv_dev
+                if self.rerank_dtype == "float32"
+                and lv_dev.dtype == jnp.float32
+                else (
+                    lv_dev if lv_dev.dtype == jnp.bfloat16
                     else _to_bf16_sharded(lv_dev)
                 )
-                if self.rerank_dtype != "float32":
-                    del lv_dev  # no f32 copy stays on device
-                self._staged = common + (
-                    codes_dev,
-                    scale_dev,
-                    dec_sqn_dev,
-                    li_dev,
-                    rerank_store,
-                )
-            else:
-                self._staged = common + (
-                    lv_dev,
-                    _row_norms_sharded(lv_dev),
-                    li_dev,
-                )
-        return self._staged
+            )
+            if rerank_store is not lv_dev:
+                del lv_dev  # no f32 copy stays on device
+            self._staged = common + (
+                codes_dev,
+                scale_dev,
+                dec_sqn_dev,
+                li_dev,
+                rerank_store,
+            )
+        else:
+            self._staged = common + (
+                lv_dev,
+                _row_norms_sharded(lv_dev),
+                li_dev,
+            )
+
+    def _stage_host(self):
+        from ..ops.kmeans import assign_clusters
+
+        shards = self._shards
+        slot_ax = _axes_spec(self._axes)
+        assign = assign_clusters(self._vectors, np.asarray(self._centroids))
+        nlist = int(np.asarray(self._centroids).shape[0])
+        pad_local, sort, sorted_lists, slots = _slot_shard_layout(
+            assign, nlist, shards
+        )
+        pad = pad_local * shards
+
+        list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
+        list_ids = np.full((nlist, pad), -1, np.int32)
+        list_vecs[sorted_lists, slots] = self._vectors[sort]
+        list_ids[sorted_lists, slots] = self._ids[sort].astype(np.int32)
+        centroids = np.asarray(self._centroids, np.float32)
+        c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
+
+        common = (
+            jax.device_put(centroids, NamedSharding(self.mesh, P(None, None))),
+            jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
+        )
+        # The f32 lists cross the slow host->device link exactly ONCE
+        # (hazard #3); every derived store — SQ8 codes, decoded-space
+        # norms, bf16 rerank copy — is computed ON DEVICE, mirroring
+        # the single-chip staging (models/ivf_flat.py).
+        slot_sh = NamedSharding(self.mesh, P(None, slot_ax, None))
+        lv_dev = jax.device_put(list_vecs, slot_sh)
+        li_dev = jax.device_put(
+            list_ids, NamedSharding(self.mesh, P(None, slot_ax))
+        )
+        self._finish_stage(lv_dev, li_dev, common, nlist, pad_local)
+
+    def _stage_rows_device(self, vecs, idsa, assign):
+        """Device-resident staging: bucket rows into the chip-major
+        slot-sharded layout entirely on device — only the (nlist,)
+        counts cross the host link."""
+        from ..models.devbuild import (
+            scatter_list_ids_device, scatter_lists_device,
+        )
+
+        shards = self._shards
+        slot_ax = _axes_spec(self._axes)
+        centroids = self._centroids_dev()
+        nlist = int(centroids.shape[0])
+        pad_local, order, lists, slots, _counts = _slot_shard_layout_device(
+            assign.astype(jnp.int32), nlist, shards
+        )
+        pad = pad_local * shards
+        store = scatter_lists_device(
+            vecs.astype(self._keep_dtype), order, lists, slots, nlist, pad
+        )
+        li = scatter_list_ids_device(idsa, order, lists, slots, nlist, pad)
+        common = (
+            jax.device_put(
+                centroids.astype(jnp.float32),
+                NamedSharding(self.mesh, P(None, None)),
+            ),
+            jax.device_put(
+                jnp.sum(centroids.astype(jnp.float32) ** 2, axis=1),
+                NamedSharding(self.mesh, P(None)),
+            ),
+        )
+        lv_dev = jax.device_put(
+            store, NamedSharding(self.mesh, P(None, slot_ax, None))
+        )
+        li_dev = jax.device_put(
+            li, NamedSharding(self.mesh, P(None, slot_ax))
+        )
+        del store, li
+        self._finish_stage(lv_dev, li_dev, common, nlist, pad_local)
+
+    def _apply_removal_staged(self, table) -> int:
+        from ..models.devbuild import apply_removal
+
+        staged = self._staged
+        if self.scan_dtype == "int8":
+            c0, c1, codes, scale, dec_sqn, li, rerank = staged
+            li, removed, dec_sqn = apply_removal(li, table, dec_sqn)
+            self._staged = (c0, c1, codes, scale, dec_sqn, li, rerank)
+        else:
+            c0, c1, lv, sqn, li = staged
+            li, removed, sqn = apply_removal(li, table, sqn)
+            self._staged = (c0, c1, lv, sqn, li)
+        return removed
+
+    def _build_masked(self, mask_dev):
+        """Once-per-mask staged operands: masked scan norms (+inf = the
+        exclusion marker in both the XLA-free-norms and kernel routes)
+        and, for the XLA probe scan (which scores diff^2 and never
+        reads the norms), a slot-sharded keep canvas."""
+        from ..models.devbuild import mask_norms, mask_rows
+
+        staged = self._stage()
+        if self.scan_dtype == "int8":
+            li = staged[5]
+            masked_main = mask_norms(staged[4], li, mask_dev)   # dec_sqn
+        else:
+            li = staged[4]
+            masked_main = mask_norms(staged[3], li, mask_dev)   # list_sqn
+        keep_canvas = mask_rows(li, mask_dev)
+        return mask_dev, masked_main, keep_canvas
 
     def scan_rows_per_chip(self, b: int, nprobe: int | None = None) -> dict:
         """Debug counter for the work-division contract: candidate rows
@@ -1197,10 +1792,39 @@ class ShardedIVFIndex(_ShardedBase):
             "rows_all_chips": b * nprobe_eff * pad_local * shards,
         }
 
+    def _merge_ivf_tail(self, d, i, q_dev, k, nprobe_eff, mask_dev):
+        """Merge post-staging tail rows into replicated program outputs:
+        exact distances, visible only to queries that probe their
+        assigned list — the same rows a fresh build's scan would see."""
+        from ..models.devbuild import mask_rows, merge_tail, tail_scores
+
+        staged = self._staged
+        td = tail_scores(
+            self._tail, staged[0], staged[1], q_dev, nprobe_eff
+        )
+        if mask_dev is not None:
+            td = jnp.where(
+                mask_rows(self._tail["ids"], mask_dev)[None, :], td, jnp.inf
+            )
+        return merge_tail(d, i, td, self._tail["ids"], k)
+
     def search(
-        self, queries: np.ndarray, k: int, *, nprobe: int | None = None
+        self, queries, k: int, *, nprobe: int | None = None, id_mask=None
     ) -> tuple[np.ndarray, np.ndarray]:
-        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        """id_mask: optional (cap,) bool keyed by EXTERNAL id — metadata
+        filter pushdown; masked rows carry +inf scan norms / a keep
+        canvas staged once per mask (pass the SAME array across calls to
+        reuse it). Shortlist ids are scrubbed before the per-shard
+        rerank on the int8 route (the leak class
+        devbuild.mask_shortlist_ids documents)."""
+        from ..models.devbuild import is_device_array
+
+        if is_device_array(queries):
+            queries = np.asarray(queries.astype(jnp.float32)).reshape(-1, self.dim)
+        else:
+            queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(
+                -1, self.dim
+            )
         if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
@@ -1209,6 +1833,11 @@ class ShardedIVFIndex(_ShardedBase):
         nprobe_eff = min(nprobe or self.nprobe, nlist)
         b = queries.shape[0]
         q = jax.device_put(queries, NamedSharding(self.mesh, P(None, None)))
+        masked = id_mask is not None
+        mask_dev = None
+        use_kernels = jax.default_backend() == "tpu"
+        if masked:
+            mask_dev, masked_main, keep_canvas = self._mask_table(id_mask)
         if self.scan_dtype == "int8":
             from ..ops.rerank import shortlist_depth
 
@@ -1216,21 +1845,32 @@ class ShardedIVFIndex(_ShardedBase):
                 shortlist_depth(k, self.ntotal), nprobe_eff * pad_local
             )
             program = sharded_ivf_sq8_search_program(
-                self.mesh, nlist, pad_local, self.dim, b, nprobe_eff, k, ks
+                self.mesh, nlist, pad_local, self.dim, b, nprobe_eff, k, ks,
+                self._axes, masked,
             )
-        elif len(self._axes) > 1:
-            # ("host", "chip") mesh: hierarchical merge — only k
-            # candidates per HOST cross the slow DCN axis.
-            program = sharded_ivf_search_2level(
-                self.mesh, nlist, pad_local, self.dim, b, nprobe_eff, k,
-                use_kernels=jax.default_backend() == "tpu",
-            )
+            args = list(staged)
+            extra = ()
+            if masked:
+                args[4] = masked_main                      # dec_sqn
+                extra = (mask_dev,)
+            d, i = program(*args, q, *extra)
         else:
+            # masked flag only changes the XLA program (extra keep
+            # canvas); the kernel route's exclusion is the masked
+            # list_sqn operand itself.
             program = sharded_ivf_search_program(
                 self.mesh, nlist, pad_local, self.dim, b, nprobe_eff, k,
-                use_kernels=jax.default_backend() == "tpu",
+                use_kernels, self._axes, masked and not use_kernels,
             )
-        d, i = program(*staged, q)
+            args = list(staged)
+            extra = ()
+            if masked:
+                args[3] = masked_main                      # list_sqn
+                if not use_kernels:
+                    extra = (keep_canvas,)
+            d, i = program(*args, q, *extra)
+        if self._tail and self._tail.count:
+            d, i = self._merge_ivf_tail(d, i, q, k, nprobe_eff, mask_dev)
         return np.asarray(d), np.asarray(i, dtype=np.int64)
 
     def state(self):
@@ -1238,10 +1878,21 @@ class ShardedIVFIndex(_ShardedBase):
             "dim": self.dim, "nlist": self.nlist, "nprobe": self.nprobe,
             "scan_dtype": self.scan_dtype, "rerank_dtype": self.rerank_dtype,
         }
+        if self._mode == "device" and self.ntotal:
+            # Serialization inherently crosses the host link — the ONE
+            # place device mode pays it. bf16-retained rows widen to f32.
+            vecs, idsa, _ = self._rows_all()
+            return params, {
+                "vectors": np.asarray(vecs.astype(jnp.float32)),
+                "ids": np.asarray(idsa).astype(np.int64),
+                "centroids": np.asarray(
+                    self._centroids_dev().astype(jnp.float32)
+                ),
+            }
         arrays = {
             "vectors": self._vectors,
             "ids": self._ids,
-            "centroids": self._centroids
+            "centroids": np.asarray(self._centroids, np.float32)
             if self._centroids is not None
             else np.zeros((0, self.dim), np.float32),
         }
@@ -1309,23 +1960,141 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         self.refine_factor = int(refine_factor)
         self.opq = bool(opq)
         self.opq_iters = int(opq_iters)
-        self._codebooks: np.ndarray | None = None
+        self._codebooks = None          # np (host mode) or device array
         self._rotation: np.ndarray | None = None
+        self._staged_kernel_layout = False
 
     @property
     def is_trained(self) -> bool:
         return self._centroids is not None and self._codebooks is not None
+
+    @property
+    def _keep_dtype(self):
+        # The PQ refine store keeps ORIGINAL-space f32 rows; tails and
+        # chunks retain the same.
+        return jnp.float32
 
     def _rotate(self, data: np.ndarray) -> np.ndarray:
         if self._rotation is None:
             return data
         return np.ascontiguousarray(data @ self._rotation)
 
-    def train(self, data: np.ndarray, *, iters: int = 8, seed: int = 0) -> None:
-        from ..models.ivf_pq import train_opq_rotation
-        from ..ops.kmeans import assign_clusters, train_kmeans, train_kmeans_multi
+    def _rotate_device(self, data):
+        if self._rotation is None:
+            return data
+        return jnp.dot(
+            data.astype(jnp.float32), jnp.asarray(self._rotation),
+            preferred_element_type=jnp.float32,
+        )
 
-        data = np.ascontiguousarray(data, dtype=np.float32).reshape(-1, self.dim)
+    def _codebooks_dev(self):
+        from ..models.devbuild import is_device_array
+
+        if is_device_array(self._codebooks):
+            return self._codebooks
+        return jnp.asarray(np.asarray(self._codebooks, np.float32))
+
+    def _tail_spec(self) -> dict:
+        # Original-space rows feed extraction/serialization and would
+        # feed an exact original-space rerank; ROTATED rows ("rvecs")
+        # feed the tail scoring against the rotated queries (rotation
+        # preserves L2, so those distances ARE the exact original ones).
+        spec = super()._tail_spec()
+        spec["rvecs"] = (self.dim, "float32")
+        return spec
+
+    def _tail_extras(self, vecs_dev) -> dict:
+        from ..ops.kmeans import assign_clusters
+
+        rvecs = self._rotate_device(vecs_dev.astype(jnp.float32))
+        return {
+            "rvecs": rvecs,
+            "assign": assign_clusters(
+                rvecs, self._centroids_dev(), out_device=True
+            ),
+        }
+
+    def _absorb_device_extras(self, vectors) -> None:
+        from ..ops.kmeans import assign_clusters
+
+        self._dev_assign.append(
+            assign_clusters(
+                self._rotate_device(vectors.astype(jnp.float32)),
+                self._centroids_dev(), out_device=True,
+            )
+        )
+
+    def _encode_rows_device(self, vecs, assign=None):
+        """(n, D) original-space device rows -> (assign, codes) in the
+        (rotated) quantization space, on device."""
+        from ..models.ivf_pq import _residual_subs_program
+        from ..ops.kmeans import assign_clusters, assign_clusters_multi
+
+        n = int(vecs.shape[0])
+        data_r = self._rotate_device(vecs.astype(jnp.float32))
+        if assign is None:
+            assign = assign_clusters(
+                data_r, self._centroids_dev(), out_device=True
+            )
+        subs = _residual_subs_program(n, self.dim, self.m)(
+            data_r, self._centroids_dev(), assign
+        )
+        codes = assign_clusters_multi(
+            subs, self._codebooks_dev(), out_device=True
+        ).T.astype(jnp.uint8)
+        return assign, codes
+
+    def train(self, data, *, iters: int = 8, seed: int = 0) -> None:
+        from ..models.devbuild import is_device_array
+        from ..models.ivf_pq import _residual_subs_program, train_opq_rotation
+        from ..ops.kmeans import (
+            assign_clusters, assign_clusters_multi,
+            train_kmeans, train_kmeans_multi,
+        )
+
+        if is_device_array(data) and self._mode == "host" and self.ntotal == 0:
+            self._mode = "device"
+        if self._mode == "device":
+            data = self._put_rep((
+                data if is_device_array(data)
+                else jnp.asarray(np.ascontiguousarray(data, np.float32))
+            ).astype(jnp.float32).reshape(-1, self.dim))
+            n = int(data.shape[0])
+            if self.opq and self._rotation is None:
+                self._rotation = train_opq_rotation(
+                    data, self.m, ksub=self.ksub, iters=self.opq_iters,
+                    seed=seed,
+                )
+            data_r = self._rotate_device(data)
+            nlist_eff = min(self.nlist, max(1, n))
+            self._centroids = self._put_rep(train_kmeans(
+                data_r, nlist_eff, iters=iters, seed=seed, out_device=True
+            ))
+            assign = assign_clusters(data_r, self._centroids, out_device=True)
+            subs = _residual_subs_program(n, self.dim, self.m)(
+                data_r, self._centroids, assign
+            )
+            ksub_eff = min(self.ksub, max(1, n))
+            self._codebooks = self._put_rep(train_kmeans_multi(
+                subs, ksub_eff, iters=iters, seed=seed + 1, out_device=True
+            ))
+            if self.ntotal:
+                # Retrain: pull raw rows back out, re-assign under the
+                # new quantizer, re-park as pending chunks.
+                vecs, idsa, _ = self._rows_all()
+                self._dev_vecs.clear(); self._dev_ids.clear(); self._dev_assign.clear()
+                self._dev_vecs.append(vecs)
+                self._dev_ids.append(idsa)
+                self._absorb_device_extras(vecs)
+            self._staged = None
+            self._tail = None
+            self._restage_needed = False
+            self._ranked_cache = None
+            self._mask_cache.clear()
+            return
+        data = np.ascontiguousarray(
+            np.asarray(data), dtype=np.float32
+        ).reshape(-1, self.dim)
         if self.opq and self._rotation is None:
             self._rotation = train_opq_rotation(
                 data, self.m, ksub=self.ksub, iters=self.opq_iters, seed=seed
@@ -1342,97 +2111,219 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         )
         self._codebooks = train_kmeans_multi(subs, ksub_eff, iters=iters, seed=seed + 1)
         self._staged = None
+        self._tail = None
+        self._restage_needed = False
+        self._ranked_cache = None
+        self._mask_cache.clear()
 
     def _use_kernels(self) -> bool:
         ksub_eff = (
-            self._codebooks.shape[1] if self._codebooks is not None else self.ksub
+            int(jnp.shape(self._codebooks)[1])
+            if self._codebooks is not None else self.ksub
         )
         return jax.default_backend() == "tpu" and (
             ksub_eff == 256 or (ksub_eff == 16 and self.m % 2 == 0)
         )
 
+    def _staged_store_ids(self):
+        if self._staged_kernel_layout:
+            return self._staged[6], self._staged[5]
+        return self._staged[5], self._staged[4]
+
     def _stage(self):
-        if self._staged is None:
-            from ..ops.kmeans import assign_clusters
-
-            shards = self._shards
-            slot_ax = self._axes if len(self._axes) > 1 else self._axes[0]
-            vecs_r = self._rotate(self._vectors)
-            assign = assign_clusters(vecs_r, self._centroids)
-            # Encode from the rotation/assignment already in hand — the
-            # _encode helper would redo both over the full corpus.
-            from ..ops.kmeans import assign_clusters_multi
-
-            residuals = vecs_r - self._centroids[assign]
-            dsub = self.dim // self.m
-            subs = np.ascontiguousarray(
-                residuals.reshape(-1, self.m, dsub).transpose(1, 0, 2)
-            )
-            codes = assign_clusters_multi(subs, self._codebooks).T.astype(np.uint8)
-            nlist = self._centroids.shape[0]
-            pad_local, sort, sorted_lists, slots = _slot_shard_layout(
-                assign, nlist, shards
-            )
-            pad = pad_local * shards
-
-            list_ids = np.full((nlist, pad), -1, np.int32)
-            list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
-            list_ids[sorted_lists, slots] = self._ids[sort].astype(np.int32)
-            # Refine store keeps ORIGINAL-space rows (rotation preserves
-            # L2; the exact rerank needs no rotation).
-            list_vecs[sorted_lists, slots] = self._vectors[sort]
-            c_sq = np.einsum(
-                "nd,nd->n", self._centroids, self._centroids
-            ).astype(np.float32)
-
-            self._params = (nlist, pad_local)
-            common = (
-                jax.device_put(
-                    self._centroids.astype(np.float32),
-                    NamedSharding(self.mesh, P(None, None)),
-                ),
-                jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
-                jax.device_put(
-                    self._codebooks.astype(np.float32),
-                    NamedSharding(self.mesh, P(None, None, None)),
-                ),
-            )
-            slot2 = NamedSharding(self.mesh, P(None, slot_ax))
-            slot3 = NamedSharding(self.mesh, P(None, slot_ax, None))
-            if self._use_kernels():
-                # Pallas per-shard ADC: kernel canvas + item constants,
-                # slot axis LAST in the canvas (sharded like the codes).
-                from ..ops.adc_pallas import (
-                    CODE_LANES, build_item_constants, pack_nibbles,
-                )
-
-                canvas = np.zeros((nlist, pad, self.m), np.uint8)
-                canvas[sorted_lists, slots] = codes[sort]
-                codes128 = np.zeros((nlist, CODE_LANES, pad), np.uint8)
-                codes128[:, : self.m, :] = canvas.transpose(0, 2, 1)
-                if self._codebooks.shape[1] == 16 and self.m % 2 == 0:
-                    codes128 = pack_nibbles(codes128)
-                item_const = build_item_constants(
-                    self._centroids.astype(np.float32), assign, codes,
-                    self._codebooks.astype(np.float32),
-                    sort, sorted_lists, slots, nlist, pad,
-                )
-                slot3_last = NamedSharding(self.mesh, P(None, None, slot_ax))
-                self._staged = common + (
-                    jax.device_put(codes128, slot3_last),
-                    jax.device_put(item_const.astype(np.float32), slot2),
-                    jax.device_put(list_ids, slot2),
-                    jax.device_put(list_vecs, slot3),
-                )
-            else:
-                list_codes = np.zeros((nlist, pad, self.m), np.uint8)
-                list_codes[sorted_lists, slots] = codes[sort]
-                self._staged = common + (
-                    jax.device_put(list_codes, slot3),
-                    jax.device_put(list_ids, slot2),
-                    jax.device_put(list_vecs, slot3),
-                )
+        if self._staged is not None and not self._restage_needed:
+            return self._staged
+        if self._mode == "device":
+            vecs, idsa, assign = self._rows_all()
+            self._stage_rows_device(vecs, idsa, assign)
+            self._dev_vecs.clear()
+            self._dev_ids.clear()
+            self._dev_assign.clear()
+        else:
+            self._stage_host()
+        self._tail = None
+        self._restage_needed = False
+        self._mask_cache.clear()
         return self._staged
+
+    def _stage_host(self):
+        from ..ops.kmeans import assign_clusters, assign_clusters_multi
+
+        shards = self._shards
+        slot_ax = _axes_spec(self._axes)
+        centroids = np.asarray(self._centroids, np.float32)
+        codebooks = np.asarray(self._codebooks, np.float32)
+        vecs_r = self._rotate(self._vectors)
+        assign = assign_clusters(vecs_r, centroids)
+        # Encode from the rotation/assignment already in hand — the
+        # _encode helper would redo both over the full corpus.
+        residuals = vecs_r - centroids[assign]
+        dsub = self.dim // self.m
+        subs = np.ascontiguousarray(
+            residuals.reshape(-1, self.m, dsub).transpose(1, 0, 2)
+        )
+        codes = assign_clusters_multi(subs, codebooks).T.astype(np.uint8)
+        nlist = centroids.shape[0]
+        pad_local, sort, sorted_lists, slots = _slot_shard_layout(
+            assign, nlist, shards
+        )
+        pad = pad_local * shards
+
+        list_ids = np.full((nlist, pad), -1, np.int32)
+        list_vecs = np.zeros((nlist, pad, self.dim), np.float32)
+        list_ids[sorted_lists, slots] = self._ids[sort].astype(np.int32)
+        # Refine store keeps ORIGINAL-space rows (rotation preserves
+        # L2; the exact rerank needs no rotation).
+        list_vecs[sorted_lists, slots] = self._vectors[sort]
+        c_sq = np.einsum("nd,nd->n", centroids, centroids).astype(np.float32)
+
+        self._params = (nlist, pad_local)
+        common = (
+            jax.device_put(
+                centroids, NamedSharding(self.mesh, P(None, None))
+            ),
+            jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
+            jax.device_put(
+                codebooks, NamedSharding(self.mesh, P(None, None, None))
+            ),
+        )
+        slot2 = NamedSharding(self.mesh, P(None, slot_ax))
+        slot3 = NamedSharding(self.mesh, P(None, slot_ax, None))
+        self._staged_kernel_layout = self._use_kernels()
+        if self._staged_kernel_layout:
+            # Pallas per-shard ADC: kernel canvas + item constants,
+            # slot axis LAST in the canvas (sharded like the codes).
+            from ..ops.adc_pallas import (
+                CODE_LANES, build_item_constants, pack_nibbles,
+            )
+
+            canvas = np.zeros((nlist, pad, self.m), np.uint8)
+            canvas[sorted_lists, slots] = codes[sort]
+            codes128 = np.zeros((nlist, CODE_LANES, pad), np.uint8)
+            codes128[:, : self.m, :] = canvas.transpose(0, 2, 1)
+            if codebooks.shape[1] == 16 and self.m % 2 == 0:
+                codes128 = pack_nibbles(codes128)
+            item_const = build_item_constants(
+                centroids, assign, codes, codebooks,
+                sort, sorted_lists, slots, nlist, pad,
+            )
+            slot3_last = NamedSharding(self.mesh, P(None, None, slot_ax))
+            self._staged = common + (
+                jax.device_put(codes128, slot3_last),
+                jax.device_put(item_const.astype(np.float32), slot2),
+                jax.device_put(list_ids, slot2),
+                jax.device_put(list_vecs, slot3),
+            )
+        else:
+            list_codes = np.zeros((nlist, pad, self.m), np.uint8)
+            list_codes[sorted_lists, slots] = codes[sort]
+            self._staged = common + (
+                jax.device_put(list_codes, slot3),
+                jax.device_put(list_ids, slot2),
+                jax.device_put(list_vecs, slot3),
+            )
+
+    def _stage_rows_device(self, vecs, idsa, assign):
+        """Device-resident PQ staging: re-encode + bucket + scatter on
+        device in the chip-major slot-sharded layout — only the (nlist,)
+        counts cross the host link. Codes are re-derived from the raw
+        rows (they are not retained between stagings; restage is rare
+        and one encode pass is one coarse-assign matmul + m subspace
+        assigns)."""
+        from ..models.devbuild import (
+            scatter_list_ids_device, scatter_lists_device,
+        )
+
+        shards = self._shards
+        slot_ax = _axes_spec(self._axes)
+        centroids = self._centroids_dev().astype(jnp.float32)
+        codebooks = self._codebooks_dev().astype(jnp.float32)
+        nlist = int(centroids.shape[0])
+        assign, codes = self._encode_rows_device(
+            vecs, assign.astype(jnp.int32)
+        )
+        pad_local, order, lists, slots, _counts = _slot_shard_layout_device(
+            assign, nlist, shards
+        )
+        pad = pad_local * shards
+        li = scatter_list_ids_device(idsa, order, lists, slots, nlist, pad)
+        lv = scatter_lists_device(
+            vecs.astype(jnp.float32), order, lists, slots, nlist, pad
+        )
+        code_canvas = scatter_lists_device(
+            codes, order, lists, slots, nlist, pad
+        )
+        c_sq = jnp.sum(centroids * centroids, axis=1)
+        self._params = (nlist, pad_local)
+        common = (
+            jax.device_put(
+                centroids, NamedSharding(self.mesh, P(None, None))
+            ),
+            jax.device_put(c_sq, NamedSharding(self.mesh, P(None))),
+            jax.device_put(
+                codebooks, NamedSharding(self.mesh, P(None, None, None))
+            ),
+        )
+        slot2 = NamedSharding(self.mesh, P(None, slot_ax))
+        slot3 = NamedSharding(self.mesh, P(None, slot_ax, None))
+        li_dev = jax.device_put(li, slot2)
+        lv_dev = jax.device_put(lv, slot3)
+        del li, lv
+        self._staged_kernel_layout = self._use_kernels()
+        if self._staged_kernel_layout:
+            from ..ops.adc_pallas import (
+                build_item_constants_device, stage_codes128_device,
+            )
+
+            ksub_eff = int(codebooks.shape[1])
+            codes128 = stage_codes128_device(code_canvas, self.m, ksub_eff)
+            # order/lists/slots carry n_pad entries; padded entries
+            # gather a clamped constant and scatter out of bounds
+            # (dropped) — the bucketize_device contract.
+            item_const = build_item_constants_device(
+                centroids, assign, codes, codebooks,
+                order, lists, slots, nlist, pad,
+            )
+            slot3_last = NamedSharding(self.mesh, P(None, None, slot_ax))
+            self._staged = common + (
+                jax.device_put(codes128, slot3_last),
+                jax.device_put(item_const.astype(jnp.float32), slot2),
+                li_dev,
+                lv_dev,
+            )
+        else:
+            self._staged = common + (
+                jax.device_put(code_canvas, slot3),
+                li_dev,
+                lv_dev,
+            )
+
+    def _apply_removal_staged(self, table) -> int:
+        from ..models.devbuild import apply_removal
+
+        staged = self._staged
+        if self._staged_kernel_layout:
+            c0, c1, books, codes128, item_const, li, lv = staged
+            li, removed, item_const = apply_removal(li, table, item_const)
+            self._staged = (c0, c1, books, codes128, item_const, li, lv)
+        else:
+            c0, c1, books, list_codes, li, lv = staged
+            li, removed = apply_removal(li, table)[:2]
+            self._staged = (c0, c1, books, list_codes, li, lv)
+        return removed
+
+    def _build_masked(self, mask_dev):
+        """Once-per-mask staged operands: a masked item-constant copy
+        (+inf = the ADC kernel's exclusion marker) on the kernel
+        layout; the XLA LUT scan needs only the replicated table (its
+        probe step invalidates masked ids in-program)."""
+        from ..models.devbuild import mask_norms
+
+        staged = self._stage()
+        if self._staged_kernel_layout:
+            li = staged[5]
+            return mask_dev, mask_norms(staged[4], li, mask_dev)
+        return mask_dev, None
 
     def scan_rows_per_chip(self, b: int, nprobe: int | None = None) -> dict:
         """Per-chip ADC-scanned rows for a (b,)-query batch (the PQ
@@ -1449,9 +2340,24 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         }
 
     def search(
-        self, queries: np.ndarray, k: int, *, nprobe: int | None = None
+        self, queries, k: int, *, nprobe: int | None = None, id_mask=None
     ) -> tuple[np.ndarray, np.ndarray]:
-        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        """id_mask: metadata filter pushdown (see ShardedIVFIndex.search).
+
+        Incremental-add tail rows merge AFTER the per-shard refine with
+        their exact distances (scored in rotated space == the original
+        L2): unlike a fresh build they never compete for ADC-shortlist
+        slots, so a tail-resident row can only ADD true neighbors the
+        shortlist would have dropped — recall is never lower than the
+        restaged index's."""
+        from ..models.devbuild import is_device_array
+
+        if is_device_array(queries):
+            queries = np.asarray(queries.astype(jnp.float32)).reshape(-1, self.dim)
+        else:
+            queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(
+                -1, self.dim
+            )
         if self.ntotal == 0 or not self.is_trained:
             shape = (queries.shape[0], k)
             return np.full(shape, np.inf, np.float32), np.full(shape, -1, np.int64)
@@ -1461,11 +2367,15 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
         # Never below k: merge_topk pads, but the ADC carry must be wide
         # enough to hold k winners when ntotal >= k.
         k_adc = max(min(k * self.refine_factor, self.ntotal), k)
-        ksub_eff = int(self._codebooks.shape[1])
+        ksub_eff = int(jnp.shape(self._codebooks)[1])
+        masked = id_mask is not None
+        mask_dev = None
+        if masked:
+            mask_dev, masked_const = self._mask_table(id_mask)
         program = sharded_pq_search_program(
             self.mesh, nlist, pad_local, self.dim, self.m, ksub_eff,
             queries.shape[0], nprobe_eff, k, k_adc,
-            self._use_kernels(), self._axes,
+            self._staged_kernel_layout, self._axes, masked,
         )
         rep = NamedSharding(self.mesh, P(None, None))
         q = jax.device_put(queries, rep)
@@ -1473,7 +2383,26 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
             q if self._rotation is None
             else jax.device_put(self._rotate(queries), rep)
         )
-        d, i = program(*staged, q_adc, q)
+        args = list(staged)
+        extra = ()
+        if masked:
+            if self._staged_kernel_layout:
+                args[4] = masked_const              # item constants
+            extra = (mask_dev,)
+        d, i = program(*args, q_adc, q, *extra)
+        if self._tail and self._tail.count:
+            from ..models.devbuild import mask_rows, merge_tail, tail_scores
+
+            td = tail_scores(
+                self._tail, staged[0], staged[1], q_adc, nprobe_eff,
+                vec_field="rvecs",
+            )
+            if masked:
+                td = jnp.where(
+                    mask_rows(self._tail["ids"], mask_dev)[None, :], td,
+                    jnp.inf,
+                )
+            d, i = merge_tail(d, i, td, self._tail["ids"], k)
         return np.asarray(d), np.asarray(i, dtype=np.int64)
 
     def state(self):
@@ -1483,16 +2412,32 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
             "opq": self.opq, "opq_iters": self.opq_iters,
         }
         empty_books = np.zeros((self.m, 0, self.dim // self.m), np.float32)
+        rotation = (
+            self._rotation if self._rotation is not None
+            else np.zeros((0, self.dim), np.float32)
+        )
+        if self._mode == "device" and self.ntotal:
+            vecs, idsa, _ = self._rows_all()
+            return params, {
+                "vectors": np.asarray(vecs.astype(jnp.float32)),
+                "ids": np.asarray(idsa).astype(np.int64),
+                "centroids": np.asarray(
+                    self._centroids_dev().astype(jnp.float32)
+                ),
+                "codebooks": np.asarray(
+                    self._codebooks_dev().astype(jnp.float32)
+                ),
+                "rotation": rotation,
+            }
         arrays = {
             "vectors": self._vectors,
             "ids": self._ids,
-            "centroids": self._centroids
+            "centroids": np.asarray(self._centroids, np.float32)
             if self._centroids is not None
             else np.zeros((0, self.dim), np.float32),
-            "codebooks": self._codebooks if self._codebooks is not None else empty_books,
-            "rotation": self._rotation
-            if self._rotation is not None
-            else np.zeros((0, self.dim), np.float32),
+            "codebooks": np.asarray(self._codebooks, np.float32)
+            if self._codebooks is not None else empty_books,
+            "rotation": rotation,
         }
         return params, arrays
 

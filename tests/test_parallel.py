@@ -642,15 +642,46 @@ class TestSlotSharding:
         np.testing.assert_allclose(got_d, want_d, rtol=1e-6, atol=1e-6)
         assert two.scan_rows_per_chip(b=6)["shards"] == 8
 
-    def test_ivf_two_level_rejects_int8(self):
+    def test_ivf_two_level_int8_matches_1d(self, corpus):
+        """Round 5 (VERDICT r4 weak #2): the SQ8 composite runs on
+        ('host', 'chip') meshes — same per-shard kernels, hierarchical
+        merge — bit-identical to the 1D data mesh."""
         from c99_vectordb_tpu.parallel import (
             ShardedIVFIndex, make_host_chip_mesh,
         )
 
-        with pytest.raises(ValueError, match="1D 'data' mesh"):
-            ShardedIVFIndex(
-                dim=16, scan_dtype="int8", mesh=make_host_chip_mesh(2, 4)
-            )
+        vectors, ids, queries = corpus
+        one = ShardedIVFIndex(
+            dim=64, nlist=16, nprobe=16, scan_dtype="int8",
+            mesh=make_mesh(n_data=8),
+        )
+        one.load(vectors, ids)
+        want_d, want_i = one.search(queries, 5, nprobe=16)
+        two = ShardedIVFIndex(
+            dim=64, nlist=16, nprobe=16, scan_dtype="int8",
+            mesh=make_host_chip_mesh(2, 4),
+        )
+        two.load(vectors, ids)
+        got_d, got_i = two.search(queries, 5, nprobe=16)
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-6, atol=1e-6)
+
+    def test_flat_two_level_matches_1d(self, corpus):
+        """ShardedFlatIndex on a ('host', 'chip') mesh (previously a
+        hard raise) matches the 1D data mesh bit-for-bit."""
+        from c99_vectordb_tpu.parallel import (
+            ShardedFlatIndex, make_host_chip_mesh,
+        )
+
+        vectors, ids, queries = corpus
+        one = ShardedFlatIndex(dim=64, mesh=make_mesh(n_data=8))
+        one.add(vectors, ids)
+        want_d, want_i = one.search(queries, 5)
+        two = ShardedFlatIndex(dim=64, mesh=make_host_chip_mesh(2, 4))
+        two.add(vectors, ids)
+        got_d, got_i = two.search(queries, 5)
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_d, want_d, rtol=1e-6, atol=1e-6)
 
 
 class TestSlotShardLayout:
@@ -778,3 +809,177 @@ class TestShardedIVFPQRound4:
         got_d, got_i = loaded.search(queries, 5)
         np.testing.assert_array_equal(got_i, want_i)
         np.testing.assert_allclose(got_d, want_d, rtol=1e-6, atol=1e-6)
+
+
+class TestShardedRound5:
+    """Round-5 feature parity with the single-chip families (VERDICT r4
+    next #1/#2): GrowTail O(batch) incremental add, id_mask pushdown,
+    in-place removal, and device-resident build — on every sharded
+    family, checked against the brute-force oracle."""
+
+    @staticmethod
+    def _oracle(db, dbids, q, k, mask=None):
+        d = ((q[:, None, :] - db[None, :, :]) ** 2).sum(-1)
+        if mask is not None:
+            d = np.where(mask[dbids][None, :], d, np.inf)
+        out_d = np.sort(d, axis=1)[:, :k]
+        order = np.lexsort(
+            (np.broadcast_to(dbids, d.shape), d), axis=1
+        )[:, :k]
+        out_i = np.where(np.isinf(out_d), -1, dbids[order])
+        return out_d, out_i
+
+    @pytest.fixture(scope="class")
+    def mask(self, corpus):
+        _, ids, _ = corpus
+        m = np.zeros(ids.shape[0], bool)
+        m[::3] = True
+        return m
+
+    def _families(self, mesh):
+        from c99_vectordb_tpu.parallel import (
+            ShardedIVFIndex, ShardedIVFPQIndex,
+        )
+
+        return [
+            ("flat", ShardedFlatIndex(dim=64, mesh=mesh), True),
+            ("flat_sq8", ShardedFlatIndex(
+                dim=64, scan_dtype="int8", mesh=mesh), True),
+            ("ivf", ShardedIVFIndex(
+                dim=64, nlist=16, nprobe=16, mesh=mesh), True),
+            ("ivf_sq8", ShardedIVFIndex(
+                dim=64, nlist=16, nprobe=16, scan_dtype="int8",
+                mesh=mesh), True),
+            ("pq", ShardedIVFPQIndex(
+                dim=64, nlist=8, nprobe=8, m=8, refine_factor=16,
+                mesh=mesh), False),
+        ]
+
+    @pytest.mark.parametrize("two_level", [False, True])
+    def test_incremental_add_and_mask_and_remove(self, corpus, mask,
+                                                 two_level):
+        from c99_vectordb_tpu.parallel.mesh import make_host_chip_mesh
+
+        vectors, ids, queries = corpus
+        mesh = make_host_chip_mesh(2, 4) if two_level else make_mesh(n_data=8)
+        k = 5
+        for name, ix, exact in self._families(mesh):
+            if hasattr(ix, "load"):
+                ix.load(vectors[:800], ids[:800])
+            else:
+                ix.add(vectors[:800], ids[:800])
+            ix.search(queries, k)  # stage
+            # O(batch) add: staging survives, rows park in the tail
+            ix.add(vectors[800:], ids[800:])
+            assert ix._staged is not None and ix._tail is not None, name
+            assert ix._tail.count == 200, name
+            d, i = ix.search(queries, k)
+            od, oi = self._oracle(vectors, ids, queries, k)
+            if exact:
+                np.testing.assert_array_equal(i, oi, err_msg=name)
+            else:
+                got = np.asarray(i)
+                rec = np.mean([
+                    len(set(a) & set(b)) / k for a, b in zip(got, oi)
+                ])
+                assert rec >= 0.8, (name, rec)
+            # masked search: no unmasked id may appear
+            d, i = ix.search(queries, k, id_mask=mask)
+            got = np.asarray(i)
+            legal = (got < 0) | mask[got.clip(0)]
+            assert legal.all(), (name, "mask leak")
+            if exact:
+                od, oi = self._oracle(vectors, ids, queries, k, mask)
+                np.testing.assert_array_equal(got, oi, err_msg=name)
+            # in-place removal: staging survives
+            staged_before = ix._staged
+            removed = ix.remove_ids(ids[:10])
+            assert removed == 10, name
+            assert ix.ntotal == 990, name
+            d, i = ix.search(queries, k)
+            assert not np.isin(np.asarray(i), ids[:10]).any(), name
+            if exact:
+                keep = ids >= 10
+                od, oi = self._oracle(
+                    vectors[keep], ids[keep], queries, k
+                )
+                np.testing.assert_array_equal(np.asarray(i), oi,
+                                               err_msg=name)
+
+    def test_device_mode_end_to_end(self, corpus, mask):
+        import jax.numpy as jnp
+
+        from c99_vectordb_tpu.parallel import (
+            ShardedIVFIndex, ShardedIVFPQIndex,
+        )
+
+        vectors, ids, queries = corpus
+        dev = jnp.asarray(vectors)
+        did = jnp.asarray(ids.astype(np.int32))
+        mesh = make_mesh(n_data=8)
+        k = 5
+        families = [
+            ("flat", ShardedFlatIndex(dim=64, mesh=mesh), True),
+            ("ivf_sq8", ShardedIVFIndex(
+                dim=64, nlist=16, nprobe=16, scan_dtype="int8",
+                mesh=mesh), True),
+            ("pq", ShardedIVFPQIndex(
+                dim=64, nlist=8, nprobe=8, m=8, refine_factor=16,
+                mesh=mesh), False),
+        ]
+        for name, ix, exact in families:
+            ix.add(dev[:800], did[:800])
+            assert ix._mode == "device", name
+            ix.search(queries, k)
+            ix.add(dev[800:], did[800:])
+            assert ix._tail is not None and ix._tail.count == 200, name
+            d, i = ix.search(queries, k)
+            od, oi = self._oracle(vectors, ids, queries, k)
+            if exact:
+                np.testing.assert_array_equal(np.asarray(i), oi,
+                                               err_msg=name)
+            # masked + device mode together
+            d, i = ix.search(queries, k, id_mask=mask)
+            got = np.asarray(i)
+            assert ((got < 0) | mask[got.clip(0)]).all(), name
+            # reconstruct + in-place removal + state round-trip
+            np.testing.assert_allclose(
+                ix.reconstruct(42), vectors[42], atol=1e-2
+            )
+            assert ix.remove_ids([42]) == 1 and ix.ntotal == 999, name
+            params, arrays = ix.state()
+            assert arrays["vectors"].shape[0] == 999, name
+            loaded = type(ix).from_state(params, arrays)
+            d2, i2 = loaded.search(queries, k)
+            got2, got = np.asarray(i2), np.asarray(ix.search(queries, k)[1])
+            if exact:
+                np.testing.assert_array_equal(got2, got, err_msg=name)
+
+    def test_tail_then_restage_matches(self, corpus):
+        """Forcing the restage (fold the tail into the lists) must not
+        change exact-family results."""
+        from c99_vectordb_tpu.parallel import ShardedIVFIndex
+
+        vectors, ids, queries = corpus
+        mesh = make_mesh(n_data=8)
+        ix = ShardedIVFIndex(dim=64, nlist=16, nprobe=16, mesh=mesh)
+        ix.load(vectors[:800], ids[:800])
+        ix.search(queries, 5)
+        ix.add(vectors[800:], ids[800:])
+        d_tail, i_tail = ix.search(queries, 5)
+        ix._restage_needed = True
+        d_fold, i_fold = ix.search(queries, 5)
+        assert ix._tail is None
+        np.testing.assert_array_equal(i_fold, i_tail)
+        np.testing.assert_allclose(d_fold, d_tail, rtol=1e-5, atol=1e-6)
+
+    def test_mask_cache_reuse(self, corpus, mask):
+        """Passing the same mask object must reuse the staged masked
+        operands (one build per mask object)."""
+        vectors, ids, queries = corpus
+        ix = ShardedFlatIndex(dim=64, mesh=make_mesh(n_data=8))
+        ix.add(vectors, ids)
+        ix.search(queries, 5, id_mask=mask)
+        built = ix._mask_cache._value
+        ix.search(queries, 5, id_mask=mask)
+        assert ix._mask_cache._value is built
