@@ -191,6 +191,40 @@ def main() -> int:
     print(f"post-add: {moved} result slots changed, {newcnt} new-row hits",
           flush=True)
 
+    # Restage-inside-a-search: add past the restage threshold, then time
+    # the search that pays the tail fold (the production latency spike).
+    # With pad_cap this exercises the round-5 INCREMENTAL cap
+    # maintenance — only the tail rows re-place/re-encode
+    # (devbuild.capped_assign_incremental) instead of the full-corpus
+    # capped_assign (VERDICT r4 weak #5: 31 s stage / 6.3 s restage at
+    # 1M zipf). Two cycles: the first may still compile the incremental
+    # programs; the second is the warm steady state.
+    from c99_vectordb_tpu.models.devbuild import tail_restage_threshold
+
+    gen_key = 900
+    for label in ("restage_in_search_cold_s", "restage_in_search_warm_s"):
+        while not idx._restage_needed:
+            batch = gen(gen_key, args.add)
+            bids = jnp.arange(
+                idx.ntotal + n, idx.ntotal + n + args.add, dtype=jnp.int32
+            )
+            jax.block_until_ready(batch)
+            idx.add(batch, bids)
+            gen_key += 1
+        t0 = time.perf_counter()
+        d4, i4 = idx.search(queries, k=10)
+        restage_s = time.perf_counter() - t0
+        assert idx._tail is None
+        results[label] = round(restage_s, 3)
+        print(f"{label}: {restage_s:.3f}s "
+              f"(threshold {tail_restage_threshold(idx.ntotal)})", flush=True)
+    if args.pad_cap:
+        canvas_ids = idx._staged[3] if args.kind == "ivf_flat" else idx._staged[4]
+        per_list = (np.asarray(canvas_ids) >= 0).sum(axis=1)
+        assert per_list.max() <= args.pad_cap, int(per_list.max())
+        print(f"post-restage max list {per_list.max()} (cap {args.pad_cap})",
+              flush=True)
+
     line = json.dumps(results)
     print(line, flush=True)
     if args.json_out:

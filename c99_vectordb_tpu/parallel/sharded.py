@@ -927,7 +927,10 @@ class _ShardedBase:
         from ..models.devbuild import GrowTail, tail_restage_threshold
 
         if self._tail is None:
-            self._tail = GrowTail(self._tail_spec(), put=self._put_rep)
+            self._tail = GrowTail(
+                self._tail_spec(), put=self._put_rep,
+                initial_cap=tail_restage_threshold(self.ntotal),
+            )
         self._tail.append(
             vecs=vecs_dev.astype(self._keep_dtype), ids=ids_dev,
             **self._tail_extras(vecs_dev),
@@ -1235,13 +1238,18 @@ class ShardedFlatIndex(_ShardedBase):
         vec_sharding = NamedSharding(self.mesh, P(row_ax))
         if self._mode == "device":
             vecs, idsa = self._rows_all()
+            # Free source chunks + the old staged store before the new
+            # padded store allocates (see ShardedIVFIndex._stage).
+            self._dev_vecs.clear()
+            self._dev_ids.clear()
+            old_staged, self._staged = self._staged, None
+            del old_staged
             n = self.ntotal
             cap = self._aligned_cap(n)
             db, idp, sq = _flat_pad_stage_program(
                 n, cap, self.dim, str(vecs.dtype)
             )(vecs, idsa)
-            self._dev_vecs.clear()
-            self._dev_ids.clear()
+            del vecs, idsa
             staged = (
                 jax.device_put(db, row_sharding),
                 jax.device_put(idp, vec_sharding),
@@ -1623,10 +1631,16 @@ class ShardedIVFIndex(_ShardedBase):
             return self._staged
         if self._mode == "device":
             vecs, idsa, assign = self._rows_all()
-            self._stage_rows_device(vecs, idsa, assign)
+            # The locals above hold the consolidated rows; clearing the
+            # chunk stores NOW frees the original chunk buffers before
+            # the scatter canvases allocate (1M x 384 staging OOMed a
+            # v5e with both alive).
             self._dev_vecs.clear()
             self._dev_ids.clear()
             self._dev_assign.clear()
+            old_staged, self._staged = self._staged, None
+            del old_staged
+            self._stage_rows_device(vecs, idsa, assign)
         else:
             self._stage_host()
         self._tail = None
@@ -1722,10 +1736,22 @@ class ShardedIVFIndex(_ShardedBase):
             assign.astype(jnp.int32), nlist, shards
         )
         pad = pad_local * shards
+        # Scatter -> reshard -> free, one canvas at a time: the (nlist,
+        # pad, D) store is multiple GB at 1M scale and two live copies
+        # OOM a v5e next to the source rows.
         store = scatter_lists_device(
             vecs.astype(self._keep_dtype), order, lists, slots, nlist, pad
         )
+        del vecs
+        lv_dev = jax.device_put(
+            store, NamedSharding(self.mesh, P(None, slot_ax, None))
+        )
+        del store
         li = scatter_list_ids_device(idsa, order, lists, slots, nlist, pad)
+        li_dev = jax.device_put(
+            li, NamedSharding(self.mesh, P(None, slot_ax))
+        )
+        del li
         common = (
             jax.device_put(
                 centroids.astype(jnp.float32),
@@ -1736,13 +1762,6 @@ class ShardedIVFIndex(_ShardedBase):
                 NamedSharding(self.mesh, P(None)),
             ),
         )
-        lv_dev = jax.device_put(
-            store, NamedSharding(self.mesh, P(None, slot_ax, None))
-        )
-        li_dev = jax.device_put(
-            li, NamedSharding(self.mesh, P(None, slot_ax))
-        )
-        del store, li
         self._finish_stage(lv_dev, li_dev, common, nlist, pad_local)
 
     def _apply_removal_staged(self, table) -> int:
@@ -2135,10 +2154,14 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
             return self._staged
         if self._mode == "device":
             vecs, idsa, assign = self._rows_all()
-            self._stage_rows_device(vecs, idsa, assign)
+            # Free source chunks + the old staged canvases before the
+            # new ones allocate (see ShardedIVFIndex._stage).
             self._dev_vecs.clear()
             self._dev_ids.clear()
             self._dev_assign.clear()
+            old_staged, self._staged = self._staged, None
+            del old_staged
+            self._stage_rows_device(vecs, idsa, assign)
         else:
             self._stage_host()
         self._tail = None
@@ -2246,10 +2269,19 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
             assign, nlist, shards
         )
         pad = pad_local * shards
-        li = scatter_list_ids_device(idsa, order, lists, slots, nlist, pad)
+        slot2 = NamedSharding(self.mesh, P(None, slot_ax))
+        slot3 = NamedSharding(self.mesh, P(None, slot_ax, None))
+        # Scatter -> reshard -> free one canvas at a time (the refine
+        # store is multiple GB at corpus scale; see ShardedIVFIndex).
         lv = scatter_lists_device(
             vecs.astype(jnp.float32), order, lists, slots, nlist, pad
         )
+        del vecs
+        lv_dev = jax.device_put(lv, slot3)
+        del lv
+        li = scatter_list_ids_device(idsa, order, lists, slots, nlist, pad)
+        li_dev = jax.device_put(li, slot2)
+        del li
         code_canvas = scatter_lists_device(
             codes, order, lists, slots, nlist, pad
         )
@@ -2264,11 +2296,6 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
                 codebooks, NamedSharding(self.mesh, P(None, None, None))
             ),
         )
-        slot2 = NamedSharding(self.mesh, P(None, slot_ax))
-        slot3 = NamedSharding(self.mesh, P(None, slot_ax, None))
-        li_dev = jax.device_put(li, slot2)
-        lv_dev = jax.device_put(lv, slot3)
-        del li, lv
         self._staged_kernel_layout = self._use_kernels()
         if self._staged_kernel_layout:
             from ..ops.adc_pallas import (
@@ -2277,6 +2304,7 @@ class ShardedIVFPQIndex(ShardedIVFIndex):
 
             ksub_eff = int(codebooks.shape[1])
             codes128 = stage_codes128_device(code_canvas, self.m, ksub_eff)
+            del code_canvas
             # order/lists/slots carry n_pad entries; padded entries
             # gather a clamped constant and scatter out of bounds
             # (dropped) — the bucketize_device contract.
