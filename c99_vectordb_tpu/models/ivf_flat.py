@@ -336,7 +336,8 @@ class IVFFlatIndex:
 
     # -- training / mutation --------------------------------------------------
 
-    def train(self, data, *, iters: int = 10, seed: int = 0) -> None:
+    def train(self, data, *, iters: int = 10, seed: int = 0,
+              init: str = "maximin") -> None:
         if is_device_array(data) and self.ntotal == 0:
             self._mode = "device"
         if self._mode == "device":
@@ -346,7 +347,8 @@ class IVFFlatIndex:
             ).astype(jnp.float32).reshape(-1, self.dim)
             nlist_eff = min(self.nlist, max(1, int(data.shape[0])))
             self._centroids = train_kmeans(
-                data, nlist_eff, iters=iters, seed=seed, out_device=True
+                data, nlist_eff, iters=iters, seed=seed, out_device=True,
+                init=init,
             )
             if self.ntotal:
                 # Retrain: pull every row back out of the staged layout,
@@ -369,7 +371,9 @@ class IVFFlatIndex:
             -1, self.dim
         )
         nlist_eff = min(self.nlist, max(1, data.shape[0]))
-        self._centroids = train_kmeans(data, nlist_eff, iters=iters, seed=seed)
+        self._centroids = train_kmeans(
+            data, nlist_eff, iters=iters, seed=seed, init=init
+        )
         if self.ntotal:
             self._assign = assign_clusters(self._vectors, self._centroids)
         self._staged = None

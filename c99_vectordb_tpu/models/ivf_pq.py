@@ -520,7 +520,11 @@ class IVFPQIndex:
             )
         return self._codebooks
 
-    def train(self, data, *, iters: int = 10, seed: int = 0) -> None:
+    def train(self, data, *, iters: int = 10, seed: int = 0,
+              init: str = "maximin") -> None:
+        """init: coarse-quantizer seeding (ops/kmeans.train_kmeans) —
+        "maximin" default; "sample" (Forgy) is mass-proportional for
+        heavy-tailed corpora (measured zipf guidance, BASELINE.md)."""
         if is_device_array(data) and self.ntotal == 0:
             self._mode = "device"
         if self._mode == "device" and not is_device_array(data):
@@ -533,7 +537,8 @@ class IVFPQIndex:
             data = self._rotate_device(data)
             nlist_eff = min(self.nlist, max(1, n))
             self._centroids = train_kmeans(
-                data, nlist_eff, iters=iters, seed=seed, out_device=True
+                data, nlist_eff, iters=iters, seed=seed, out_device=True,
+                init=init,
             )
             assign = assign_clusters(data, self._centroids, out_device=True)
             subs = _residual_subs_program(n, self.dim, self.m)(
@@ -559,7 +564,9 @@ class IVFPQIndex:
         data = self._rotate(data)
         n = data.shape[0]
         nlist_eff = min(self.nlist, max(1, n))
-        self._centroids = train_kmeans(data, nlist_eff, iters=iters, seed=seed)
+        self._centroids = train_kmeans(
+            data, nlist_eff, iters=iters, seed=seed, init=init
+        )
         assign = assign_clusters(data, self._centroids)
         residuals = data - self._centroids[assign]
         dsub = self.dim // self.m
