@@ -93,7 +93,6 @@ def main() -> int:
         return _gen(jnp.zeros((count,), jnp.int8))
 
     from c99_vectordb_tpu.models.base import list_pad
-    from c99_vectordb_tpu.models.ivf_flat import _sq8_stage
     from c99_vectordb_tpu.ops.ivf_scan_pallas import ivf_sq8_search_program
     from c99_vectordb_tpu.ops.kmeans import assign_clusters, train_kmeans
     from c99_vectordb_tpu.ops.rerank import rerank_program_rows
@@ -182,6 +181,46 @@ def main() -> int:
 
     ids_np = np.arange(n, dtype=np.int32)
     for thr in thresholds:
+        if thr <= 0:
+            # Pure flat-SQ8 exact baseline on the SAME corpus (the
+            # honest competitor: the kernel is grid-step-bound, so its
+            # 768-d headline number understates 384-d throughput).
+            from c99_vectordb_tpu.ops.rerank import shortlist_depth
+
+            n_pad = ((n + 2047) // 2048) * 2048
+            fr = jnp.zeros((n_pad, d), jnp.float32).at[:n].set(corpus)
+            f_scale = jnp.maximum(
+                jnp.max(jnp.abs(corpus), axis=0), 1e-30
+            ) / 127.0
+            f_codes = jnp.clip(
+                jnp.rint(fr / f_scale), -127, 127
+            ).astype(jnp.int8)
+            f_dec = f_codes.astype(jnp.float32) * f_scale
+            f_sqn = jnp.where(
+                jnp.arange(n_pad) < n,
+                jnp.sum(f_dec * f_dec, axis=1), jnp.inf,
+            )
+            f_ids = jnp.full((n_pad,), -1, jnp.int32).at[:n].set(
+                jnp.arange(n, dtype=jnp.int32)
+            )
+            del fr, f_dec
+            ksd = shortlist_depth(k, n)
+            rrf = rerank_program_rows(n, d, b, ksd, k, "bfloat16")
+
+            def fstep(q, fc, fs, fn, fi_, ref):
+                _, ci = fused_topk(fc, fi_, fn, q * fs, ksd)
+                return rrf(ref, ci, ci, q)
+
+            fops = (f_codes, f_scale, f_sqn, f_ids, refine_dev)
+            _, ai = jax.jit(fstep)(queries, *fops)
+            r = rec(np.asarray(ai))
+            qps = timed_qps(fstep, fops)
+            results["flat_sq8"] = {"qps": round(qps, 1),
+                                   "recall": round(r, 4)}
+            print(f"== flat_sq8 (thr=0): {qps:,.0f} QPS  "
+                  f"recall@{k}={r:.4f} ==", flush=True)
+            del fops, f_codes, f_sqn, f_ids
+            continue
         heavy_cell = counts > thr
         hmask = heavy_cell[assign]
         n_heavy = int(hmask.sum())
@@ -231,21 +270,35 @@ def main() -> int:
         slots = (np.arange(len(l_sel)) - starts[srt_lists]).astype(np.int32)
         rows_sel = jnp.asarray(l_sel[order])
 
+        # Quantize ROWS first, scatter int8: an f32 (nlist, pad, d)
+        # canvas is 12.7 GB at pad 2048 and OOMs the chip (staging
+        # memory rule, CLAUDE.md round 4).
         @jax.jit
         def scatter(x, rows_sel, lists, slots):
-            lv = jnp.zeros((nlist_l, pad_l, d), jnp.float32).at[
+            rows = x[rows_sel]
+            scale = jnp.maximum(
+                jnp.max(jnp.abs(rows), axis=0), 1e-30
+            ) / 127.0
+            codes_r = jnp.clip(
+                jnp.rint(rows / scale), -127, 127
+            ).astype(jnp.int8)
+            dec = codes_r.astype(jnp.float32) * scale
+            dsq_r = jnp.sum(dec * dec, axis=1)
+            lc = jnp.zeros((nlist_l, pad_l, d), jnp.int8).at[
                 lists, slots
-            ].set(x[rows_sel])
+            ].set(codes_r)
+            ld = jnp.zeros((nlist_l, pad_l), jnp.float32).at[
+                lists, slots
+            ].set(dsq_r)
             li = jnp.full((nlist_l, pad_l), -1, jnp.int32).at[
                 lists, slots
             ].set(rows_sel.astype(jnp.int32))
-            return lv, li
+            return lc, scale, ld, li
 
-        lv, li = scatter(corpus, rows_sel,
-                         jnp.asarray(srt_lists.astype(np.int32)),
-                         jnp.asarray(slots))
-        l_codes, l_scale, l_dsq = _sq8_stage(lv, li)
-        del lv
+        l_codes, l_scale, l_dsq, li = scatter(
+            corpus, rows_sel,
+            jnp.asarray(srt_lists.astype(np.int32)),
+            jnp.asarray(slots))
         cents_l = centroids[jnp.asarray(light_cells.astype(np.int32))]
         csq_l = jnp.sum(cents_l * cents_l, axis=1)
         build_s = time.perf_counter() - t0
