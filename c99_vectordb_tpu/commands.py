@@ -156,11 +156,16 @@ def build_index_from_store(bodies: list[str], verbose: bool):
     """Embed every non-blank body in ONE batched device program and build
     a fresh index (contrast: reference re-embeds in a Python loop,
     memo_cli.py:272-285)."""
-    _, embed_texts, _, _ = _compute_stack()
+    configure_jax_cache()
+    from .ops.embed import embed_texts_device
+
     keep_ids = [i for i, body in enumerate(bodies) if not is_blank_body(body or "")]
     index = make_index(corpus_size=len(keep_ids))
     if keep_ids:
-        vectors = embed_texts([bodies[i] for i in keep_ids])
+        # Device-resident: the (n, dim) f32 embedding never crosses the
+        # host link (3 GB at 1M — hazard #3); train/add/_stage accept
+        # jax.Array end-to-end (models/devbuild.py).
+        vectors = embed_texts_device([bodies[i] for i in keep_ids])
         if hasattr(index, "train") and not getattr(index, "is_trained", True):
             index.train(vectors)
         index.add(vectors, np.asarray(keep_ids, dtype=np.int64))
@@ -243,8 +248,13 @@ def parse_save_input(path) -> list[dict[str, Any]]:
     non-empty string `body`, optional map `metadata`, optional int `id`."""
     if not path.exists():
         raise ValueError(f"failed to read input file '{path}'")
+    # libyaml C parser when present: identical typed results to SafeLoader
+    # (same resolvers/constructors — see storage/yaml_store.py), ~8.5x
+    # faster. At 1M save records the SafeLoader parse alone measured
+    # ~5.4 min of the verb (benchmarks/cli_corpus_scale.py).
+    loader = getattr(yaml, "CSafeLoader", yaml.SafeLoader)
     entries: list[dict[str, Any]] = []
-    for doc in yaml.safe_load_all(path.read_text(encoding="utf-8")):
+    for doc in yaml.load_all(path.read_text(encoding="utf-8"), Loader=loader):
         if doc is None:
             continue
         if not isinstance(doc, dict):
@@ -284,7 +294,7 @@ def cmd_save(db_base: str, input_file: str, user_cwd: str, verbose: bool) -> int
         return _fail(f"failed to load database YAML '{yaml_path}': {e}")
 
     select_platform(len(store) + len(entries))  # memo-scale -> CPU
-    _, embed_texts, load_index_or_fresh, write_index = _compute_stack()
+    _, _, load_index_or_fresh, write_index = _compute_stack()
     index = load_index_or_fresh(
         index_path,
         dim=DIM,
@@ -315,7 +325,11 @@ def cmd_save(db_base: str, input_file: str, user_cwd: str, verbose: bool) -> int
         # Any overwrite invalidates stored vectors -> full batched rebuild.
         index = build_index_from_store(store.bodies, verbose)
     elif appended:
-        vectors = embed_texts([body for _, body in appended])
+        # Device-resident (see build_index_from_store): a corpus-scale
+        # first save funnels ALL records through this append path.
+        from .ops.embed import embed_texts_device
+
+        vectors = embed_texts_device([body for _, body in appended])
         index.add(vectors, np.asarray([rid for rid, _ in appended], dtype=np.int64))
 
     ensure_parent(index_path)

@@ -42,14 +42,18 @@ def _embed_program(n_rows: int, n_feats: int, dim: int):
     return run
 
 
-def embed_texts(texts: list[str], dim: int = DIM) -> np.ndarray:
-    """Embed a batch of texts into L2-normalized float32 rows of shape (B, dim).
+def embed_texts_device(texts: list[str], dim: int = DIM) -> jax.Array:
+    """Embed a batch of texts, returning the DEVICE array (B, dim) f32.
 
-    Blank texts (no tokens) embed to the zero vector, matching the
-    reference's normalize() contract (memo_cli.py:131-135).
+    Same values as embed_texts, without the device->host pull. At corpus
+    scale the pull is the cost: a 1M x 768 f32 embedding is 3 GB and the
+    host link runs at 1-30 MB/s (CLAUDE.md hazard #3), while the inputs
+    that must cross (token features) are ~70 MB. Index families accept
+    jax.Array end-to-end (models/devbuild.py), so save/reindex keep the
+    vectors on device from embed through staging.
     """
     if not texts:
-        return np.zeros((0, dim), dtype=np.float32)
+        return jnp.zeros((0, dim), jnp.float32)
 
     rows, buckets, signs = batch_token_features(texts, dim)
 
@@ -63,7 +67,18 @@ def embed_texts(texts: list[str], dim: int = DIM) -> np.ndarray:
     signs_p[: len(signs)] = signs
 
     out = _embed_program(row_cap, feat_cap, dim)(rows_p, buckets_p, signs_p)
-    return np.asarray(out)[: len(texts)]
+    return out[: len(texts)]
+
+
+def embed_texts(texts: list[str], dim: int = DIM) -> np.ndarray:
+    """Embed a batch of texts into L2-normalized float32 rows of shape (B, dim).
+
+    Blank texts (no tokens) embed to the zero vector, matching the
+    reference's normalize() contract (memo_cli.py:131-135).
+    """
+    if not texts:
+        return np.zeros((0, dim), dtype=np.float32)
+    return np.asarray(embed_texts_device(texts, dim))
 
 
 def embed_text(text: str, dim: int = DIM) -> np.ndarray:
