@@ -350,15 +350,19 @@ def cmd_recall(
     user_cwd: str,
     verbose: bool = False,
 ) -> int:
+    from .utils.timing import stage
+
     index_path, yaml_path = db_paths(db_base, user_cwd)
     try:
-        store = _load_store(yaml_path)
+        with stage(verbose, "load-yaml"):
+            store = _load_store(yaml_path)
     except Exception as e:
         return _fail(f"failed to load database YAML '{yaml_path}': {e}")
 
     select_platform(len(store))  # memo-scale -> CPU, corpus-scale -> TPU
     embed_text, _, load_index_or_fresh, _ = _compute_stack()
-    index = load_index_or_fresh(index_path, dim=DIM)
+    with stage(verbose, "load-index"):
+        index = load_index_or_fresh(index_path, dim=DIM)
 
     if not as_yaml:
         print(f"Top {k} results:")
@@ -375,8 +379,6 @@ def cmd_recall(
     # records the old full pull moved ~8 MB through a 1-30 MB/s link to
     # print k rows (VERDICT r3 next #5). Byte output is identical: the
     # chunks ARE the same sorted arrays.
-    from .utils.timing import stage
-
     ranked_handle = None
     with stage(verbose, "embed+search"):
         q_vec = embed_text(query)
