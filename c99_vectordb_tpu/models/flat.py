@@ -293,5 +293,18 @@ class FlatIndex:
             scan_dtype=str(params.get("scan_dtype", "float32")),
         )
         if arrays["vectors"].size:
-            index.add(arrays["vectors"], arrays["ids"])
+            # Adopt the state arrays without copying (they may be read-only
+            # mmap views — storage/index_io.py): add()'s concatenate would
+            # eagerly materialize the whole store before the device push.
+            vectors = np.ascontiguousarray(arrays["vectors"], dtype=np.float32)
+            ids = np.asarray(arrays["ids"], dtype=np.int64).reshape(-1)
+            vectors = vectors.reshape(-1, index.dim)
+            if vectors.shape[0] != ids.shape[0]:
+                raise ValueError("vectors and ids must have matching leading dimension")
+            if not np.all(ids[:-1] <= ids[1:]):
+                order = np.argsort(ids, kind="stable")
+                vectors = vectors[order]
+                ids = ids[order]
+            index._vectors = vectors
+            index._ids = ids
         return index

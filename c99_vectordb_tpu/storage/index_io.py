@@ -74,25 +74,50 @@ def write_index(index: Any, path: Path) -> None:
 
 
 def read_index(path: Path) -> Any:
-    """Deserialize an index; raises on malformed input (callers decide recovery)."""
+    """Deserialize an index; raises on malformed input (callers decide recovery).
+
+    Array payloads memory-map by default (read-only, same contract as the
+    old frombuffer-over-bytes views): at corpus scale the eager
+    read_bytes pass cost a second full copy of the store BEFORE the
+    host->device push even started (10.2 s for the 1.48 GB 1M index,
+    BASELINE.md round 5) — mmap lets the push page the file in as it
+    streams and halves peak host RSS. C99VDB_INDEX_MMAP=0 restores the
+    eager read (e.g. when the file lives on a network FS where lazy
+    faults are worse than one sequential read)."""
+    import os
+
     registry.builtin_loader()
-    raw = path.read_bytes()
-    if raw[: len(INDEX_MAGIC)] != INDEX_MAGIC:
-        raise ValueError("not a TPUVDB index file")
-    (header_len,) = struct.unpack_from("<I", raw, len(INDEX_MAGIC))
-    header_start = len(INDEX_MAGIC) + 4
-    header = json.loads(raw[header_start : header_start + header_len].decode("utf-8"))
+    with path.open("rb") as fh:
+        head = fh.read(len(INDEX_MAGIC) + 4)
+        if len(head) < len(INDEX_MAGIC) + 4 or head[: len(INDEX_MAGIC)] != INDEX_MAGIC:
+            raise ValueError("not a TPUVDB index file")
+        (header_len,) = struct.unpack_from("<I", head, len(INDEX_MAGIC))
+        header = json.loads(fh.read(header_len).decode("utf-8"))
     if header["version"] > FORMAT_VERSION:
         raise ValueError(f"unsupported index format version {header['version']}")
 
-    body_start = header_start + header_len
+    body_start = len(INDEX_MAGIC) + 4 + header_len
+    use_mmap = os.environ.get("C99VDB_INDEX_MMAP", "1").strip() != "0"
+    raw: np.ndarray | None = None
+    if not use_mmap:
+        raw = np.frombuffer(path.read_bytes(), dtype=np.uint8)
+
     arrays: dict[str, np.ndarray] = {}
     for entry in header["arrays"]:
         start = body_start + entry["offset"]
-        buf = raw[start : start + entry["nbytes"]]
-        arrays[entry["name"]] = np.frombuffer(buf, dtype=np.dtype(entry["dtype"])).reshape(
-            entry["shape"]
-        )
+        dt = np.dtype(entry["dtype"])
+        count = entry["nbytes"] // dt.itemsize
+        if entry["nbytes"] != count * dt.itemsize:
+            raise ValueError(f"array '{entry['name']}' payload size mismatch")
+        if count == 0:
+            buf = np.empty((0,), dt)
+        elif raw is None:
+            buf = np.memmap(path, dtype=dt, mode="r", offset=start, shape=(count,))
+        else:
+            if start + entry["nbytes"] > raw.nbytes:
+                raise ValueError(f"array '{entry['name']}' payload out of bounds")
+            buf = raw[start : start + entry["nbytes"]].view(dt)
+        arrays[entry["name"]] = buf.reshape(entry["shape"])
 
     cls = registry.resolve(header["kind"])
     return cls.from_state(header["params"], arrays)

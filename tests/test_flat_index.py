@@ -116,6 +116,33 @@ class TestSerialization:
         path.write_bytes(path.read_bytes()[:20])
         assert load_index_or_fresh(path).ntotal == 0
 
+    def test_mmap_and_eager_reads_identical(self, tmp_path, rng, monkeypatch):
+        """read_index memory-maps payloads by default; C99VDB_INDEX_MMAP=0
+        restores the eager read_bytes path. Both must produce identical
+        arrays (the mmap path exists to overlap the corpus-scale disk
+        read with the host->device push — BASELINE.md round 5)."""
+        from c99_vectordb_tpu.storage.index_io import read_index
+
+        index = FlatIndex(dim=16)
+        index.add(rng.standard_normal((9, 16)).astype(np.float32), np.arange(9))
+        path = tmp_path / "db.memo"
+        write_index(index, path)
+
+        monkeypatch.delenv("C99VDB_INDEX_MMAP", raising=False)
+        mapped = read_index(path)
+        monkeypatch.setenv("C99VDB_INDEX_MMAP", "0")
+        eager = read_index(path)
+
+        base = mapped._vectors
+        while base is not None and not isinstance(base, np.memmap):
+            base = base.base
+        assert isinstance(base, np.memmap)  # no-copy adoption of the mapped file
+        assert not mapped._vectors.flags.writeable
+        np.testing.assert_array_equal(np.asarray(mapped._vectors), eager._vectors)
+        np.testing.assert_array_equal(np.asarray(mapped._ids), eager._ids)
+        q = np.asarray(mapped._vectors[3])[None]
+        np.testing.assert_array_equal(mapped.search(q, 3)[1], eager.search(q, 3)[1])
+
 
 class TestScanDtype:
     def test_bf16_scan_option_exact_on_cpu(self):
