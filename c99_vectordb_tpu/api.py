@@ -48,23 +48,59 @@ class MemoDB:
         # scan stagings by mask OBJECT identity, so repeated filtered
         # recalls must hand them the same array).
         self._mask_memo: dict = {}
+        # Resident store/index, keyed by file stat. The CLI is a fresh
+        # process per verb so it pays the load+device-push every time
+        # (measured: the push IS the corpus-scale recall verb,
+        # BASELINE.md round 5); an embedded MemoDB is the serving
+        # surface, so it must pay it once. Mutations through THIS
+        # instance publish their in-memory objects back under the new
+        # file stat (keeping warm device stagings); external file
+        # changes invalidate by stat.
+        self._store_cache: tuple[Any, RecordStore] | None = None
+        self._index_cache: tuple[Any, Any] | None = None
 
     # -- internals ---------------------------------------------------------
 
+    @staticmethod
+    def _stat_key(path) -> tuple[int, int] | None:
+        try:
+            st = path.stat()
+        except OSError:
+            return None
+        return (st.st_mtime_ns, st.st_size)
+
     def _store(self) -> RecordStore:
-        return RecordStore.load(self.records_path)
+        key = self._stat_key(self.records_path)
+        if self._store_cache is not None and self._store_cache[0] == key:
+            return self._store_cache[1]
+        store = RecordStore.load(self.records_path)
+        self._store_cache = (key, store)
+        return store
 
     def _index(self):
         from .commands import make_index
 
-        return load_index_or_fresh(self.index_path, dim=DIM, fresh_factory=make_index)
+        key = self._stat_key(self.index_path)
+        if self._index_cache is not None and self._index_cache[0] == key:
+            return self._index_cache[1]
+        index = load_index_or_fresh(self.index_path, dim=DIM, fresh_factory=make_index)
+        self._index_cache = (key, index)
+        return index
+
+    def _publish_index(self, index) -> None:
+        write_index(index, self.index_path)
+        self._index_cache = (self._stat_key(self.index_path), index)
+
+    def _publish_store(self, store: RecordStore) -> None:
+        store.save(self.records_path)
+        self._store_cache = (self._stat_key(self.records_path), store)
 
     def _rebuild(self, store: RecordStore):
         from .commands import build_index_from_store
 
         index = build_index_from_store(store.bodies, verbose=False)
-        write_index(index, self.index_path)
-        store.save(self.records_path)
+        self._publish_index(index)
+        self._publish_store(store)
         return index
 
     # -- verbs ---------------------------------------------------------------
@@ -87,8 +123,8 @@ class MemoDB:
             return doc_id
         new_id = store.append(body, metadata)
         index.add(embed_texts([body]), np.asarray([new_id], dtype=np.int64))
-        write_index(index, self.index_path)
-        store.save(self.records_path)
+        self._publish_index(index)
+        self._publish_store(store)
         return new_id
 
     def save_many(self, records: list[dict[str, Any]]) -> list[int]:
@@ -113,8 +149,8 @@ class MemoDB:
         ids = [store.append(r["body"], r.get("metadata")) for r in records]
         vectors = embed_texts([r["body"] for r in records])
         index.add(vectors, np.asarray(ids, dtype=np.int64))
-        write_index(index, self.index_path)
-        store.save(self.records_path)
+        self._publish_index(index)
+        self._publish_store(store)
         return ids
 
     def metadata_mask(self, filter: str | dict[str, Any]) -> np.ndarray:
@@ -292,8 +328,8 @@ class MemoDB:
         meta["deleted"] = True
         store.overwrite(doc_id, "", meta)
         index.remove_ids(np.asarray([doc_id], np.int64))
-        write_index(index, self.index_path)
-        store.save(self.records_path)
+        self._publish_index(index)
+        self._publish_store(store)
         self._mask_memo.clear()
         return True
 
@@ -313,6 +349,9 @@ class MemoDB:
                 removed = True
             except FileNotFoundError:
                 pass
+        self._store_cache = None
+        self._index_cache = None
+        self._mask_memo.clear()
         return removed
 
     def __len__(self) -> int:

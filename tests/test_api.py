@@ -138,3 +138,40 @@ def test_recall_pushdown_widens_and_bounds_by_mask(tmp_path):
     # Nothing matches: clean empty result.
     none = db.recall("tea", k=3, filter="{source: missing}", pushdown=True)
     assert none == []
+
+
+def test_resident_cache_reuses_and_invalidates(tmp_path):
+    """Serving contract: repeated recalls reuse the SAME loaded index and
+    store objects (no per-call reload/restage — BASELINE.md round 5);
+    mutations through the instance publish the mutated objects back; an
+    external file change invalidates by stat."""
+    import os
+    import time
+
+    from c99_vectordb_tpu.api import MemoDB
+
+    db = MemoDB(str(tmp_path / "db"))
+    db.save_many([{"body": f"note {i}"} for i in range(6)])
+
+    idx1 = db._index()
+    store1 = db._store()
+    db.recall("note", k=2)
+    assert db._index() is idx1 and db._store() is store1
+
+    # A mutation through the instance keeps the warm objects resident.
+    db.save("fresh note")
+    idx2 = db._index()
+    assert idx2 is db._index()
+    assert idx2.ntotal == 7
+
+    # An out-of-band writer (second instance) changes the files; the
+    # first instance must pick the change up by stat.
+    other = MemoDB(str(tmp_path / "db"))
+    other.save("outside note")
+    future = time.time() + 2
+    for p in (db.records_path, db.index_path):
+        os.utime(p, (future, future))  # defeat same-ns mtime collisions
+    idx3 = db._index()
+    assert idx3 is not idx2
+    assert idx3.ntotal == 8
+    assert len(db._store()) == 8
