@@ -134,6 +134,45 @@ def parse_recall_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
     return {"k": k, "filter_expr": filter_expr, "as_yaml": as_yaml, "query": query}, 0
 
 
+def parse_serve_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
+    """serve takes recall's flags (-k / --filter / --yaml) but NO query —
+    queries arrive one per stdin line. Extension verb: not part of the
+    reference surface, so strict about unknown tokens instead of joining
+    them into a query."""
+    k = DEFAULT_K
+    filter_expr: str | None = None
+    as_yaml = False
+
+    i = 0
+    while i < len(args):
+        arg = args[i]
+        if arg == "-k":
+            if i + 1 >= len(args):
+                _err("-k requires an integer")
+                return None, 1
+            try:
+                k = int(args[i + 1])
+            except ValueError:
+                _err("-k requires an integer")
+                return None, 1
+            i += 2
+        elif arg == "--filter":
+            if i + 1 >= len(args):
+                _err("--filter requires a filter expression")
+                return None, 1
+            filter_expr = args[i + 1]
+            i += 2
+        elif arg == "--yaml":
+            as_yaml = True
+            i += 1
+        else:
+            _err(f"unknown serve option '{arg}'")
+            return None, 1
+
+    k = max(1, min(k, MAX_K))
+    return {"k": k, "filter_expr": filter_expr, "as_yaml": as_yaml}, 0
+
+
 def parse_analyze_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
     filter_expr: str | None = None
     fields: list[str] | None = None
@@ -261,6 +300,20 @@ def main(argv: list[str] | None = None) -> int:
         return commands.cmd_recall(
             db_base,
             args["query"],
+            args["k"],
+            args["filter_expr"],
+            args["as_yaml"],
+            user_cwd,
+            verbose=verbose,
+        )
+
+    if command == "serve":
+        args, rc = parse_serve_args(positional[1:])
+        if rc != 0:
+            return rc
+        assert args is not None
+        return commands.cmd_serve(
+            db_base,
             args["k"],
             args["filter_expr"],
             args["as_yaml"],

@@ -364,6 +364,18 @@ def cmd_recall(
     with stage(verbose, "load-index"):
         index = load_index_or_fresh(index_path, dim=DIM)
 
+    return _recall_once(store, index, embed_text, query, k, filter_expr,
+                        as_yaml, verbose)
+
+
+def _recall_once(store, index, embed_text, query: str, k: int,
+                 filter_expr: str | None, as_yaml: bool,
+                 verbose: bool) -> int:
+    """One recall against an ALREADY-LOADED store/index — shared by the
+    one-shot verb (cmd_recall) and the resident-index serve loop
+    (cmd_serve), so both produce byte-identical output per query."""
+    from .utils.timing import stage
+
     if not as_yaml:
         print(f"Top {k} results:")
     if index.ntotal == 0:
@@ -392,6 +404,9 @@ def cmd_recall(
 
     active_filter: dict[str, Any] | None = None
     if filter_expr is not None:
+        # Parse AFTER the header + search, like the reference
+        # (memo_cli.py prints "Top k results:" before touching the
+        # filter) — pinned by test_invalid_filter_after_header.
         try:
             active_filter = parse_filter(filter_expr)
         except Exception as e:
@@ -450,6 +465,55 @@ def cmd_recall(
         )
     if as_yaml:
         print(yaml.safe_dump({"results": yaml_results}, sort_keys=False).strip())
+    return 0
+
+
+def cmd_serve(
+    db_base: str,
+    k: int,
+    filter_expr: str | None,
+    as_yaml: bool,
+    user_cwd: str,
+    verbose: bool = False,
+) -> int:
+    """Resident-index recall loop — an EXTENSION verb (absent from the
+    reference CLI surface, so absent from --help; documented in README):
+    load the store + index ONCE, then answer one query per stdin line
+    with the exact recall output block, blank-line separated, until EOF.
+
+    Rationale (measured, BASELINE.md round 5): a fresh process per
+    corpus-scale recall pays the full host->device push of the vector
+    store every time (the push IS the verb: 34-57 s/process at 1M on
+    this relay), while the resident index answers in ~90 ms. This is
+    the CLI-reachable form of the MemoDB serving surface."""
+    index_path, yaml_path = db_paths(db_base, user_cwd)
+    try:
+        store = _load_store(yaml_path)
+    except Exception as e:
+        return _fail(f"failed to load database YAML '{yaml_path}': {e}")
+
+    if filter_expr is not None:
+        # Fail fast at startup (extension verb — no per-query header
+        # ordering to preserve): a bad filter would otherwise surface
+        # only at the first query.
+        try:
+            parse_filter(filter_expr)
+        except Exception as e:
+            return _fail(f"invalid --filter expression: {e}")
+
+    select_platform(len(store))  # memo-scale -> CPU, corpus-scale -> TPU
+    embed_text, _, load_index_or_fresh, _ = _compute_stack()
+    index = load_index_or_fresh(index_path, dim=DIM)
+    vlog(verbose, f"serving {len(store)} records (resident index); "
+                  "one query per line, EOF ends")
+
+    for line in sys.stdin:
+        query = line.strip()
+        if not query:
+            continue
+        _recall_once(store, index, embed_text, query, k, filter_expr,
+                     as_yaml, verbose)
+        print(flush=True)  # blank-line block separator for stream readers
     return 0
 
 

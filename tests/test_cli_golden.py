@@ -425,3 +425,45 @@ class TestFaissMigration:
         rc, out, err = run("-f", "db", "recall", "-k", "1", "tea coffee")
         assert "  [0] Score: " in out
         assert "FAISS-format" not in err
+
+
+class TestServe:
+    """`serve` — resident-index extension verb: one query per stdin line,
+    byte-identical recall blocks, blank-line separated."""
+
+    def _feed(self, monkeypatch, text):
+        import io
+
+        monkeypatch.setattr("sys.stdin", io.StringIO(text))
+
+    def test_serve_blocks_match_one_shot_recalls(self, run, tmp_path, monkeypatch):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        _, one_a, _ = run("-f", "db", "recall", "-k", "2", "tea preference")
+        _, one_b, _ = run("-f", "db", "recall", "-k", "2", "morning workout")
+
+        self._feed(monkeypatch, "tea preference\n\nmorning workout\n")
+        rc, out, err = run("-f", "db", "serve", "-k", "2")
+        assert rc == 0
+        assert out == one_a + "\n" + one_b + "\n"
+        assert err == ""
+
+    def test_serve_yaml_and_filter(self, run, tmp_path, monkeypatch):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        _, one, _ = run("-f", "db", "recall", "--yaml", "-k", "1",
+                        "--filter", "{source: user}", "tea")
+        self._feed(monkeypatch, "tea\n")
+        rc, out, _ = run("-f", "db", "serve", "--yaml", "-k", "1",
+                         "--filter", "{source: user}")
+        assert rc == 0
+        assert out == one + "\n"
+
+    def test_serve_rejects_positional_and_bad_filter(self, run, monkeypatch):
+        rc, out, err = run("-f", "db", "serve", "stray")
+        assert rc == 1 and "unknown serve option 'stray'" in err
+        self._feed(monkeypatch, "")
+        rc, out, err = run("-f", "db", "serve", "--filter", "{bad yaml")
+        assert rc == 1 and err.startswith("Error: invalid --filter")
+
+    def test_serve_not_in_help(self, run):
+        _, out, _ = run("--help")
+        assert "serve" not in out  # reference help surface is byte-pinned
