@@ -87,6 +87,48 @@ def run_verb(label: str, args: list[str], env: dict, cwd: Path,
         raise SystemExit(f"{label} failed")
 
 
+def measure_serve(env: dict, cwd: Path, results: dict,
+                  queries: int = 16) -> None:
+    """Drive `memo serve` (resident-index REPL): time the first answer
+    (cold: load + host->device push + compile) and the steady per-query
+    latency on the SAME process — the CLI-reachable serving story."""
+    import random
+
+    rng = random.Random(42)
+    proc = subprocess.Popen(
+        [str(REPO / "memo"), "-f", "db", "serve", "-k", "2"],
+        env=env, cwd=cwd, text=True, bufsize=1,
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+    )
+
+    def ask(q: str) -> float:
+        t0 = time.perf_counter()
+        proc.stdin.write(q + "\n")
+        proc.stdin.flush()
+        saw_block = False
+        while True:
+            line = proc.stdout.readline()
+            if line == "":
+                raise RuntimeError("serve process ended early")
+            if line.strip():
+                saw_block = True
+            elif saw_block:  # blank-line block separator
+                return time.perf_counter() - t0
+
+    cold = ask(" ".join(rng.sample(WORDS, 3)))
+    lats = sorted(ask(" ".join(rng.sample(WORDS, 3))) for _ in range(queries))
+    proc.stdin.close()
+    proc.wait(timeout=60)
+    results["serve_cold_s"] = round(cold, 2)
+    results["serve_steady_p50_s"] = round(lats[len(lats) // 2], 3)
+    results["serve_steady_p90_s"] = round(lats[int(len(lats) * 0.9)], 3)
+    print(f"{'serve_cold':<28s} {cold:8.2f}s  rc=0", flush=True)
+    print(f"{'serve_steady_p50':<28s} {results['serve_steady_p50_s']:8.3f}s "
+          f"(p90 {results['serve_steady_p90_s']:.3f}s over {queries})",
+          flush=True)
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
@@ -94,12 +136,12 @@ def main() -> int:
     p.add_argument("--workdir", type=str, default="/tmp/cli1m")
     p.add_argument("--keep", action="store_true")
     p.add_argument("--json-out", type=str, default=None)
+    p.add_argument("--serve-only", action="store_true",
+                   help="skip generation/verbs; run the serve phase "
+                        "against an existing --workdir DB (from --keep)")
     args = p.parse_args()
 
     wd = Path(args.workdir)
-    if wd.exists():
-        shutil.rmtree(wd)
-    wd.mkdir(parents=True)
     results: dict = {"config": vars(args)}
 
     env = dict(os.environ)
@@ -109,6 +151,20 @@ def main() -> int:
         C99VDB_NLIST="2048",
         C99VDB_NPROBE="8",
     )
+
+    if args.serve_only:
+        if not (wd / "db.yaml").exists():
+            raise SystemExit(f"--serve-only: no DB at {wd}/db.yaml")
+        measure_serve(env, wd, results)
+        line = json.dumps(results)
+        print(line, flush=True)
+        if args.json_out:
+            Path(args.json_out).write_text(line)
+        return 0
+
+    if wd.exists():
+        shutil.rmtree(wd)
+    wd.mkdir(parents=True)
 
     notes = wd / "notes.yaml"
     gen_yaml(notes, args.n)
@@ -147,6 +203,8 @@ def main() -> int:
              env, wd, results, tail_lines=1)
     run_verb("recall_after_append",
              ["-f", "db", "recall", "oncall incident"], env, wd, results)
+
+    measure_serve(env, wd, results)
 
     line = json.dumps(results)
     print(line, flush=True)
