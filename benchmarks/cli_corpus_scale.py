@@ -111,10 +111,11 @@ def measure_serve(env: dict, cwd: Path, results: dict,
             line = proc.stdout.readline()
             if line == "":
                 raise RuntimeError("serve process ended early")
-            if line.strip():
+            if line == "\n":  # EXACT empty line = plain-mode terminator
+                if saw_block:  # (in-block lines are always prefixed,
+                    return time.perf_counter() - t0  # even empty ones)
+            else:
                 saw_block = True
-            elif saw_block:  # blank-line block separator
-                return time.perf_counter() - t0
 
     cold = ask(" ".join(rng.sample(WORDS, 3)))
     lats = sorted(ask(" ".join(rng.sample(WORDS, 3))) for _ in range(queries))

@@ -62,12 +62,16 @@ class MemoDB:
     # -- internals ---------------------------------------------------------
 
     @staticmethod
-    def _stat_key(path) -> tuple[int, int] | None:
+    def _stat_key(path) -> tuple[int, int, int] | None:
         try:
             st = path.stat()
         except OSError:
             return None
-        return (st.st_mtime_ns, st.st_size)
+        # st_ino matters: both DB files publish via atomic tmp+rename
+        # (new inode every write), while st_mtime_ns has kernel-tick
+        # granularity — two same-size writes in one tick would otherwise
+        # alias and a resident server would keep stale data forever.
+        return (st.st_mtime_ns, st.st_size, st.st_ino)
 
     def _store(self) -> RecordStore:
         key = self._stat_key(self.records_path)
@@ -95,6 +99,11 @@ class MemoDB:
         store.save(self.records_path)
         self._store_cache = (self._stat_key(self.records_path), store)
 
+    def _drop_caches(self) -> None:
+        self._store_cache = None
+        self._index_cache = None
+        self._mask_memo.clear()
+
     def _rebuild(self, store: RecordStore):
         from .commands import build_index_from_store
 
@@ -118,14 +127,22 @@ class MemoDB:
             existing = set(int(i) for i in index.ids())
             if doc_id >= len(store) or doc_id not in existing:
                 raise KeyError(f"override id {doc_id} does not exist")
-            store.overwrite(doc_id, body, metadata)
-            self._rebuild(store)
-            return doc_id
-        new_id = store.append(body, metadata)
-        index.add(embed_texts([body]), np.asarray([new_id], dtype=np.int64))
-        self._publish_index(index)
-        self._publish_store(store)
-        return new_id
+        # The cached store/index mutate IN PLACE before the publish; a
+        # mid-flight failure (device error, disk full) must not leave a
+        # dirty resident cache that a later call would silently persist.
+        try:
+            if doc_id is not None:
+                store.overwrite(doc_id, body, metadata)
+                self._rebuild(store)
+                return doc_id
+            new_id = store.append(body, metadata)
+            index.add(embed_texts([body]), np.asarray([new_id], dtype=np.int64))
+            self._publish_index(index)
+            self._publish_store(store)
+            return new_id
+        except BaseException:
+            self._drop_caches()
+            raise
 
     def save_many(self, records: list[dict[str, Any]]) -> list[int]:
         """Bulk insert: [{body, metadata?}, ...] embedded in one device batch.
@@ -146,12 +163,16 @@ class MemoDB:
                 raise ValueError("metadata must be a mapping when provided")
         store = self._store()
         index = self._index()
-        ids = [store.append(r["body"], r.get("metadata")) for r in records]
-        vectors = embed_texts([r["body"] for r in records])
-        index.add(vectors, np.asarray(ids, dtype=np.int64))
-        self._publish_index(index)
-        self._publish_store(store)
-        return ids
+        try:
+            ids = [store.append(r["body"], r.get("metadata")) for r in records]
+            vectors = embed_texts([r["body"] for r in records])
+            index.add(vectors, np.asarray(ids, dtype=np.int64))
+            self._publish_index(index)
+            self._publish_store(store)
+            return ids
+        except BaseException:
+            self._drop_caches()  # in-place appends must not outlive a failure
+            raise
 
     def metadata_mask(self, filter: str | dict[str, Any]) -> np.ndarray:
         """(max_id+1,) bool mask of records matching the filter (blank
@@ -162,11 +183,7 @@ class MemoDB:
         repeated filtered recalls skip both the O(n) metadata scan and
         the mask re-staging."""
         active = parse_filter(filter) if isinstance(filter, str) else filter
-        try:
-            st = self.records_path.stat()
-            state = (st.st_mtime_ns, st.st_size)
-        except FileNotFoundError:
-            state = None
+        state = self._stat_key(self.records_path)
         key = (repr(sorted(active.items())) if active else None, state)
         hit = self._mask_memo.get(key)
         if hit is not None:
@@ -326,10 +343,14 @@ class MemoDB:
         # see an explicit deletion rather than a live-looking record.
         meta = dict(store.meta_at(doc_id) or {})
         meta["deleted"] = True
-        store.overwrite(doc_id, "", meta)
-        index.remove_ids(np.asarray([doc_id], np.int64))
-        self._publish_index(index)
-        self._publish_store(store)
+        try:
+            store.overwrite(doc_id, "", meta)
+            index.remove_ids(np.asarray([doc_id], np.int64))
+            self._publish_index(index)
+            self._publish_store(store)
+        except BaseException:
+            self._drop_caches()
+            raise
         self._mask_memo.clear()
         return True
 

@@ -92,7 +92,12 @@ def split_global_args(argv: list[str]) -> tuple[dict[str, Any] | None, int]:
     return {"db_base": db_base, "verbose": verbose, "positional": positional}, 0
 
 
-def parse_recall_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
+def _parse_recall_flags(
+    args: list[str], unknown_joins_query: bool
+) -> tuple[dict[str, Any] | None, int]:
+    """Shared -k/--filter/--yaml loop for recall and serve. recall joins
+    unknown tokens into the query (reference behavior); serve — an
+    extension verb with no positional query — rejects them."""
     k = DEFAULT_K
     filter_expr: str | None = None
     as_yaml = False
@@ -120,57 +125,38 @@ def parse_recall_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
         elif arg == "--yaml":
             as_yaml = True
             i += 1
-        else:
+        elif unknown_joins_query:
             # Unknown tokens (including unknown flags) join the query.
             query_parts.append(arg)
-            i += 1
-
-    query = " ".join(query_parts).strip()
-    if not query:
-        _err("recall requires <query>")
-        return None, 1
-
-    k = max(1, min(k, MAX_K))
-    return {"k": k, "filter_expr": filter_expr, "as_yaml": as_yaml, "query": query}, 0
-
-
-def parse_serve_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
-    """serve takes recall's flags (-k / --filter / --yaml) but NO query —
-    queries arrive one per stdin line. Extension verb: not part of the
-    reference surface, so strict about unknown tokens instead of joining
-    them into a query."""
-    k = DEFAULT_K
-    filter_expr: str | None = None
-    as_yaml = False
-
-    i = 0
-    while i < len(args):
-        arg = args[i]
-        if arg == "-k":
-            if i + 1 >= len(args):
-                _err("-k requires an integer")
-                return None, 1
-            try:
-                k = int(args[i + 1])
-            except ValueError:
-                _err("-k requires an integer")
-                return None, 1
-            i += 2
-        elif arg == "--filter":
-            if i + 1 >= len(args):
-                _err("--filter requires a filter expression")
-                return None, 1
-            filter_expr = args[i + 1]
-            i += 2
-        elif arg == "--yaml":
-            as_yaml = True
             i += 1
         else:
             _err(f"unknown serve option '{arg}'")
             return None, 1
 
     k = max(1, min(k, MAX_K))
-    return {"k": k, "filter_expr": filter_expr, "as_yaml": as_yaml}, 0
+    return {
+        "k": k,
+        "filter_expr": filter_expr,
+        "as_yaml": as_yaml,
+        "query": " ".join(query_parts).strip(),
+    }, 0
+
+
+def parse_recall_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
+    parsed, rc = _parse_recall_flags(args, unknown_joins_query=True)
+    if rc != 0:
+        return None, rc
+    assert parsed is not None
+    if not parsed["query"]:
+        _err("recall requires <query>")
+        return None, 1
+    return parsed, 0
+
+
+def parse_serve_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
+    """serve takes recall's flags (-k / --filter / --yaml) but NO query —
+    queries arrive one per stdin line (unknown tokens are errors)."""
+    return _parse_recall_flags(args, unknown_joins_query=False)
 
 
 def parse_analyze_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:

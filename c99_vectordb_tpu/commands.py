@@ -479,7 +479,12 @@ def cmd_serve(
     """Resident-index recall loop — an EXTENSION verb (absent from the
     reference CLI surface, so absent from --help; documented in README):
     load the store + index ONCE, then answer one query per stdin line
-    with the exact recall output block, blank-line separated, until EOF.
+    with the exact recall output block until EOF. Framing: plain blocks
+    end with ONE EMPTY LINE (unambiguous — every in-block line is
+    prefixed, even empty body lines render as 6 spaces); --yaml blocks
+    end with a `...` line (YAML's explicit document-end marker, which
+    cannot appear at column 0 inside the indented dump — an interior
+    blank line CAN, for multi-paragraph bodies).
 
     Rationale (measured, BASELINE.md round 5): a fresh process per
     corpus-scale recall pays the full host->device push of the vector
@@ -513,7 +518,8 @@ def cmd_serve(
             continue
         _recall_once(store, index, embed_text, query, k, filter_expr,
                      as_yaml, verbose)
-        print(flush=True)  # blank-line block separator for stream readers
+        # Block terminator for stream readers (see docstring).
+        print("..." if as_yaml else "", flush=True)
     return 0
 
 

@@ -66,17 +66,32 @@ class FlatIndex:
 
     # -- mutation ----------------------------------------------------------
 
+    @staticmethod
+    def _coerce_sorted(vectors, ids, dim: int) -> tuple[np.ndarray, np.ndarray]:
+        """Validate/coerce a (vectors, ids) pair and enforce the
+        sorted-by-id invariant (load-bearing for lax.top_k tie-breaks).
+        No copy when the inputs are already clean — from_state relies on
+        this to adopt read-only mmap views without materializing them."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, dim)
+        ids = np.asarray(ids, dtype=np.int64).reshape(-1)
+        if vectors.shape[0] != ids.shape[0]:
+            raise ValueError("vectors and ids must have matching leading dimension")
+        if not np.all(ids[:-1] <= ids[1:]):
+            order = np.argsort(ids, kind="stable")
+            vectors = vectors[order]
+            ids = ids[order]
+        return vectors, ids
+
     def add(self, vectors: np.ndarray, ids: np.ndarray) -> None:
         vectors = np.ascontiguousarray(vectors, dtype=np.float32).reshape(-1, self.dim)
         ids = np.asarray(ids, dtype=np.int64).reshape(-1)
         if vectors.shape[0] != ids.shape[0]:
             raise ValueError("vectors and ids must have matching leading dimension")
-        self._vectors = np.concatenate([self._vectors, vectors], axis=0)
-        self._ids = np.concatenate([self._ids, ids])
-        if not np.all(self._ids[:-1] <= self._ids[1:]):
-            order = np.argsort(self._ids, kind="stable")
-            self._vectors = self._vectors[order]
-            self._ids = self._ids[order]
+        self._vectors, self._ids = self._coerce_sorted(
+            np.concatenate([self._vectors, vectors], axis=0),
+            np.concatenate([self._ids, ids]),
+            self.dim,
+        )
         self._device = None  # invalidate cached device buffers
         self._mask_cache.clear()
 
@@ -296,15 +311,7 @@ class FlatIndex:
             # Adopt the state arrays without copying (they may be read-only
             # mmap views — storage/index_io.py): add()'s concatenate would
             # eagerly materialize the whole store before the device push.
-            vectors = np.ascontiguousarray(arrays["vectors"], dtype=np.float32)
-            ids = np.asarray(arrays["ids"], dtype=np.int64).reshape(-1)
-            vectors = vectors.reshape(-1, index.dim)
-            if vectors.shape[0] != ids.shape[0]:
-                raise ValueError("vectors and ids must have matching leading dimension")
-            if not np.all(ids[:-1] <= ids[1:]):
-                order = np.argsort(ids, kind="stable")
-                vectors = vectors[order]
-                ids = ids[order]
-            index._vectors = vectors
-            index._ids = ids
+            index._vectors, index._ids = cls._coerce_sorted(
+                arrays["vectors"], arrays["ids"], index.dim
+            )
         return index

@@ -87,37 +87,44 @@ def read_index(path: Path) -> Any:
     import os
 
     registry.builtin_loader()
+    use_mmap = os.environ.get("C99VDB_INDEX_MMAP", "1").strip() != "0"
+    # ONE open for header and payloads: writers publish via atomic
+    # rename, so a single fd pins a single inode — re-opening the PATH
+    # per array could mix generations if a writer renamed in between
+    # (np.memmap accepts the open file object and mmaps its fd; the
+    # mapping survives the close).
     with path.open("rb") as fh:
         head = fh.read(len(INDEX_MAGIC) + 4)
         if len(head) < len(INDEX_MAGIC) + 4 or head[: len(INDEX_MAGIC)] != INDEX_MAGIC:
             raise ValueError("not a TPUVDB index file")
         (header_len,) = struct.unpack_from("<I", head, len(INDEX_MAGIC))
         header = json.loads(fh.read(header_len).decode("utf-8"))
-    if header["version"] > FORMAT_VERSION:
-        raise ValueError(f"unsupported index format version {header['version']}")
+        if header["version"] > FORMAT_VERSION:
+            raise ValueError(f"unsupported index format version {header['version']}")
 
-    body_start = len(INDEX_MAGIC) + 4 + header_len
-    use_mmap = os.environ.get("C99VDB_INDEX_MMAP", "1").strip() != "0"
-    raw: np.ndarray | None = None
-    if not use_mmap:
-        raw = np.frombuffer(path.read_bytes(), dtype=np.uint8)
+        body_start = len(INDEX_MAGIC) + 4 + header_len
+        raw: np.ndarray | None = None
+        if not use_mmap:
+            raw = np.frombuffer(fh.read(), dtype=np.uint8)  # body only
 
-    arrays: dict[str, np.ndarray] = {}
-    for entry in header["arrays"]:
-        start = body_start + entry["offset"]
-        dt = np.dtype(entry["dtype"])
-        count = entry["nbytes"] // dt.itemsize
-        if entry["nbytes"] != count * dt.itemsize:
-            raise ValueError(f"array '{entry['name']}' payload size mismatch")
-        if count == 0:
-            buf = np.empty((0,), dt)
-        elif raw is None:
-            buf = np.memmap(path, dtype=dt, mode="r", offset=start, shape=(count,))
-        else:
-            if start + entry["nbytes"] > raw.nbytes:
-                raise ValueError(f"array '{entry['name']}' payload out of bounds")
-            buf = raw[start : start + entry["nbytes"]].view(dt)
-        arrays[entry["name"]] = buf.reshape(entry["shape"])
+        arrays: dict[str, np.ndarray] = {}
+        for entry in header["arrays"]:
+            dt = np.dtype(entry["dtype"])
+            count = entry["nbytes"] // dt.itemsize
+            if entry["nbytes"] != count * dt.itemsize:
+                raise ValueError(f"array '{entry['name']}' payload size mismatch")
+            if count == 0:
+                buf = np.empty((0,), dt)
+            elif raw is None:
+                buf = np.memmap(fh, dtype=dt, mode="r",
+                                offset=body_start + entry["offset"],
+                                shape=(count,))
+            else:
+                start = entry["offset"]
+                if start + entry["nbytes"] > raw.nbytes:
+                    raise ValueError(f"array '{entry['name']}' payload out of bounds")
+                buf = raw[start : start + entry["nbytes"]].view(dt)
+            arrays[entry["name"]] = buf.reshape(entry["shape"])
 
     cls = registry.resolve(header["kind"])
     return cls.from_state(header["params"], arrays)

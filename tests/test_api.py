@@ -175,3 +175,33 @@ def test_resident_cache_reuses_and_invalidates(tmp_path):
     assert idx3 is not idx2
     assert idx3.ntotal == 8
     assert len(db._store()) == 8
+
+
+def test_failed_save_leaves_no_phantom_record(tmp_path, monkeypatch):
+    """A mutator that dies mid-flight (e.g. a transient device error in
+    index.add) must not leave the in-place-mutated store in the resident
+    cache — the next call would silently persist a record that was never
+    indexed (round-5 review finding)."""
+    import pytest
+
+    from c99_vectordb_tpu.api import MemoDB
+
+    db = MemoDB(str(tmp_path / "db"))
+    db.save_many([{"body": f"note {i}"} for i in range(4)])
+
+    index = db._index()
+    real_add = index.add
+
+    def boom(*a, **k):
+        raise RuntimeError("transient device error")
+
+    monkeypatch.setattr(index, "add", boom)
+    with pytest.raises(RuntimeError):
+        db.save("phantom")
+    monkeypatch.setattr(index, "add", real_add)
+
+    # Cache was dropped: state reloads from disk, no phantom anywhere.
+    assert len(db) == 4
+    assert all("phantom" not in h.body for h in db.recall("phantom", k=4))
+    nid = db.save("real fifth note")
+    assert nid == 4 and len(db) == 5

@@ -455,7 +455,25 @@ class TestServe:
         rc, out, _ = run("-f", "db", "serve", "--yaml", "-k", "1",
                          "--filter", "{source: user}")
         assert rc == 0
-        assert out == one + "\n"
+        assert out == one + "...\n"  # YAML doc-end terminator per block
+
+    def test_serve_yaml_blocks_frame_despite_blank_lines(self, run, tmp_path,
+                                                         monkeypatch):
+        # Multi-paragraph bodies put TRUE blank lines inside a --yaml
+        # block, so a blank line cannot frame the stream; the `...`
+        # terminator (YAML doc-end, never at column 0 inside the
+        # indented dump) can. Readers split on it and parse each block.
+        run("-f", "db", "save", write_input(
+            tmp_path, "in.yaml",
+            "---\nbody: |\n  first paragraph\n\n  second paragraph\n"))
+        self._feed(monkeypatch, "first\nsecond\n")
+        rc, out, _ = run("-f", "db", "serve", "--yaml", "-k", "1")
+        assert rc == 0
+        blocks = [b for b in out.split("...\n") if b.strip()]
+        assert len(blocks) == 2
+        docs = [yaml.safe_load(b) for b in blocks]
+        assert all("results" in d for d in docs)
+        assert "\n\n" in docs[0]["results"][0]["body"]
 
     def test_serve_rejects_positional_and_bad_filter(self, run, monkeypatch):
         rc, out, err = run("-f", "db", "serve", "stray")
