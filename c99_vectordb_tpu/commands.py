@@ -512,10 +512,34 @@ def cmd_serve(
     vlog(verbose, f"serving {len(store)} records (resident index); "
                   "one query per line, EOF ends")
 
+    def _stat_key(path):
+        try:
+            st = path.stat()
+        except OSError:
+            return None
+        # st_ino included: writers publish via atomic rename (new inode
+        # every write) while mtime_ns has kernel-tick granularity.
+        return (st.st_mtime_ns, st.st_size, st.st_ino)
+
+    served_state = (_stat_key(yaml_path), _stat_key(index_path))
+
     for line in sys.stdin:
         query = line.strip()
         if not query:
             continue
+        state = (_stat_key(yaml_path), _stat_key(index_path))
+        if state != served_state:
+            # An external writer (another memo process) republished the
+            # DB: reload so answers reflect it — same stat-keyed
+            # semantics as MemoDB's resident caches. The reload pays a
+            # fresh device push; unchanged files cost two stat calls.
+            try:
+                store = _load_store(yaml_path)
+            except Exception as e:
+                return _fail(f"failed to load database YAML '{yaml_path}': {e}")
+            index = load_index_or_fresh(index_path, dim=DIM)
+            served_state = state
+            vlog(verbose, f"reloaded {len(store)} records (DB files changed)")
         _recall_once(store, index, embed_text, query, k, filter_expr,
                      as_yaml, verbose)
         # Block terminator for stream readers (see docstring).

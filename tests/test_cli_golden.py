@@ -485,3 +485,44 @@ class TestServe:
     def test_serve_not_in_help(self, run):
         _, out, _ = run("--help")
         assert "serve" not in out  # reference help surface is byte-pinned
+
+    def test_serve_reloads_on_external_write(self, run, tmp_path, monkeypatch):
+        """A serving process must answer from the CURRENT DB after an
+        external writer republished it (stat-keyed reload, same
+        semantics as MemoDB's resident caches)."""
+        import io
+        import os
+        import time
+
+        from c99_vectordb_tpu import commands
+
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+
+        class FeedAndMutate(io.StringIO):
+            """Stdin that appends a new record between the two queries."""
+
+            def __init__(self, outer):
+                super().__init__()
+                self.lines = iter(["workout\n", "MUTATE", "zebra safari\n"])
+                self.outer = outer
+
+            def __iter__(self):
+                for item in self.lines:
+                    if item == "MUTATE":
+                        rc = commands.cmd_save(
+                            "db",
+                            write_input(tmp_path, "extra.yaml",
+                                        "---\nbody: zebra safari trip\n"),
+                            str(tmp_path), False)
+                        assert rc == 0
+                        future = time.time() + 2
+                        for n in ("db.yaml", "db.memo"):
+                            p = tmp_path / n
+                            os.utime(p, (future, future))
+                        continue
+                    yield item
+
+        monkeypatch.setattr("sys.stdin", FeedAndMutate(tmp_path))
+        rc, out, err = run("-f", "db", "serve", "-k", "1")
+        assert rc == 0
+        assert "zebra safari trip" in out  # served the post-write record
