@@ -155,8 +155,37 @@ def parse_recall_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
 
 def parse_serve_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
     """serve takes recall's flags (-k / --filter / --yaml) but NO query —
-    queries arrive one per stdin line (unknown tokens are errors)."""
-    return _parse_recall_flags(args, unknown_joins_query=False)
+    queries arrive one per stdin line (unknown tokens are errors). Its
+    one extra flag, --batch N, answers stdin queries in device batches of
+    up to N (a blank line or EOF flushes a partial batch early)."""
+    batch = 1
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--batch":
+            if i + 1 >= len(args):
+                _err("--batch requires an integer")
+                return None, 1
+            try:
+                batch = int(args[i + 1])
+            except ValueError:
+                _err("--batch requires an integer")
+                return None, 1
+            if batch < 1:
+                _err("--batch must be >= 1")
+                return None, 1
+            i += 2
+        else:
+            rest.append(args[i])
+            i += 1
+    parsed, rc = _parse_recall_flags(rest, unknown_joins_query=False)
+    if rc != 0:
+        return None, rc
+    assert parsed is not None
+    # 1024 = the largest measured serving batch (BASELINE.md round 5);
+    # beyond it the (B, cap) ranking's memory grows with no dispatch win.
+    parsed["batch"] = min(batch, 1024)
+    return parsed, 0
 
 
 def parse_analyze_args(args: list[str]) -> tuple[dict[str, Any] | None, int]:
@@ -305,6 +334,7 @@ def main(argv: list[str] | None = None) -> int:
             args["as_yaml"],
             user_cwd,
             verbose=verbose,
+            batch=args["batch"],
         )
 
     if command == "analyze":

@@ -370,10 +370,15 @@ def cmd_recall(
 
 def _recall_once(store, index, embed_text, query: str, k: int,
                  filter_expr: str | None, as_yaml: bool,
-                 verbose: bool) -> int:
+                 verbose: bool, *, ranked=None) -> int:
     """One recall against an ALREADY-LOADED store/index — shared by the
     one-shot verb (cmd_recall) and the resident-index serve loop
-    (cmd_serve), so both produce byte-identical output per query."""
+    (cmd_serve), so both produce byte-identical output per query.
+
+    `ranked` optionally injects a precomputed device ranking handle
+    (dists, ids, n) — serve's --batch mode ranks a whole batch of queries
+    in ONE device program (index.ranked_many_device) and replays the rows
+    through this display path, so batched output stays byte-identical."""
     from .utils.timing import stage
 
     if not as_yaml:
@@ -391,16 +396,17 @@ def _recall_once(store, index, embed_text, query: str, k: int,
     # records the old full pull moved ~8 MB through a 1-30 MB/s link to
     # print k rows (VERDICT r3 next #5). Byte output is identical: the
     # chunks ARE the same sorted arrays.
-    ranked_handle = None
-    with stage(verbose, "embed+search"):
-        q_vec = embed_text(query)
-        ranked_dev = getattr(index, "ranked_all_device", None)
-        if ranked_dev is not None:
-            # None = the family has no device-streamable ranking for
-            # this configuration (e.g. refine=False IVFPQIndex).
-            ranked_handle = ranked_dev(q_vec)
-        if ranked_handle is None:
-            dists, ids = index.ranked_all(q_vec)
+    ranked_handle = ranked
+    if ranked_handle is None:
+        with stage(verbose, "embed+search"):
+            q_vec = embed_text(query)
+            ranked_dev = getattr(index, "ranked_all_device", None)
+            if ranked_dev is not None:
+                # None = the family has no device-streamable ranking for
+                # this configuration (e.g. refine=False IVFPQIndex).
+                ranked_handle = ranked_dev(q_vec)
+            if ranked_handle is None:
+                dists, ids = index.ranked_all(q_vec)
 
     active_filter: dict[str, Any] | None = None
     if filter_expr is not None:
@@ -475,6 +481,7 @@ def cmd_serve(
     as_yaml: bool,
     user_cwd: str,
     verbose: bool = False,
+    batch: int = 1,
 ) -> int:
     """Resident-index recall loop — an EXTENSION verb (absent from the
     reference CLI surface, so absent from --help; documented in README):
@@ -523,10 +530,8 @@ def cmd_serve(
 
     served_state = (_stat_key(yaml_path), _stat_key(index_path))
 
-    for line in sys.stdin:
-        query = line.strip()
-        if not query:
-            continue
+    def _reload_if_changed() -> int:
+        nonlocal store, index, served_state
         state = (_stat_key(yaml_path), _stat_key(index_path))
         if state != served_state:
             # An external writer (another memo process) republished the
@@ -540,11 +545,73 @@ def cmd_serve(
             index = load_index_or_fresh(index_path, dim=DIM)
             served_state = state
             vlog(verbose, f"reloaded {len(store)} records (DB files changed)")
-        _recall_once(store, index, embed_text, query, k, filter_expr,
-                     as_yaml, verbose)
-        # Block terminator for stream readers (see docstring).
-        print("..." if as_yaml else "", flush=True)
-    return 0
+        return 0
+
+    if batch <= 1:
+        for line in sys.stdin:
+            query = line.strip()
+            if not query:
+                continue
+            if _reload_if_changed() != 0:
+                return 1
+            _recall_once(store, index, embed_text, query, k, filter_expr,
+                         as_yaml, verbose)
+            # Block terminator for stream readers (see docstring).
+            print("..." if as_yaml else "", flush=True)
+        return 0
+
+    # --batch N: queries accumulate until N are pending, a BLANK LINE
+    # arrives (the explicit flush marker — blank lines are no-ops in
+    # single-query mode, so the framing stays compatible), or EOF; each
+    # flush embeds the whole batch in one device call and ranks it in ONE
+    # device program (index.ranked_many_device), then replays every row
+    # through the shared display path. Rationale (measured, BASELINE.md
+    # round 5): a relay program dispatch costs ~90 ms regardless of work,
+    # so per-query serving is dispatch-bound — batching is the lever.
+    # The batch pads to the next power of two (repeating row 0) so the
+    # number of distinct compiled batch shapes stays logarithmic.
+    from .ops.embed import embed_texts
+
+    pending: list[str] = []
+
+    def _flush() -> int:
+        if not pending:
+            return 0
+        if _reload_if_changed() != 0:
+            return 1
+        handles = None
+        many = getattr(index, "ranked_many_device", None)
+        if many is not None and index.ntotal > 0:
+            q = embed_texts(pending)
+            b = len(pending)
+            b_pad = 1 << (b - 1).bit_length()
+            if b_pad != b:
+                q = np.concatenate([q, np.repeat(q[:1], b_pad - b, axis=0)])
+            out = many(q)
+            if out is not None:
+                d_all, i_all, n = out
+                handles = [(d_all[i], i_all[i], n) for i in range(b)]
+        for qi, query in enumerate(pending):
+            # No batched route (e.g. refine=False IVFPQIndex): fall back
+            # to the per-query path — correct, just dispatch-bound.
+            _recall_once(store, index, embed_text, query, k, filter_expr,
+                         as_yaml, verbose,
+                         ranked=None if handles is None else handles[qi])
+            print("..." if as_yaml else "", flush=True)
+        pending.clear()
+        return 0
+
+    for line in sys.stdin:
+        query = line.strip()
+        if not query:
+            if _flush() != 0:
+                return 1
+            continue
+        pending.append(query)
+        if len(pending) >= batch:
+            if _flush() != 0:
+                return 1
+    return _flush()
 
 
 # -- analyze --------------------------------------------------------------------

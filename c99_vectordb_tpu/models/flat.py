@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DIM
-from ..ops.distances import ranked_program
+from ..ops.distances import ranked_many_program, ranked_program
 from ..ops.rerank import build_id_lookup, exact_rerank_staged, shortlist_depth
 from ..ops.topk import topk_program
 from .base import next_pow2
@@ -286,6 +286,22 @@ class FlatIndex:
         query = np.ascontiguousarray(query, dtype=np.float32).reshape(self.dim)
         vecs, ids, valid = self._staged()[:3]
         dists, out_ids = ranked_program(vecs.shape[0], self.dim)(vecs, ids, valid, query)
+        return dists, out_ids, self.ntotal
+
+    def ranked_many_device(self, queries: np.ndarray):
+        """Batched ranked_all_device: (dists (B, cap), ids (B, cap), n).
+
+        One device program for the whole batch — the serve REPL's --batch
+        mode amortizes the per-program dispatch round-trip (~90 ms on the
+        TPU relay) across queries; each row matches the single-query
+        program's output for that query (ops/distances.ranked_many_program)."""
+        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(
+            -1, self.dim
+        )
+        vecs, ids, valid = self._staged()[:3]
+        dists, out_ids = ranked_many_program(
+            vecs.shape[0], self.dim, queries.shape[0]
+        )(vecs, ids, valid, jnp.asarray(queries))
         return dists, out_ids, self.ntotal
 
     def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DIM
-from ..ops.distances import ranked_program, scores_via_matmul
+from ..ops.distances import ranked_many_program, ranked_program, scores_via_matmul
 from ..ops.kmeans import assign_clusters, train_kmeans
 from ..ops.topk import merge_topk
 from .base import list_pad, next_pow2
@@ -1052,6 +1052,18 @@ class IVFFlatIndex:
         dists, out_ids = ranked_program(int(vecs.shape[0]), self.dim)(
             vecs, ids, valid, jnp.asarray(query)
         )
+        return dists, out_ids, self.ntotal
+
+    def ranked_many_device(self, queries: np.ndarray):
+        """Batched ranked_all_device: (dists (B, cap), ids (B, cap), n) —
+        one device program per batch (models/flat.py docstring)."""
+        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(
+            -1, self.dim
+        )
+        vecs, ids, valid = self._ranked_staged()
+        dists, out_ids = ranked_many_program(
+            int(vecs.shape[0]), self.dim, queries.shape[0]
+        )(vecs, ids, valid, jnp.asarray(queries))
         return dists, out_ids, self.ntotal
 
     def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -1474,6 +1474,24 @@ class IVFPQIndex:
         )
         return dists, out_ids, self.ntotal
 
+    def ranked_many_device(self, queries: np.ndarray):
+        """Batched ranked_all_device: (dists (B, cap), ids (B, cap), n) —
+        one device program per batch (models/flat.py docstring). None for
+        pure-code indexes, like ranked_all_device; callers fall back to
+        per-query ranking."""
+        if not self.refine:
+            return None
+        from ..ops.distances import ranked_many_program
+
+        queries = np.ascontiguousarray(queries, dtype=np.float32).reshape(
+            -1, self.dim
+        )
+        vecs, _, ids, valid = self._stage_refine()
+        dists, out_ids = ranked_many_program(
+            vecs.shape[0], self.dim, queries.shape[0]
+        )(vecs.astype(jnp.float32), ids, valid, jnp.asarray(queries))
+        return dists, out_ids, self.ntotal
+
     def ranked_all(self, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Full exact ranking of every stored vector.
 

@@ -56,3 +56,31 @@ def ranked_program(cap: int, dim: int):
         return jax.lax.sort((dists, tie_ids), num_keys=2)
 
     return run
+
+
+@functools.lru_cache(maxsize=None)
+def ranked_many_program(cap: int, dim: int, batch: int):
+    """Jitted full ranking for a BATCH of queries against one padded DB.
+
+    Returns (distances, ids) each of shape (batch, cap); every row is
+    sorted ascending by (distance, id) exactly like ranked_program's
+    output for that query alone — scoring runs one query at a time inside
+    a lax.map so the per-pair arithmetic (and therefore the printed
+    scores) matches the single-query program. The batch's win is ONE
+    program dispatch instead of `batch` of them: on the TPU relay a
+    dispatch costs ~90 ms regardless of work (BASELINE.md round-5
+    serving), so this is the serve REPL's --batch fast path.
+    """
+
+    @jax.jit
+    def run(db: jax.Array, ids: jax.Array, valid: jax.Array, queries: jax.Array):
+        def one(q):
+            d = pairwise_sq_l2(q[None, :], db)[0]
+            return jnp.where(valid, d, jnp.inf)
+
+        dists = jax.lax.map(one, queries)
+        tie_ids = jnp.where(valid, ids, jnp.iinfo(jnp.int32).max)
+        tie_ids = jnp.broadcast_to(tie_ids[None, :], (batch, cap))
+        return jax.lax.sort((dists, tie_ids), num_keys=2)
+
+    return run

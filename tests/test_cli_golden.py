@@ -486,6 +486,56 @@ class TestServe:
         _, out, _ = run("--help")
         assert "serve" not in out  # reference help surface is byte-pinned
 
+    def test_serve_batch_matches_single_mode(self, run, tmp_path, monkeypatch):
+        """--batch N ranks a whole batch in ONE device program
+        (index.ranked_many_device) but must emit byte-identical output to
+        the per-query mode — including across a padded final flush (3
+        queries at --batch 4 pad to the pow2 program shape)."""
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        queries = "tea preference\nmorning workout\ntaxes april\n"
+
+        self._feed(monkeypatch, queries)
+        rc, single, err = run("-f", "db", "serve", "-k", "2")
+        assert rc == 0 and err == ""
+
+        for b in (2, 4):  # mid-stream flush at 2; padded EOF flush at 4
+            self._feed(monkeypatch, queries)
+            rc, batched, err = run("-f", "db", "serve", "-k", "2",
+                                   "--batch", str(b))
+            assert rc == 0 and err == ""
+            assert batched == single
+
+    def test_serve_batch_blank_line_flushes(self, run, tmp_path, monkeypatch):
+        # With --batch larger than the stream, a blank line must flush
+        # the pending queries (it is the explicit flush marker) — the
+        # first answer appears even though the batch never fills.
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        self._feed(monkeypatch, "tea\n\nworkout\n")
+        rc, out, _ = run("-f", "db", "serve", "-k", "1", "--batch", "64")
+        assert rc == 0
+        assert out.count("Top 1 results:") == 2
+
+    def test_serve_batch_with_filter_matches_single(self, run, tmp_path,
+                                                    monkeypatch):
+        run("-f", "db", "save", write_input(tmp_path, "in.yaml", SAVE_INPUT))
+        args = ("-f", "db", "serve", "--yaml", "-k", "1",
+                "--filter", "{source: user}")
+        self._feed(monkeypatch, "tea\nworkout\n")
+        rc, single, _ = run(*args)
+        assert rc == 0
+        self._feed(monkeypatch, "tea\nworkout\n")
+        rc, batched, _ = run(*args, "--batch", "2")
+        assert rc == 0
+        assert batched == single
+
+    def test_serve_batch_rejects_bad_values(self, run, monkeypatch):
+        rc, _, err = run("-f", "db", "serve", "--batch")
+        assert rc == 1 and "--batch requires an integer" in err
+        rc, _, err = run("-f", "db", "serve", "--batch", "zero")
+        assert rc == 1 and "--batch requires an integer" in err
+        rc, _, err = run("-f", "db", "serve", "--batch", "0")
+        assert rc == 1 and "--batch must be >= 1" in err
+
     def test_serve_reloads_on_external_write(self, run, tmp_path, monkeypatch):
         """A serving process must answer from the CURRENT DB after an
         external writer republished it (stat-keyed reload, same
