@@ -130,6 +130,58 @@ def measure_serve(env: dict, cwd: Path, results: dict,
           flush=True)
 
 
+def measure_serve_batch(env: dict, cwd: Path, results: dict,
+                        sizes: tuple = (8, 32, 128)) -> None:
+    """Drive `memo serve --batch`: B queries per flush, ONE device
+    ranking program per flush (ranked_many_device). Per-query serving is
+    dispatch-bound (~90 ms/program on this relay regardless of work), so
+    batch throughput is the serving headline for burst traffic."""
+    import random
+
+    rng = random.Random(43)
+    proc = subprocess.Popen(
+        [str(REPO / "memo"), "-f", "db", "serve", "-k", "2",
+         "--batch", str(max(sizes))],
+        env=env, cwd=cwd, text=True, bufsize=1,
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+    )
+
+    def ask_batch(qs: list[str]) -> float:
+        t0 = time.perf_counter()
+        proc.stdin.write("".join(q + "\n" for q in qs) + "\n")  # blank = flush
+        proc.stdin.flush()
+        done = 0
+        saw_block = False
+        while done < len(qs):
+            line = proc.stdout.readline()
+            if line == "":
+                raise RuntimeError("serve process ended early")
+            if line == "\n":  # plain-mode block terminator
+                if saw_block:
+                    done += 1
+                    saw_block = False
+            else:
+                saw_block = True
+        return time.perf_counter() - t0
+
+    def qset(b: int) -> list[str]:
+        return [" ".join(rng.sample(WORDS, 3)) for _ in range(b)]
+
+    cold = ask_batch(qset(1))
+    results["serve_batch_cold_s"] = round(cold, 2)
+    print(f"{'serve_batch_cold':<28s} {cold:8.2f}s  rc=0", flush=True)
+    for b in sizes:
+        ask_batch(qset(b))  # compile this pow2 batch shape
+        dt = min(ask_batch(qset(b)) for _ in range(3))
+        results[f"serve_batch{b}_s"] = round(dt, 3)
+        results[f"serve_batch{b}_qps"] = round(b / dt, 1)
+        print(f"{f'serve_batch{b}':<28s} {dt:8.3f}s  "
+              f"{b / dt:8.1f} QPS", flush=True)
+    proc.stdin.close()
+    proc.wait(timeout=60)
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
@@ -140,6 +192,10 @@ def main() -> int:
     p.add_argument("--serve-only", action="store_true",
                    help="skip generation/verbs; run the serve phase "
                         "against an existing --workdir DB (from --keep)")
+    p.add_argument("--db-only", action="store_true",
+                   help="generate + save the DB into --workdir (kept), "
+                        "skip the other verbs — a fast way to rebuild "
+                        "the fixture for --serve-only")
     args = p.parse_args()
 
     wd = Path(args.workdir)
@@ -157,6 +213,7 @@ def main() -> int:
         if not (wd / "db.yaml").exists():
             raise SystemExit(f"--serve-only: no DB at {wd}/db.yaml")
         measure_serve(env, wd, results)
+        measure_serve_batch(env, wd, results)
         line = json.dumps(results)
         print(line, flush=True)
         if args.json_out:
@@ -174,6 +231,13 @@ def main() -> int:
     run_verb("save_1m", ["-f", "db", "save", str(notes)], env, wd, results)
     results["db_yaml_mb"] = round((wd / "db.yaml").stat().st_size / 2**20, 1)
     results["db_memo_mb"] = round((wd / "db.memo").stat().st_size / 2**20, 1)
+
+    if args.db_only:
+        line = json.dumps(results)
+        print(line, flush=True)
+        if args.json_out:
+            Path(args.json_out).write_text(line)
+        return 0
 
     run_verb("recall_k2", ["-f", "db", "recall", "deploy dashboard"],
              env, wd, results)
@@ -206,6 +270,7 @@ def main() -> int:
              ["-f", "db", "recall", "oncall incident"], env, wd, results)
 
     measure_serve(env, wd, results)
+    measure_serve_batch(env, wd, results)
 
     line = json.dumps(results)
     print(line, flush=True)
